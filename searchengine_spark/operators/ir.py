@@ -1,0 +1,190 @@
+"""Inverted-index + ranked-retrieval operators over a generic documents table.
+
+These are the engine's core query semantics (SURVEY.md §2.3-§2.6, §3.1-3.2),
+expressed purely with Catalyst-plannable built-ins so they hold at 100 TB:
+
+- postings build  = explode + partial/final hash aggregate (map-side combine);
+- df/idf          = groupBy('term') aggregate (reference: $inc df per insert,
+                    DBController.java:105 — we use countDistinct, quirk Q7 fixed);
+- candidate match = broadcast hash join lexicon × tiny query-term set
+                    (reference: per-term Mongo point lookups,
+                    SearchService.java:471);
+- top-k           = orderBy + limit → TakeOrderedAndProject (partition-local
+                    bounded heap + driver merge — the north rule's top-k heap).
+
+Scores are returned as **bigint micros** (round(score*1e6)): bigint sums are
+exact and associative, so results are bit-identical across partition counts,
+executor counts, and engines (Spark vs the DuckDB oracle) — float summation
+order can never flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf) — the flat, 1NF form of the reference's nested
+    ``Terms.pages`` array (DBController.java:84-127)."""
+    return (
+        exploded_tokens(docs, id_col, text_col)
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col), doc_len(F.col(text_col)).alias("dl"))
+
+
+def lexicon(post: DataFrame, n_docs: int, id_col: str = "doc_id") -> DataFrame:
+    """(term, df, idf_bm25, idf_compat) per term.
+
+    - ``idf_bm25``  : Robertson ln(1 + (N-df+0.5)/(df+0.5))
+    - ``idf_compat``: the reference's ln(N/(1+df)) (Indexer.java:184, quirk Q9 —
+      may go negative; reproduced for compat scoring)
+    """
+    n = F.lit(float(n_docs))
+    df_ = F.col("df").cast("double")
+    return post.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df")).select(
+        "term",
+        "df",
+        F.log(F.lit(1.0) + (n - df_ + 0.5) / (df_ + 0.5)).alias("idf_bm25"),
+        F.log(n / (df_ + 1.0)).alias("idf_compat"),
+    )
+
+
+def _query_terms_df(spark: SparkSession, terms: list[str]) -> DataFrame:
+    return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k: (doc_id, score_micros), deterministic ties by doc_id.
+
+    Plan shape: one scan of documents feeds both postings and doc-lengths
+    (Catalyst reuses the exchange under AQE); the query-term set and the
+    per-term idf are broadcast — the only wide shuffle is the postings
+    aggregate, which is keyed by (term, doc) so stopword-term skew cannot
+    concentrate a single reducer (contrast the groupBy('term') lexicon agg,
+    which is salted at scale — operators/postings.py).
+    """
+    n_docs = docs.count()
+    dls = doc_lengths(docs, id_col, text_col)
+    # exact, engine-portable average: bigint sum / count
+    sums = dls.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
+    avgdl = float(sums["s"]) / float(sums["c"])
+
+    post = postings(docs, id_col, text_col)
+    lex = lexicon(post, n_docs, id_col).select("term", "idf_bm25")
+    q = _query_terms_df(spark, query_terms)
+
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = F.col("idf_bm25") * (tf * (BM25_K1 + 1.0)) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(avgdl))
+    )
+    scored = (
+        post.join(F.broadcast(q), "term")  # prune postings to query terms first
+        .join(F.broadcast(lex.join(F.broadcast(q), "term")), "term")
+        .join(dls, id_col)
+        .select(F.col(id_col), F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy(id_col)
+        .agg(F.sum("c_micros").alias("score_micros"))
+    )
+    return scored.orderBy(F.desc("score_micros"), F.asc(id_col)).limit(k)
+
+
+def tfidf_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reference-style TF-IDF top-k (Ranker.java:41: sum of tf*idf with
+    tf = freq/totalTerms, Indexer.java:255 quirk Q15; idf = ln(N/(1+df)),
+    Indexer.java:184 quirk Q9). Scores in micros for determinism."""
+    n_docs = docs.count()
+    post = postings(docs, id_col, text_col)
+    lex = lexicon(post, n_docs, id_col).select("term", "idf_compat")
+    dls = doc_lengths(docs, id_col, text_col)
+    q = _query_terms_df(spark, query_terms)
+
+    contrib = (F.col("tf").cast("double") / F.col("dl").cast("double")) * F.col("idf_compat")
+    scored = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(lex.join(F.broadcast(q), "term")), "term")
+        .join(dls, id_col)
+        .select(F.col(id_col), F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy(id_col)
+        .agg(F.sum("c_micros").alias("score_micros"))
+    )
+    return scored.orderBy(F.desc("score_micros"), F.asc(id_col)).limit(k)
+
+
+def term_search_all(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs containing ALL query terms — posting-list intersection as a
+    semi-join-by-aggregation (SURVEY.md §2.5 J5; the reference fakes this by
+    scanning snippets, SearchService.java:105-117)."""
+    q = _query_terms_df(spark, query_terms)
+    return (
+        exploded_tokens(docs, id_col, text_col)
+        .join(F.broadcast(q), "term")
+        .groupBy(id_col)
+        .agg(F.count_distinct("term").alias("n_terms"))
+        .filter(F.col("n_terms") == len(set(query_terms)))
+        .select(id_col)
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs containing the exact token-adjacent phrase.
+
+    The reference never uses its stored positions for phrases (quirk Q10 —
+    it scans pre-rendered snippets and misses window-spanning phrases,
+    SearchService.java:105-176). We implement phrase search correctly by
+    position adjacency: posexplode → self-equi-join on (doc, pos+i).
+    Positions index the raw split array (empties included) so Spark and the
+    SQL oracle agree exactly.
+    """
+    assert len(phrase_terms) >= 2
+    toks = exploded_tokens(docs, id_col, text_col, with_pos=True)
+    first = toks.filter(F.col("term") == phrase_terms[0]).select(
+        F.col(id_col), F.col("pos").alias("p0")
+    )
+    out = first
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            F.col(id_col).alias("_id"), F.col("pos").alias(f"p{i}")
+        )
+        out = out.join(
+            nxt,
+            (out[id_col] == nxt["_id"]) & (nxt[f"p{i}"] == out["p0"] + i),
+            "inner",
+        ).select(out[id_col], out["p0"])
+    return out.select(id_col).distinct()
