@@ -31,6 +31,9 @@ TOPK = 10
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: BM25 top-k over documents at sf0.001."""
+    from searchengine_spark.session import ship_package
+
+    ship_package(spark)  # harness-created sessions: workers get the package
     docs = load_table(spark, SF0001, "documents")
     return ir.bm25_topk(spark, docs, BM25_TERMS, k=TOPK)
 

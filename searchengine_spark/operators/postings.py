@@ -1,0 +1,81 @@
+"""Postings emission + lexicon aggregation (SURVEY.md §2.3 T3, §2.4 A1-A3).
+
+Key scale property: the tokenizer UDF emits one row per **(doc, term)** with
+tf/positions already folded per doc — there is NO shuffle to build postings
+(the reference's per-term Mongo upsert storm, DBController.java:84-127,
+becomes a map-only stage). The only wide operations are:
+
+- the lexicon df aggregation, keyed by ``term`` — hot "code stopwords"
+  (return/import/def) make this skewed at 10^12 scale, so it runs as a
+  **salted two-phase aggregate** (north rule: "salted repartitioning to
+  defuse stopword-term skew");
+- the segment groupBy (operators/segments.py), keyed by (term, bucket).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.textproc_udfs import POSTINGS_SCHEMA, emit_postings
+
+DEFAULT_SALTS = 16
+
+
+def build_postings(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, content, ...) → postings rows (map-only stage)."""
+    return documents.select("doc_id", "content").mapInPandas(emit_postings, POSTINGS_SCHEMA)
+
+
+def build_lexicon(postings: DataFrame, n_docs: int, n_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """(term, df, idf_compat, idf_bm25) via salted two-phase aggregation.
+
+    Phase 1 groups by (term, salt) where salt = pmod(hash(doc_id), S) —
+    every reducer sees at most |postings(term)|/S rows of a hot term.
+    Phase 2 sums the S partials per term. Postings are unique per (term,
+    doc), so count == countDistinct(doc) (the reference's df double-count on
+    re-index, quirk Q7, is structurally impossible here).
+    """
+    partial = (
+        postings.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(n_salts)))
+        .groupBy("term", "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial_df"))
+    )
+    n = F.lit(float(n_docs))
+    df_ = F.col("df").cast("double")
+    return (
+        partial.groupBy("term")
+        .agg(F.sum("_partial_df").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.log(n / (df_ + 1.0)).alias("idf_compat"),  # Indexer.java:184 (Q9)
+            F.log(F.lit(1.0) + (n - df_ + 0.5) / (df_ + 0.5)).alias("idf_bm25"),
+        )
+    )
+
+
+def skew_ratio(postings: DataFrame, n_buckets: int | None = None) -> float:
+    """max/mean postings per term-hash bucket — the lineage skew metric
+    persisted per build (north rule)."""
+    if n_buckets is None:
+        n_buckets = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    per_bucket = (
+        postings.groupBy(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
+        .collect()[0]
+    )
+    if not per_bucket["mean"]:
+        return 1.0
+    return float(per_bucket["mx"]) / float(per_bucket["mean"])
+
+
+def choose_salts(n_postings: int, n_partitions: int) -> int:
+    """Heuristic salt count: enough that a term owning 10% of all postings
+    still spreads across every partition."""
+    if n_postings <= 0:
+        return DEFAULT_SALTS
+    return max(DEFAULT_SALTS, 2 ** math.ceil(math.log2(max(n_partitions, 2))))

@@ -1,0 +1,298 @@
+"""Query entry points: term + phrase search, compat + BM25 modes
+(SURVEY.md §3.1-3.2).
+
+Determinism contract (north rule: rank-identical across N / 4N executors):
+every float accumulation per doc is computed as a fold over the
+term-sorted contribution list (``_det_sum``) instead of a shuffle-order
+``SUM`` — same addends in the same order on any cluster size, so scores are
+bit-identical to the pure-Python oracle. Ties break by ascending doc_id.
+
+Snippets (quirks Q5/Q11/Q12) are computed lazily at query time for candidate
+docs only — the reference pre-renders every snippet for every (term, page)
+at index time (Indexer.java:273), which at 10^12 files would dominate index
+size; deferring them to the ~k candidate docs is the Spark-first win.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.textproc import (
+    find_exact_sentence,
+    query_tokenize,
+    query_words,
+    snippet_windows,
+)
+from searchengine_spark.operators.scoring import (
+    H1_WEIGHT,
+    H2_WEIGHT,
+    H3_WEIGHT,
+    PAGERANK_WEIGHT,
+    TFIDF_WEIGHT,
+    TITLE_WEIGHT,
+    bm25_score_candidates,
+)
+
+
+def is_phrase_query(query: str) -> bool:
+    """SearchService.isPhraseSearch (:93-95)."""
+    return query.startswith('"') and query.endswith('"') and len(query) > 2
+
+
+def _det_sum(sorted_structs: Column, field: str) -> Column:
+    """Deterministic float fold over an array<struct> already sorted by term."""
+    return F.aggregate(sorted_structs, F.lit(0.0), lambda acc, x: acc + x[field])
+
+
+def _candidates(postings: DataFrame, lexicon: DataFrame, spark: SparkSession, terms: list[str]) -> DataFrame:
+    q = spark.createDataFrame([(t,) for t in dict.fromkeys(terms)], "term string")
+    return postings.join(F.broadcast(q), "term").join(
+        F.broadcast(lexicon.join(F.broadcast(q), "term")), "term"
+    )
+
+
+# ---------------------------------------------------------------- snippets
+
+_SNIPPET_SCHEMA = "doc_id long, term string, snippet_first string, has_any boolean, phrase_snippet string"
+
+
+def _snippets_udf(phrase: str | None):
+    """mapInPandas over (doc_id, term, content): compute the reference's
+    60-word centered snippets (Q5) for the (doc, term) pair; report the first
+    snippet, emptiness (Q11), and — in phrase mode — the re-bolded phrase
+    snippet (SearchService.handlePhraseResults :135-163) or null if no
+    snippet contains the boundary-exact phrase."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, term, content in zip(pdf["doc_id"], pdf["term"], pdf["content"]):
+                snips = snippet_windows(term, content, 60)
+                first = snips[0] if snips else None
+                phrase_snip = None
+                if phrase is not None:
+                    for s in snips:
+                        plain = s.replace("<b>", "").replace("</b>", "")
+                        if find_exact_sentence(phrase, plain) != -1:
+                            start = plain.find(phrase)
+                            end = start + len(phrase)
+                            if end >= len(plain):
+                                end = len(plain) - 1
+                            phrase_snip = plain[:start] + "<b>" + phrase + "</b>" + plain[end:]
+                            break
+                rows.append((doc_id, term, first, bool(snips), phrase_snip))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "term", "snippet_first", "has_any", "phrase_snippet"]
+            )
+
+    return fn
+
+
+def _phrase_filter_udf(phrase: str):
+    """mapInPandas: keep (doc_id, term) rows whose snippets contain the
+    boundary-exact phrase (checkPhraseInPage, SearchService.java:165-176) —
+    the compat phrase semantics (quirk Q10: snippet-scan, not positions)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = []
+            for doc_id, term, content in zip(pdf["doc_id"], pdf["term"], pdf["content"]):
+                ok = False
+                for s in snippet_windows(term, content, 60):
+                    plain = s.replace("<b>", "").replace("</b>", "")
+                    if find_exact_sentence(phrase, plain) != -1:
+                        ok = True
+                        break
+                keep.append((doc_id, term, ok))
+            out = pd.DataFrame(keep, columns=["doc_id", "term", "keep"])
+            yield out[out["keep"]][["doc_id", "term"]]
+
+    return fn
+
+
+# ---------------------------------------------------------------- compat search
+
+
+def search_compat(
+    spark: SparkSession,
+    postings: DataFrame,
+    lexicon: DataFrame,
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Full reference pipeline (SearchService.processSearchQuery):
+    returns (rank, doc_id, url, title, score, snippet)."""
+    phrase = query[1:-1] if is_phrase_query(query) else None
+    terms = query_tokenize(phrase if phrase is not None else query)
+    qwords = query_words(query)  # Q3: raw query incl. quotes
+    if not terms:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, title string, score double, snippet string"
+        )
+
+    matched = _candidates(postings, lexicon, spark, terms)
+
+    if phrase is not None:
+        content_side = documents.select("doc_id", "content")
+        survivors = (
+            matched.select("doc_id", "term")
+            .distinct()
+            .join(content_side, "doc_id")
+            .mapInPandas(_phrase_filter_udf(phrase), "doc_id long, term string")
+        )
+        matched = matched.join(survivors, ["doc_id", "term"], "left_semi")
+
+    docs_side = documents.select("doc_id", "url", "title", "pagerank")
+
+    lower_title = F.lower(F.col("title"))
+    tm = None
+    for w in qwords:
+        c = F.when(lower_title.contains(w.lower()), 1).otherwise(0)
+        tm = c if tm is None else tm + c
+
+    rows = matched.join(docs_side, "doc_id").select(
+        "doc_id",
+        "url",
+        "title",
+        "pagerank",
+        "term",
+        ((F.col("tf").cast("double") / F.col("doc_len").cast("double")) * F.col("idf_compat")).alias("_tfidf"),
+        (
+            F.when(F.col("term_h1"), H1_WEIGHT).otherwise(0.0)
+            + F.when(F.col("term_h2"), H2_WEIGHT).otherwise(0.0)
+            + F.when(F.col("term_h3"), H3_WEIGHT).otherwise(0.0)
+        ).alias("_hdr"),
+        (tm if tm is not None else F.lit(0)).alias("_tm"),
+    )
+
+    per_doc = rows.groupBy("doc_id", "url", "title").agg(
+        F.array_sort(F.collect_list(F.struct("term", "_tfidf", "_hdr"))).alias("_contribs"),
+        F.sum("_tm").alias("title_matches"),
+        F.max("pagerank").alias("pr"),
+        F.max("term").alias("last_term"),  # Q12: pinned last-in-sorted-order term
+    ).select(
+        "doc_id",
+        "url",
+        "title",
+        _det_sum(F.col("_contribs"), "_tfidf").alias("tfidf_sum"),
+        _det_sum(F.col("_contribs"), "_hdr").alias("header_score"),
+        "title_matches",
+        "pr",
+        "last_term",
+    )
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy()
+    scored = per_doc.select(
+        "doc_id",
+        "url",
+        "title",
+        "last_term",
+        (
+            F.lit(TFIDF_WEIGHT) * (F.col("tfidf_sum") / F.max("tfidf_sum").over(win))
+            + F.lit(PAGERANK_WEIGHT) * (F.col("pr") / F.max("pr").over(win))
+            + F.lit(TITLE_WEIGHT) * (F.col("title_matches").cast("double") / F.lit(float(len(qwords))))
+            + F.least(F.col("header_score"), F.lit(H1_WEIGHT))
+        ).alias("score"),
+    )
+
+    # assembly: snippets for the pinned last term only (candidates << corpus)
+    snip = (
+        scored.select("doc_id", F.col("last_term").alias("term"))
+        .join(documents.select("doc_id", "content"), "doc_id")
+        .mapInPandas(_snippets_udf(phrase), _SNIPPET_SCHEMA)
+    )
+    out = scored.join(snip, (scored.doc_id == snip.doc_id) & (scored.last_term == snip.term)).select(
+        scored.doc_id, "url", "title", "score", "snippet_first", "has_any", "phrase_snippet"
+    )
+    if phrase is not None:
+        out = out.filter(F.col("phrase_snippet").isNotNull()).withColumn("snippet", F.col("phrase_snippet"))
+    else:
+        out = out.filter(F.col("has_any")).withColumn("snippet", F.col("snippet_first"))  # Q11
+
+    ranked = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return ranked.select(
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rank"),
+        "doc_id",
+        "url",
+        "title",
+        "score",
+        "snippet",
+    )
+
+
+# ---------------------------------------------------------------- BM25 search
+
+
+def search_bm25(
+    spark: SparkSession,
+    postings: DataFrame,
+    lexicon: DataFrame,
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    positional_phrase: bool = True,
+) -> DataFrame:
+    """BM25 mode: (rank, doc_id, url, score). Phrase queries use correct
+    positional adjacency (our fix of quirk Q10) when ``positional_phrase``."""
+    phrase = query[1:-1] if is_phrase_query(query) else None
+    terms = query_tokenize(phrase if phrase is not None else query)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, url string, score double")
+
+    matched = _candidates(postings, lexicon, spark, terms)
+
+    if phrase is not None and positional_phrase and len(terms) >= 2:
+        matched = matched.join(
+            _positional_phrase_docs(matched, terms), "doc_id", "left_semi"
+        )
+
+    # deterministic fold for the BM25 sum as well
+    stats = documents.agg(F.sum("doc_len").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
+    avgdl = (float(stats["s"]) / float(stats["c"])) if stats["c"] else 1.0
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    k1, b = 1.2, 0.75
+    contrib = F.col("idf_bm25") * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+
+    per_doc = (
+        matched.select("doc_id", "term", contrib.alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "_c"))).alias("_contribs"))
+        .select("doc_id", _det_sum(F.col("_contribs"), "_c").alias("score"))
+        .join(documents.select("doc_id", "url"), "doc_id")
+    )
+    from pyspark.sql import Window
+
+    ranked = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return ranked.select(
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rank"),
+        "doc_id",
+        "url",
+        "score",
+    )
+
+
+def _positional_phrase_docs(matched: DataFrame, terms: list[str]) -> DataFrame:
+    """Docs where the stemmed terms appear at consecutive positions —
+    adjacency over the stored positions arrays (the index positions count
+    skipped tokens, Q4, but consecutive kept tokens still differ by 1 unless
+    a short/stopword token intervened; matching the reference's *index*, not
+    raw text)."""
+    pos = matched.select("doc_id", "term", F.explode("positions").alias("p"))
+    first = pos.filter(F.col("term") == terms[0]).select("doc_id", F.col("p").alias("p0"))
+    out = first
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("_d"), F.col("p").alias(f"p{i}")
+        )
+        out = out.join(
+            nxt, (out.doc_id == nxt._d) & (nxt[f"p{i}"] == out.p0 + i), "inner"
+        ).select(out.doc_id, out.p0)
+    return out.select("doc_id").distinct()

@@ -1,0 +1,138 @@
+"""Checkpoint/lineage/resume protocol (north rule: "checkpoint-resumable with
+per-partition lineage + metrics").
+
+The reference's resumability is a frontier collection rewritten every 5 min
+(Crawler.java:138-163) plus an isIndexed flag (Indexer.java:203-206). Ours is
+the Spark-native equivalent:
+
+- every build stage writes its output table to ``_tmp_<stage>`` and renames
+  to the final dir — an atomic publish, so a killed build never leaves a
+  half-visible stage;
+- a ``_manifest.json`` records completed stages + their input fingerprint;
+  resume = skip stages whose fingerprint matches (the left-anti-join skip of
+  SURVEY.md F10, done at stage granularity);
+- a ``lineage`` parquet table appends one row per (stage, partition) with
+  rows/postings/bytes/skew/wall-time metrics.
+
+Because every stage is a deterministic function of the corpus (doc_ids are
+rank-based, tokenization is pure), a resumed build is byte-identical to an
+uninterrupted one — asserted in tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class IndexManifest:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.path = os.path.join(index_dir, "_manifest.json")
+        os.makedirs(index_dir, exist_ok=True)
+        self._data = {"stages": {}, "input_fingerprint": None}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self._data = json.load(f)
+
+    def is_done(self, stage: str, input_fingerprint: str) -> bool:
+        info = self._data["stages"].get(stage)
+        return bool(info) and info.get("input_fingerprint") == input_fingerprint
+
+    def mark_done(self, stage: str, input_fingerprint: str, metrics: dict) -> None:
+        self._data["stages"][stage] = {
+            "input_fingerprint": input_fingerprint,
+            "metrics": metrics,
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._data, f, indent=2)
+        os.replace(tmp, self.path)
+
+    def stage_metrics(self) -> dict:
+        return {s: i.get("metrics", {}) for s, i in self._data["stages"].items()}
+
+
+def corpus_fingerprint(corpus: DataFrame) -> str:
+    """Order-insensitive content fingerprint of the input: xor of per-row
+    hashes + row count. One cheap aggregate; drives stage-skip decisions."""
+    row = corpus.agg(
+        F.bit_xor(F.xxhash64(F.sha2("content", 256), "repo", "path", "commit")).alias("x"),
+        F.count(F.lit(1)).alias("c"),
+    ).collect()[0]
+    return f"{row['x']}:{row['c']}"
+
+
+def publish_stage(df: DataFrame, index_dir: str, stage: str, partition_by: list[str] | None = None) -> str:
+    """Write-to-tmp + atomic rename publish of one stage table."""
+    final = os.path.join(index_dir, stage)
+    tmp = os.path.join(index_dir, f"_tmp_{stage}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return final
+
+
+def partition_metrics(df: DataFrame) -> list[dict]:
+    """Per-partition row counts of a (possibly re-read) stage table."""
+    rows = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    return [{"partition_id": int(r["_pid"]), "rows": int(r["rows"])} for r in rows]
+
+
+def append_lineage(
+    spark,
+    index_dir: str,
+    stage: str,
+    input_fingerprint: str,
+    per_partition: list[dict],
+    postings_out: int,
+    bytes_compressed: int,
+    skew_ratio: float,
+    wall_ms: int,
+) -> None:
+    rows = [
+        (
+            stage,
+            p["partition_id"],
+            "completed",
+            p["rows"],
+            postings_out,
+            bytes_compressed,
+            float(skew_ratio),
+            wall_ms,
+            input_fingerprint,
+        )
+        for p in per_partition
+    ] or [(stage, -1, "completed", 0, postings_out, bytes_compressed, float(skew_ratio), wall_ms, input_fingerprint)]
+    df = spark.createDataFrame(
+        rows,
+        "stage string, partition_id int, status string, rows_in long, postings_out long, "
+        "bytes_compressed long, skew_ratio double, wall_ms long, input_fingerprint string",
+    )
+    df.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "lineage"))
+
+
+class StageTimer:
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall_ms = int((time.monotonic() - self.t0) * 1000)
+        return False

@@ -12,10 +12,44 @@ knob is the one you would also set on a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_pythonpath() -> None:
+    """Make the package importable by forked Python workers (local mode).
+    On a real cluster the equivalent is ``spark-submit --py-files pkg.zip``."""
+    existing = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + existing if existing else "")
+        )
+
+
+_PYFILE_SENT: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship searchengine_spark to workers of an ALREADY-created session via
+    ``addPyFile`` (the programmatic twin of --py-files). Needed when the
+    session was built by an external harness before this package set
+    PYTHONPATH. Idempotent per session."""
+    key = spark.sparkContext.applicationId
+    if key in _PYFILE_SENT:
+        return
+    tmpdir = tempfile.mkdtemp(prefix="sespark_pyfiles_")
+    zip_base = os.path.join(tmpdir, "searchengine_spark")
+    archive = shutil.make_archive(
+        zip_base, "zip", root_dir=_REPO_ROOT, base_dir="searchengine_spark"
+    )
+    spark.sparkContext.addPyFile(archive)
+    _PYFILE_SENT.add(key)
 
 
 def get_spark(
@@ -29,6 +63,7 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``. On a real cluster the
     caller passes ``--master`` via spark-submit and this builder leaves it be.
     """
+    _export_pythonpath()
     cpus = DEFAULT_CPUS
     if master is None:
         master = f"local[{cpus}]"
