@@ -1,0 +1,162 @@
+"""Posting-list physical format: delta-gap + varint, fixed-size blocks,
+per-block skip pointers + block-max scores (SURVEY.md §4.2-2; public-domain
+techniques — varint/delta coding and block-max metadata per Ding & Suel,
+"Faster top-k document retrieval using block-max indexes", SIGIR 2011).
+
+Pure numpy/bytes — runs inside applyInPandas workers; no Spark imports.
+
+Layout per (shard, term): postings sorted by doc_id, split into blocks of
+``BLOCK_SIZE``. Per block:
+- ``doc_ids_delta_varint``: varint(first_doc), then varint deltas (≥1)
+- ``tfs_varint``           : varint per posting
+- ``doc_lens_varint``      : varint per posting (needed for BM25 at query time)
+- ``positions_blob``       : per posting varint(count) + varint position deltas
+- ``skip_doc_id``          : last (max) doc_id in block — the skip pointer
+- ``block_max_score``      : max BM25 contribution in block (build-time exact)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+# ------------------------------------------------------------------ varint
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint encoding of a uint64 array (numpy-vectorized byte fill)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length per value: number of 7-bit groups (shift loop; np has no clz)
+    lengths = np.ones(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        lengths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(lengths.sum())
+    out = np.empty(total, dtype=np.uint8)
+    pos = np.zeros(v.shape, dtype=np.int64)
+    pos[1:] = np.cumsum(lengths)[:-1]
+    rem = v.copy()
+    offset = 0
+    active = np.ones(v.shape, dtype=bool)
+    while active.any():
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem = rem >> np.uint64(7)
+        more = rem > 0
+        byte[more] |= 0x80
+        out[pos[active] + offset] = byte[active]
+        active = active & more
+        offset += 1
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` varints from ``buf`` (numpy scan)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)[:count]
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    out = np.zeros(count, dtype=np.uint64)
+    max_len = int((ends - starts).max()) + 1
+    for k in range(max_len):
+        idx = starts + k
+        valid = idx <= ends
+        vals = (b[idx[valid]] & 0x7F).astype(np.uint64)
+        out[valid] |= vals << np.uint64(7 * k)
+    return out
+
+
+# ------------------------------------------------------------------ blocks
+
+def bm25_contrib(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return idf * (tf * (BM25_K1 + 1.0)) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    positions: list[list[int]],
+    idf: float,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Postings (sorted by doc_id) → list of block dicts."""
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)[order]
+    tfs = np.asarray(tfs, dtype=np.uint64)[order]
+    doc_lens = np.asarray(doc_lens, dtype=np.uint64)[order]
+    positions = [positions[i] for i in order]
+
+    blocks = []
+    for b0 in range(0, len(doc_ids), block_size):
+        sl = slice(b0, b0 + block_size)
+        ids = doc_ids[sl]
+        deltas = np.empty_like(ids)
+        deltas[0] = ids[0]
+        deltas[1:] = np.diff(ids)
+        pos_stream: list[int] = []
+        for plist in positions[sl]:
+            pos_stream.append(len(plist))
+            prev = 0
+            for p in plist:
+                pos_stream.append(p - prev)
+                prev = p
+        scores = bm25_contrib(tfs[sl], doc_lens[sl], idf, avgdl)
+        blocks.append(
+            {
+                "block_id": b0 // block_size,
+                "n_postings": int(len(ids)),
+                "doc_ids_delta_varint": varint_encode(deltas),
+                "tfs_varint": varint_encode(tfs[sl]),
+                "doc_lens_varint": varint_encode(doc_lens[sl]),
+                "positions_blob": varint_encode(np.asarray(pos_stream, dtype=np.uint64)),
+                "skip_doc_id": int(ids[-1]),
+                "block_max_score": float(scores.max()),
+            }
+        )
+    return blocks
+
+
+def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """block → (doc_ids, tfs, doc_lens)."""
+    n = int(block["n_postings"])
+    deltas = varint_decode(block["doc_ids_delta_varint"], n)
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    tfs = varint_decode(block["tfs_varint"], n).astype(np.int64)
+    dls = varint_decode(block["doc_lens_varint"], n).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def decode_positions(block: dict) -> list[np.ndarray]:
+    """block → per-posting absolute position arrays (phrase mode only)."""
+    n = int(block["n_postings"])
+    # stream: for each posting, count then count deltas — decode greedily
+    buf = block["positions_blob"]
+    out: list[np.ndarray] = []
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    # decode the full varint stream once, then walk counts
+    total_varints = len(ends)
+    stream = varint_decode(buf, total_varints).astype(np.int64)
+    i = 0
+    for _ in range(n):
+        cnt = int(stream[i])
+        i += 1
+        out.append(np.cumsum(stream[i : i + cnt]))
+        i += cnt
+    return out

@@ -1,0 +1,346 @@
+"""Segment encode/decode + block-max WAND query execution
+(SURVEY.md §4.2-2/3; north rule: "groupBy-term into delta-gap +
+varint-compressed posting lists with per-block skip pointers and block-max
+scores, merge partition-local segments into a global index").
+
+Physical design (doc-sharded, term-bucketed):
+
+- **shard** = contiguous doc_id range (``doc_id // shard_span``). Each shard
+  holds the postings of its docs for every term — a partition-local index
+  segment. Doc-range sharding keeps delta-gaps small (better compression)
+  and makes query execution embarrassingly parallel: WAND runs per shard,
+  the global top-k is a TakeOrderedAndProject merge of per-shard heaps.
+  Hot terms split across shards automatically — no single reducer ever sees
+  a whole stopword-term posting list (skew defusal at encode time).
+- **bucket** = pmod(hash(term), n_buckets) — the write partition column, so
+  a query touches only the parquet directories of its terms' buckets
+  (partition pruning ≙ the reference's Mongo point lookups,
+  SearchService.java:471).
+
+Encode runs as ``applyInPandas`` over groupBy(shard, term); the group is at
+most one term's postings within one shard — bounded by shard_span docs.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import codec
+
+DEFAULT_N_BUCKETS = 64
+
+SEGMENT_SCHEMA = (
+    "bucket int, shard int, term string, block_id int, n_postings int, "
+    "doc_ids_delta_varint binary, tfs_varint binary, doc_lens_varint binary, "
+    "positions_blob binary, skip_doc_id long, block_max_score double"
+)
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (shard, term) group → block rows."""
+    term = pdf["term"].iloc[0]
+    shard = int(pdf["shard"].iloc[0])
+    bucket = int(pdf["bucket"].iloc[0])
+    idf = float(pdf["idf_bm25"].iloc[0])
+    avgdl = float(pdf["avgdl"].iloc[0])
+    blocks = codec.encode_blocks(
+        pdf["doc_id"].to_numpy(),
+        pdf["tf"].to_numpy(),
+        pdf["doc_len"].to_numpy(),
+        [list(p) for p in pdf["positions"]],
+        idf=idf,
+        avgdl=avgdl,
+    )
+    return pd.DataFrame(
+        [
+            (
+                bucket,
+                shard,
+                term,
+                b["block_id"],
+                b["n_postings"],
+                b["doc_ids_delta_varint"],
+                b["tfs_varint"],
+                b["doc_lens_varint"],
+                b["positions_blob"],
+                b["skip_doc_id"],
+                b["block_max_score"],
+            )
+            for b in blocks
+        ],
+        columns=[
+            "bucket", "shard", "term", "block_id", "n_postings",
+            "doc_ids_delta_varint", "tfs_varint", "doc_lens_varint",
+            "positions_blob", "skip_doc_id", "block_max_score",
+        ],
+    )
+
+
+def encode_segments(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    avgdl: float,
+    shard_span: int = 1 << 20,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """postings + lexicon → compressed segment blocks.
+
+    ``shard_span`` bounds the group size per (shard, term): at most
+    shard_span postings, independent of term hotness — this is the encode-
+    side skew defusal. 2^20 docs/shard at ~1 KB/posting keeps any group well
+    under executor memory at any corpus size.
+    """
+    enriched = (
+        postings.join(F.broadcast(lexicon.select("term", "idf_bm25")), "term")
+        .withColumn("shard", (F.col("doc_id") / F.lit(shard_span)).cast("int"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
+        .withColumn("avgdl", F.lit(avgdl))
+    )
+    return enriched.groupBy("shard", "term").applyInPandas(_encode_group, SEGMENT_SCHEMA)
+
+
+def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two partition-local segment sets into one global index.
+
+    Doc-range shards are disjoint between a build's partitions, so the merge
+    of same-shard same-term blocks is decode → concat → re-encode; blocks
+    from distinct shards pass through untouched. Associative — asserted by
+    tests/test_segments.py (union of partial merges == single-shot build).
+    """
+    both = a.unionByName(b)
+    return _reencode(both)
+
+
+def _reencode(segments: DataFrame) -> DataFrame:
+    def regroup(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, tfs, dls, pos = [], [], [], []
+        for _, row in pdf.sort_values(["block_id", "skip_doc_id"]).iterrows():
+            block = row.to_dict()
+            i, t, d = codec.decode_block(block)
+            ids += i.tolist()
+            tfs += t.tolist()
+            dls += d.tolist()
+            pos += [p.tolist() for p in codec.decode_positions(block)]
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        order = np.argsort(np.asarray(ids))
+        ids_a = np.asarray(ids, dtype=np.uint64)[order]
+        tfs_a = np.asarray(tfs, dtype=np.uint64)[order]
+        dls_a = np.asarray(dls, dtype=np.uint64)[order]
+        pos_a = [pos[i] for i in order]
+        # idf/avgdl aren't stored in blocks; the max of the input block maxima
+        # is still a valid (if conservative) per-block upper bound for WAND
+        ub = float(pdf["block_max_score"].max())
+        blocks = codec.encode_blocks(ids_a, tfs_a, dls_a, pos_a, idf=1.0, avgdl=1.0)
+        rows = []
+        for b in blocks:
+            rows.append(
+                (bucket, shard, term, b["block_id"], b["n_postings"],
+                 b["doc_ids_delta_varint"], b["tfs_varint"], b["doc_lens_varint"],
+                 b["positions_blob"], b["skip_doc_id"], ub)
+            )
+        return pd.DataFrame(rows, columns=[c.split()[0] for c in SEGMENT_SCHEMA.split(", ")])
+
+    return segments.groupBy("shard", "term").applyInPandas(regroup, SEGMENT_SCHEMA)
+
+
+# ------------------------------------------------------------------ WAND
+
+def _wand_shard(
+    term_blocks: dict[str, list[dict]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    threshold: float = float("-inf"),
+) -> list[tuple[float, int, list[tuple[str, float]]]]:
+    """Block-max WAND over one shard's decoded block lists.
+
+    Returns up to k (score, doc_id, contribs) tuples. Exact w.r.t. brute
+    force (property-tested): pruning only skips docs whose UB sum can't beat
+    the current kth score.
+    """
+
+    class TermIter:
+        __slots__ = ("term", "blocks", "bi", "pi", "ids", "tfs", "dls", "ub")
+
+        def __init__(self, term: str, blocks: list[dict]):
+            self.term = term
+            self.blocks = sorted(blocks, key=lambda b: b["block_id"])
+            self.bi = -1
+            self.ub = max(b["block_max_score"] for b in self.blocks)
+            self._load_next()
+
+        def _load_next(self):
+            self.bi += 1
+            if self.bi < len(self.blocks):
+                self.ids, self.tfs, self.dls = codec.decode_block(self.blocks[self.bi])
+                self.pi = 0
+            else:
+                self.ids = None
+
+        @property
+        def cur(self) -> int:
+            return int(self.ids[self.pi]) if self.ids is not None else 1 << 62
+
+        def cur_block_max(self) -> float:
+            return self.blocks[self.bi]["block_max_score"] if self.ids is not None else 0.0
+
+        def advance_to(self, target: int):
+            # block-level skip via skip_doc_id, then in-block gallop
+            while self.ids is not None and self.blocks[self.bi]["skip_doc_id"] < target:
+                self._load_next()
+            if self.ids is None:
+                return
+            j = int(np.searchsorted(self.ids[self.pi :], target))
+            self.pi += j
+            if self.pi >= len(self.ids):
+                self._load_next()
+                if self.ids is not None:
+                    self.advance_to(target)
+
+        def next_doc(self):
+            self.pi += 1
+            if self.pi >= len(self.ids):
+                self._load_next()
+
+        def score_cur(self) -> float:
+            tf = float(self.tfs[self.pi])
+            dl = float(self.dls[self.pi])
+            return idfs[self.term] * (tf * (codec.BM25_K1 + 1.0)) / (
+                tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl)
+            )
+
+    iters = [TermIter(t, bl) for t, bl in term_blocks.items() if bl]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    results: dict[int, list[tuple[str, float]]] = {}
+
+    def theta() -> float:
+        if len(heap) < k:
+            return threshold
+        return max(heap[0][0], threshold)
+
+    while True:
+        live = [it for it in iters if it.ids is not None]
+        if not live:
+            break
+        live.sort(key=lambda it: it.cur)
+        # find pivot: first index where prefix UB sum exceeds theta
+        acc = 0.0
+        pivot_idx = None
+        for i, it in enumerate(live):
+            acc += it.ub
+            if acc > theta():
+                pivot_idx = i
+                break
+        if pivot_idx is None:
+            break  # no doc can beat theta
+        pivot_doc = live[pivot_idx].cur
+        if live[0].cur == pivot_doc:
+            # shallow block-max check before full scoring
+            bm_sum = sum(it.cur_block_max() for it in live if it.cur <= pivot_doc)
+            # ensure all iters pointing before pivot are AT pivot (they are:
+            # live[0].cur == pivot and sorted)
+            if bm_sum > theta():
+                contribs = []
+                score = 0.0
+                for it in live:
+                    if it.cur == pivot_doc:
+                        c = it.score_cur()
+                        contribs.append((it.term, c))
+                        score += c
+                if score > theta() or len(heap) < k:
+                    # deterministic re-sum in term order for oracle parity
+                    contribs.sort()
+                    score = 0.0
+                    for _, c in contribs:
+                        score += c
+                    if len(heap) < k:
+                        heapq.heappush(heap, (score, -pivot_doc))
+                        results[pivot_doc] = contribs
+                    elif (score, -pivot_doc) > heap[0]:
+                        old = heapq.heappushpop(heap, (score, -pivot_doc))
+                        results.pop(-old[1], None)
+                        results[pivot_doc] = contribs
+            for it in live:
+                if it.cur == pivot_doc:
+                    it.next_doc()
+        else:
+            # advance all iterators before the pivot up to the pivot doc
+            for it in live[:pivot_idx]:
+                it.advance_to(pivot_doc)
+
+    out = []
+    while heap:
+        s, nd = heapq.heappop(heap)
+        out.append((s, -nd, results[-nd]))
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return out
+
+
+def wand_topk(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    documents: DataFrame,
+    query_terms: list[str],
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Distributed block-max WAND: partition-pruned segment scan → per-shard
+    WAND heap in applyInPandas → global TakeOrderedAndProject merge."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, url string, score double")
+    idf_rows = (
+        lexicon.join(F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string")), "term")
+        .select("term", "idf_bm25")
+        .collect()
+    )
+    idfs = {r["term"]: r["idf_bm25"] for r in idf_rows}
+    if not idfs:
+        return spark.createDataFrame([], "rank int, doc_id long, url string, score double")
+    buckets = _buckets_of(spark, list(idfs), n_buckets)
+
+    pruned = segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_blocks: dict[str, list[dict]] = {}
+        for _, row in pdf.iterrows():
+            term_blocks.setdefault(row["term"], []).append(row.to_dict())
+        top = _wand_shard(term_blocks, idfs, avgdl, k)
+        return pd.DataFrame(
+            [(int(d), float(s)) for s, d, _ in top], columns=["doc_id", "score"]
+        )
+
+    per_shard = pruned.groupBy("shard").applyInPandas(run_shard, "doc_id long, score double")
+    ranked = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    return (
+        ranked.join(documents.select("doc_id", "url"), "doc_id", "left")
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rank"),
+            "doc_id",
+            "url",
+            "score",
+        )
+    )
+
+
+def _buckets_of(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """Exact write-side bucket ids for the query terms: ask Spark's own
+    murmur3 (one tiny local job) instead of reimplementing the hash."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    )
+    return sorted({int(r["b"]) for r in rows})

@@ -87,6 +87,26 @@ def build_index(
                            _dir_bytes(os.path.join(index_dir, "lexicon")), 1.0, t.wall_ms)
         manifest.mark_done("lexicon", fp, {"wall_ms": t.wall_ms, "n_docs": n_docs, "n_salts": salts})
 
+    # ---- stage: compressed segments (delta+varint+block-max) ----------------
+    if not manifest.is_done("segments", fp):
+        from searchengine_spark.operators.segments import encode_segments
+
+        lex = spark.read.parquet(os.path.join(index_dir, "lexicon"))
+        stats = post.groupBy("doc_id").agg(F.first("doc_len").alias("dl")).agg(
+            F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")
+        ).collect()[0]
+        n_docs_all = docs.count()
+        # avgdl over ALL docs (incl. zero-token docs), matching scoring.py
+        avgdl = (float(stats["s"] or 0)) / float(n_docs_all) if n_docs_all else 1.0
+        with lin.StageTimer() as t:
+            seg = encode_segments(post, lex, avgdl)
+            lin.publish_stage(seg, index_dir, "segments", partition_by=["bucket"])
+        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+        lin.append_lineage(spark, index_dir, "segments", fp, lin.partition_metrics(seg), 0,
+                           _dir_bytes(os.path.join(index_dir, "segments")), 1.0, t.wall_ms)
+        manifest.mark_done("segments", fp, {"wall_ms": t.wall_ms, "avgdl": avgdl,
+                                            "bytes": _dir_bytes(os.path.join(index_dir, "segments"))})
+
     # ---- stage: edges + pagerank → documents finalize ------------------------
     if not manifest.is_done("documents_final", fp):
         with lin.StageTimer() as t:
@@ -116,9 +136,13 @@ def build_index(
 
 
 def load_index(spark: SparkSession, index_dir: str) -> dict[str, DataFrame]:
-    return {
+    out = {
         "documents": spark.read.parquet(os.path.join(index_dir, "documents")),
         "postings": spark.read.parquet(os.path.join(index_dir, "postings")),
         "lexicon": spark.read.parquet(os.path.join(index_dir, "lexicon")),
         "edges": spark.read.parquet(os.path.join(index_dir, "edges")),
     }
+    seg_path = os.path.join(index_dir, "segments")
+    if os.path.exists(seg_path):
+        out["segments"] = spark.read.parquet(seg_path)
+    return out

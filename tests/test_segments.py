@@ -1,0 +1,86 @@
+"""Segment path end-to-end: WAND over compressed segments must equal the
+uncompressed BM25 join path (and hence the oracle) bit-for-bit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.query import search_bm25
+from searchengine_spark.operators.segments import wand_topk
+from searchengine_spark.functions.textproc import query_tokenize
+from searchengine_spark.plans.build_index import build_index, load_index
+from searchengine_spark.sources.corpus import generate_corpus
+
+N_DOCS = 200
+
+QUERIES = ["spark", "index search engine", "return import def", "tested testing meetings"]
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    corpus = generate_corpus(spark, N_DOCS, seed=42, n_partitions=8)
+    index_dir = str(tmp_path_factory.mktemp("segidx"))
+    build_index(spark, corpus, index_dir)
+    return load_index(spark, index_dir)
+
+
+def _avgdl(index) -> float:
+    stats = index["documents"].agg(F.sum("doc_len").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
+    return float(stats["s"]) / float(stats["c"])
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_equals_join_path(spark, index, query):
+    terms = query_tokenize(query)
+    got = wand_topk(
+        spark, index["segments"], index["lexicon"], index["documents"], terms, _avgdl(index), k=10
+    ).collect()
+    want = search_bm25(
+        spark, index["postings"], index["lexicon"], index["documents"], query, k=10
+    ).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in want
+    ]
+    assert [r["url"] for r in got] == [r["url"] for r in want]
+
+
+def test_segment_compression_ratio(index):
+    """Compressed segments must actually compress: binary blobs smaller than
+    raw 8-byte-per-posting encoding."""
+    seg = index["segments"]
+    row = seg.agg(
+        F.sum(F.length("doc_ids_delta_varint")).alias("b"),
+        F.sum("n_postings").alias("n"),
+    ).collect()[0]
+    assert row["b"] < 8 * row["n"]
+
+
+def test_merge_associativity(spark, index, tmp_path_factory):
+    """Union of partition-local segment merges == single-shot build: encoding
+    the same postings in two halves then merging yields identical decoded
+    postings (SURVEY.md §5.2)."""
+    from searchengine_spark.operators.segments import encode_segments, merge_segments
+    from searchengine_spark.operators import codec
+
+    post = index["postings"]
+    lex = index["lexicon"]
+    avgdl = _avgdl(index)
+    half_a = post.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    half_b = post.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    merged = merge_segments(
+        encode_segments(half_a, lex, avgdl), encode_segments(half_b, lex, avgdl)
+    )
+    single = encode_segments(post, lex, avgdl)
+
+    def decode_all(df):
+        out = {}
+        for row in df.collect():
+            b = row.asDict()
+            ids, tfs, dls = codec.decode_block(b)
+            key = (b["shard"], b["term"])
+            cur = out.setdefault(key, [])
+            cur += list(zip(ids.tolist(), tfs.tolist(), dls.tolist()))
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert decode_all(merged) == decode_all(single)

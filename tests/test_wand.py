@@ -1,0 +1,71 @@
+"""Block-max WAND == brute-force top-k (property, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.operators import codec
+from searchengine_spark.operators.segments import _wand_shard
+
+
+def brute_force(term_postings, idfs, avgdl, k):
+    scores: dict[int, list[tuple[str, float]]] = {}
+    for term, posts in term_postings.items():
+        for doc_id, tf, dl in posts:
+            c = codec.bm25_contrib(np.array([tf]), np.array([dl]), idfs[term], avgdl)[0]
+            scores.setdefault(doc_id, []).append((term, float(c)))
+    out = []
+    for doc_id, contribs in scores.items():
+        contribs.sort()
+        s = 0.0
+        for _, c in contribs:
+            s += c
+        out.append((s, doc_id))
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return out[:k]
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3000),
+                st.integers(min_value=1, max_value=30),
+                st.integers(min_value=5, max_value=500),
+            ),
+            min_size=1,
+            max_size=300,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=80, deadline=None)
+def test_wand_equals_bruteforce(term_postings, k):
+    idfs = {"alpha": 2.3, "beta": 0.7, "gamma": 4.1, "delta": 1.0}
+    avgdl = 80.0
+    term_blocks = {}
+    for term, posts in term_postings.items():
+        posts = sorted(posts)
+        ids = np.array([p[0] for p in posts], dtype=np.uint64)
+        tfs = np.array([p[1] for p in posts], dtype=np.uint64)
+        dls = np.array([p[2] for p in posts], dtype=np.uint64)
+        blocks = codec.encode_blocks(
+            ids, tfs, dls, [[] for _ in posts], idf=idfs[term], avgdl=avgdl, block_size=16
+        )
+        for i, b in enumerate(blocks):
+            b["bucket"] = 0
+            b["shard"] = 0
+            b["term"] = term
+        term_blocks[term] = blocks
+
+    got = _wand_shard(term_blocks, idfs, avgdl, k)
+    want = brute_force(term_postings, idfs, avgdl, k)
+    assert [(d, round(s, 9)) for s, d, _ in got] == [(d, round(s, 9)) for s, d in want]
+    # scores bit-identical (same deterministic term-sorted summation)
+    assert [s for s, _, _ in got] == [s for s, _ in want]
