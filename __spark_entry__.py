@@ -43,7 +43,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from searchengine_spark.operators import dedup, relational, similarity, textstats
+
+    def emb(spark, sf):
+        return load_table(spark, sf, "embeddings")
+
     return {
+        # --- inverted index / retrieval (SURVEY.md §2.3-2.6, §3) ---
         "postings_tf": lambda spark, sf: ir.postings(_docs(spark, sf)),
         "lexicon_stats": lambda spark, sf: _lexicon_stats(spark, sf),
         "bm25_topk": lambda spark, sf: ir.bm25_topk(
@@ -56,6 +62,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _docs(spark, sf), ALL_TERMS
         ),
         "phrase_match": lambda spark, sf: ir.phrase_match(_docs(spark, sf), PHRASE),
+        # --- dedup family (training-data pipeline) ---
+        "dedup_exact": lambda spark, sf: dedup.exact_dedup_groups(_docs(spark, sf)),
+        "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold_micros=100_000
+        ),
+        "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(
+            _docs(spark, sf), n_perms=16
+        ),
+        "minhash_lsh_pairs": lambda spark, sf: dedup.minhash_lsh_pairs(
+            _docs(spark, sf), n_perms=16, rows_per_band=8
+        ),
+        "simhash": lambda spark, sf: dedup.simhash(_docs(spark, sf), n_bits=32),
+        # --- similarity search ---
+        "ann_cosine_topk": lambda spark, sf: similarity.ann_bruteforce_topk(
+            emb(spark, sf), n_queries=8, k=5
+        ),
+        "ann_lsh_topk": lambda spark, sf: similarity.ann_lsh_topk(
+            emb(spark, sf), n_queries=8, k=5
+        ),
+        # --- text analysis ---
+        "token_stats": lambda spark, sf: textstats.token_stats(_docs(spark, sf)),
+        "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
+        "lang_id": lambda spark, sf: textstats.lang_id(_docs(spark, sf)),
+        "doc_fingerprints": lambda spark, sf: textstats.doc_fingerprints(_docs(spark, sf)),
+        # --- relational coverage (joins/aggs/windows/rollup/events) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "customers_without_orders": relational.customers_without_orders,
+        "suppliers_with_shipments": relational.suppliers_with_shipments,
+        "orders_rollup": relational.orders_rollup,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
     }
 
 
@@ -74,6 +113,9 @@ def _lexicon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_sql() -> dict[str, str]:
+    # NOTE: "ann_lsh_topk" is intentionally absent — the LSH bucketing uses
+    # driver-derived hyperplanes that are deliberately approximate (recall<1);
+    # the driver records the weaker rows-only check for it.
     return {
         "postings_tf": oracles.postings_sql(),
         "lexicon_stats": oracles.lexicon_sql(),
@@ -81,4 +123,22 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
+        "dedup_exact": oracles.exact_dedup_sql(),
+        "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(n=3, threshold_micros=100_000),
+        "minhash_signatures": oracles.minhash_sql(n_perms=16),
+        "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(n_perms=16, rows_per_band=8),
+        "simhash": oracles.simhash_sql(n_bits=32),
+        "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
+        "token_stats": oracles.token_stats_sql(),
+        "quality_score": oracles.quality_score_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "doc_fingerprints": oracles.doc_fingerprints_sql(),
+        "q1_pricing_summary": oracles.q1_pricing_sql(),
+        "q3_top_orders": oracles.q3_top_orders_sql(),
+        "top_orders_per_customer": oracles.top_orders_per_customer_sql(),
+        "customers_without_orders": oracles.customers_without_orders_sql(),
+        "suppliers_with_shipments": oracles.suppliers_with_shipments_sql(),
+        "orders_rollup": oracles.orders_rollup_sql(),
+        "events_hourly": oracles.events_hourly_sql(),
+        "events_sessionize": oracles.events_sessionize_sql(),
     }

@@ -1,0 +1,146 @@
+"""General relational operator coverage over the TPC-H-ish testdata tables:
+aggregations, multi-way joins, semi/anti joins, windows, rollup, and
+event-time bucketing (the batch twin of a streaming tumbling window).
+
+Money/measure columns are converted to integer cents/micros per row BEFORE
+aggregation — bigint sums are exact and associative, so results match the
+DuckDB oracle bit-for-bit regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.sources.tables import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 family: scan-heavy groupBy with 6 aggregates (A-series).
+    revenue_c4 is in 1e-4 currency units (cents × discount-percent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.withColumn("price_c", _cents("l_extendedprice"))
+        .withColumn("qty", F.round(F.col("l_quantity")).cast("long"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            F.sum("price_c").alias("sum_base_cents"),
+            F.sum(F.col("price_c") * (100 - disc_pct)).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.max("qty").alias("max_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Shipping-priority family: 3-way join (broadcast dim × fact) + agg +
+    top-k (J2/O1)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.withColumn("rev_c4", _cents("l_extendedprice") * (100 - disc_pct))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
+        .limit(k)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue_c4",
+        )
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
+    """Window top-k per group (O-series: row_number over partitioned sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("price_c"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("price_c", _cents("o_totalprice"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_custkey", "rn", "o_orderkey", "price_c")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J6: the 'not yet indexed' pattern)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+
+
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (J3: membership filter)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (not in the reference — completeness row of
+    SURVEY.md §2.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("price_c", _cents("o_totalprice"))
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("total_cents"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate, batch form (the Structured Streaming twin
+    lives in streaming/ingest.py): per (hour, event_type) count + exact
+    value sum in micros."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("v_micros", F.round(F.col("value") * 1e6).cast("long"))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_micros").alias("value_micros"))
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag + cumulative gap counting (window functions) —
+    (user_id, session_id, n_events, first_ts, last_ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so epoch == DuckDB's
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    )
+    with_sid = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )

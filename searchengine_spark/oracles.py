@@ -158,3 +158,366 @@ FROM pos p0
 {joins}
 WHERE p0.term = '{phrase_terms[0]}' AND {conds}
 """
+
+
+# ====================================================================
+# dedup / similarity / textstats / relational oracles
+# ====================================================================
+
+MERSENNE31 = 2147483647
+
+
+def exact_dedup_sql() -> str:
+    return """
+SELECT md5(text) AS fingerprint,
+       min(doc_id)::BIGINT AS canonical_doc_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles_cte(n: int) -> str:
+    """Distinct token n-grams with positions over the raw split array
+    (empties retained for positions, filtered as tokens) — mirrors
+    operators/dedup.py::_token_ngrams exactly."""
+    joins = "\n".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} AND p{i}.term <> ''"
+        for i in range(1, n)
+    )
+    shingle = " || ' ' || ".join(f"p{i}.term" for i in range(n))
+    return f"""
+toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos FROM toksarr
+),
+shingles AS (
+  SELECT DISTINCT p0.doc_id, {shingle} AS shingle
+  FROM pos p0
+  {joins}
+  WHERE p0.term <> ''
+)
+"""
+
+
+def ngram_jaccard_sql(n: int = 3, threshold_micros: int = 100000) -> str:
+    return f"""
+WITH {_shingles_cte(n)},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(1e6 * i / (sa.sz + sb.sz - i)) AS BIGINT) AS jaccard_micros
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(round(1e6 * i / (sa.sz + sb.sz - i)) AS BIGINT) >= {threshold_micros}
+"""
+
+
+def _perms_values(n_perms: int) -> str:
+    return ", ".join(f"({j}, {2 * j + 1}, {j * j + 7})" for j in range(n_perms))
+
+
+_TOKHASH_CTE = f"""
+toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS t FROM documents
+),
+terms AS (
+  SELECT doc_id, unnest(t) AS term FROM toksarr
+),
+tok AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {MERSENNE31} AS x
+  FROM terms WHERE term <> ''
+)
+"""
+
+
+def minhash_sql(n_perms: int = 16) -> str:
+    return f"""
+WITH {_TOKHASH_CTE},
+perms(perm_id, a, b) AS (VALUES {_perms_values(n_perms)})
+SELECT tok.doc_id, perms.perm_id::INT AS perm_id,
+       min((perms.a * tok.x + perms.b) % {MERSENNE31})::BIGINT AS minhash
+FROM tok CROSS JOIN perms
+GROUP BY 1, 2
+"""
+
+
+def minhash_lsh_pairs_sql(n_perms: int = 16, rows_per_band: int = 4) -> str:
+    return f"""
+WITH {_TOKHASH_CTE},
+perms(perm_id, a, b) AS (VALUES {_perms_values(n_perms)}),
+sig AS (
+  SELECT tok.doc_id, perms.perm_id,
+         min((perms.a * tok.x + perms.b) % {MERSENNE31})::BIGINT AS minhash
+  FROM tok CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, (perm_id // {rows_per_band})::INT AS band_id,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def simhash_sql(n_bits: int = 32) -> str:
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS t FROM documents
+),
+terms AS (SELECT doc_id, unnest(t) AS term FROM toksarr),
+tf AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h,
+         count(*)::BIGINT AS tf
+  FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc_id, r.range AS bit,
+         sum(CASE WHEN (h >> r.range) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN range({n_bits}) r
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def ann_bruteforce_sql(n_queries: int = 8, k: int = 5) -> str:
+    q = "list_transform(qv, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    c = "list_transform(cv, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {q} AS qq, {c.replace('cv', 'e.embedding')} AS cc
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(1e6 * CAST(list_sum(list_transform(list_zip(qq, cc), p -> p[1] * p[2])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE))
+                 * sqrt(CAST(list_sum(list_transform(cc, x -> x * x)) AS DOUBLE)))) AS BIGINT)
+           AS cosine_micros
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine_micros FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_micros DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def token_stats_sql() -> str:
+    return """
+WITH toksarr AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_distinct,
+       length(text)::BIGINT AS n_chars,
+       CASE WHEN len(t) > 0
+            THEN CAST(round(1e6 * CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                      / len(t)) AS BIGINT)
+            ELSE 0 END AS mean_token_len_micros
+FROM toksarr
+"""
+
+
+_STOPLIST_SQL = "['the','is','in','at','of','on','and','a','to','an','by','for','with','it','as']"
+
+
+def quality_score_sql() -> str:
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_tokens,
+         len(list_filter(t, x -> list_contains({_STOPLIST_SQL}, x)))::BIGINT AS n_stop,
+         len(list_distinct(t))::BIGINT AS n_dist,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS n_alnum
+  FROM toksarr
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens > 0 THEN CAST(round(1e6 * n_stop / n_tokens) AS BIGINT) ELSE 0 END AS stop_ratio_micros,
+       CASE WHEN n_tokens > 0 THEN CAST(round(1e6 * n_dist / n_tokens) AS BIGINT) ELSE 0 END AS distinct_ratio_micros,
+       CASE WHEN n_chars > 0 THEN CAST(round(1e6 * n_alnum / n_chars) AS BIGINT) ELSE 0 END AS alnum_ratio_micros,
+       (n_tokens >= 5 AND n_tokens <= 100000
+        AND (CASE WHEN n_tokens > 0 THEN CAST(round(1e6 * n_dist / n_tokens) AS BIGINT) ELSE 0 END) >= 100000)
+         AS quality_ok
+FROM m
+"""
+
+
+def lang_id_sql() -> str:
+    markers = {
+        "de": "['der','die','das','und','nicht','ist']",
+        "en": "['the','and','of','to','is','a']",
+        "es": "['el','la','de','que','y','los']",
+        "fr": "['le','la','les','de','et','est']",
+    }
+    counts = ",\n         ".join(
+        f"len(list_filter(t, x -> list_contains({lst}, x)))::BIGINT AS c_{lang}"
+        for lang, lst in sorted(markers.items())
+    )
+    langs = sorted(markers)
+    best = f"greatest({', '.join('c_' + lang for lang in langs)})"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN c_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         {counts}
+  FROM toksarr
+)
+SELECT doc_id, {pred} AS lang_pred, {best}::BIGINT AS lang_score FROM m
+"""
+
+
+def doc_fingerprints_sql() -> str:
+    return """
+WITH toksarr AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS normalized_md5,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS token_set_md5
+FROM toksarr
+"""
+
+
+# ------------------------------------------------------------------ relational
+
+def q1_pricing_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4,
+       count(*)::BIGINT AS count_order,
+       count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+       max(CAST(round(l_quantity) AS BIGINT))::BIGINT AS max_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders_sql(k: int = 10) -> str:
+    return f"""
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3
+ORDER BY revenue_c4 DESC, l.l_orderkey ASC
+LIMIT {k}
+"""
+
+
+def top_orders_per_customer_sql(k: int = 2) -> str:
+    return f"""
+SELECT o_custkey, rn, o_orderkey, price_c FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                     o_orderkey ASC)::INT AS rn
+  FROM orders
+) WHERE rn <= {k}
+"""
+
+
+def customers_without_orders_sql() -> str:
+    return """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def suppliers_with_shipments_sql() -> str:
+    return """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+def orders_rollup_sql() -> str:
+    return """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS value_micros
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > {gap_minutes * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM sid GROUP BY 1, 2
+"""
