@@ -82,7 +82,13 @@ def assign_doc_ids(docs: DataFrame, n_partitions: int | None = None) -> DataFram
         n_partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
 
     sorted_df = docs.repartitionByRange(n_partitions, *SORT_KEY).sortWithinPartitions(*SORT_KEY)
-    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id())
+    # PIN the partitioned data before reading it twice: repartitionByRange
+    # samples to pick boundaries, so re-evaluating the plan can move rows
+    # between partitions — the per-partition counts would then disagree with
+    # the window pass and produce overlapping ids. localCheckpoint makes the
+    # boundary draw happen exactly once. (Found by the scaling bench: doc
+    # counts differed between local[8] and local[32] before this.)
+    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets = {}
     acc = 0

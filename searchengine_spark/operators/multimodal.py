@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs over
+``mapInPandas``.
+
+The Spark-side machinery — schema, partition sizing, UDF signatures, batch
+shapes — is real and tested (tests/test_multimodal.py). The actual media
+decode is STUBBED: the sandbox has no PIL/ffmpeg/torchvision, so
+``decode_image`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which produces a seeded fake decode
+(content-hash-derived dimensions + per-pixel stats) so every downstream
+stage is exercisable end-to-end. Swap ``_decode_real`` for a PIL/ffmpeg
+call on a cluster with the libs installed — nothing else changes.
+
+Scale notes: media blobs are orders of magnitude larger than text rows —
+``media_repartition_bytes`` targets ~256 MB of blob per task so a single
+executor never materializes more than a few batches of pixels;
+``maxRecordsPerBatch`` should be lowered (e.g. 32) when row blobs are MBs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_bytes long, sha256 string, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _decode_real(blob: bytes) -> tuple[int, int, tuple[float, float, float]]:
+    raise NotImplementedError(
+        "media decode requires PIL/ffmpeg — not present in this environment; "
+        "use deterministic_fake=True for pipeline testing"
+    )
+
+
+def _decode_fake(blob: bytes) -> tuple[int, int, tuple[float, float, float]]:
+    """Seeded fake decode: dimensions and channel means derived from the
+    content hash — deterministic, so downstream aggregates are testable."""
+    h = hashlib.sha256(blob).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    means = (h[2] / 255.0, h[3] / 255.0, h[4] / 255.0)
+    return width, height, means
+
+
+def image_features(
+    media: DataFrame,
+    deterministic_fake: bool = False,
+    media_repartition_bytes: int = 256 << 20,
+) -> DataFrame:
+    """(media_id, width, height, n_bytes, sha256, mean_r/g/b) per image row.
+
+    Pure plumbing demo of the decode → feature-extract stage: binary in,
+    fixed-width features out, one Arrow crossing."""
+    decode = _decode_fake if deterministic_fake else _decode_real
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                w, hgt, (mr, mg, mb) = decode(b)
+                rows.append(
+                    (media_id, w, hgt, len(b), hashlib.sha256(b).hexdigest(), mr, mg, mb)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_bytes", "sha256",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "blob")
+    return imgs.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_n_seconds: int = 5
+) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into one row per
+    planned frame timestamp using the duration metadata — the explode stays
+    JVM-side; only the (stubbed) frame decode would cross to Python.
+    (media_id, frame_ts_sec)."""
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.coalesce(F.element_at("meta", "duration_sec").cast("int"), F.lit(0)).alias("dur"),
+    )
+    return vids.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col("dur") - 1, F.lit(0)), F.lit(every_n_seconds))).alias(
+            "frame_ts_sec"
+        ),
+    )
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for pipeline tests."""
+    rows = []
+    for i in range(n):
+        blob = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
+        kind = ["image", "audio", "video"][i % 3]
+        meta = {"duration_sec": str(10 + i % 50)} if kind == "video" else {}
+        rows.append((i, kind, f"application/x-fake-{kind}", bytearray(blob), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -25,8 +25,17 @@ DEFAULT_SALTS = 16
 
 
 def build_postings(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, content, ...) → postings rows (map-only stage)."""
-    return documents.select("doc_id", "content").mapInPandas(emit_postings, POSTINGS_SCHEMA)
+    """documents(doc_id, content, ...) → postings rows (map-only stage).
+
+    If the input arrives in fewer splits than the cluster has cores (small
+    files coalesced by the scan planner), repartition up first — the
+    tokenizer is the CPU-bound stage and must use every core. At real scale
+    the file splits already exceed core count and this is a no-op."""
+    narrow = documents.select("doc_id", "content")
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < parallelism:
+        narrow = narrow.repartition(parallelism)
+    return narrow.mapInPandas(emit_postings, POSTINGS_SCHEMA)
 
 
 def build_lexicon(postings: DataFrame, n_docs: int, n_salts: int = DEFAULT_SALTS) -> DataFrame:

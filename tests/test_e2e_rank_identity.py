@@ -43,6 +43,12 @@ def oracle():
     return OracleIndex(generate_corpus_pdf(N_DOCS, seed=42))
 
 
+def test_doc_ids_unique_and_dense(spark, index):
+    n = index["documents"].count()
+    ids = index["documents"].selectExpr("count(distinct doc_id) d", "min(doc_id) mn", "max(doc_id) mx").collect()[0]
+    assert ids["d"] == n and ids["mn"] == 0 and ids["mx"] == n - 1
+
+
 def test_doc_ids_match_oracle(spark, index, oracle):
     got = {
         (r["doc_id"], r["url"]) for r in index["documents"].select("doc_id", "url").collect()

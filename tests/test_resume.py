@@ -67,7 +67,7 @@ def test_kill_resume_identical(spark, tmp_path_factory, monkeypatch):
 
     with open(os.path.join(kill_dir, "_manifest.json")) as f:
         manifest = json.load(f)
-    assert set(manifest["stages"]) >= {"documents", "postings", "lexicon", "segments"}
+    assert set(manifest["stages"]) >= {"documents_raw", "postings", "lexicon", "segments"}
 
 
 def test_partitioning_independence(spark, tmp_path_factory):

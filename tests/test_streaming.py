@@ -1,0 +1,82 @@
+"""Structured Streaming smoke: file source → tokenize → foreachBatch sink,
+and watermarked tumbling window — drained synchronously (no Kafka in
+sandbox)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stream_corpus_to_postings(spark, tmp_path):
+    from searchengine_spark.sources.corpus import generate_corpus
+    from searchengine_spark.streaming.ingest import stream_corpus_to_postings
+
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "post")
+    ckpt = str(tmp_path / "ckpt")
+    generate_corpus(spark, 50, seed=42).write.parquet(corpus_dir)
+
+    q = stream_corpus_to_postings(spark, corpus_dir, out_dir, ckpt)
+    q.awaitTermination(120)  # availableNow trigger → terminates when drained
+
+    batches = [d for d in os.listdir(out_dir) if d.startswith("batch=")]
+    assert batches
+    post = spark.read.parquet(os.path.join(out_dir, "*"))
+    assert post.count() > 0
+    assert set(post.columns) >= {"doc_id", "term", "tf", "positions", "doc_len"}
+    # same tokenizer as batch: spot-check one term exists
+    assert post.filter(F.col("term") == "spark").count() > 0
+
+
+def test_stream_events_hourly(spark, tmp_path):
+    from searchengine_spark.streaming.ingest import stream_events_hourly
+
+    events_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events")
+    spark.read.parquet(f"{events_dir}/events.parquet").write.parquet(src)
+    ckpt = str(tmp_path / "eckpt")
+
+    q = stream_events_hourly(spark, src, ckpt, queryName="t_hourly")
+    q.processAllAvailable()
+    got = spark.sql("SELECT * FROM t_hourly").collect()
+    q.stop()
+    assert got
+    # streaming result == batch result (same window + micros sum)
+    batch = (
+        spark.read.parquet(f"{events_dir}/events.parquet")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("value_micros"))
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch}
+
+
+def test_multimodal_pipeline(spark):
+    from searchengine_spark.operators.multimodal import (
+        frame_sample_plan,
+        image_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, 30)
+    feats = image_features(media, deterministic_fake=True).collect()
+    assert feats and all(16 <= r["width"] <= 256 for r in feats)
+    # deterministic: same blob -> same features
+    again = image_features(media, deterministic_fake=True).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+    frames = frame_sample_plan(media, every_n_seconds=5)
+    rows = frames.collect()
+    assert rows and all(r["frame_ts_sec"] % 5 == 0 for r in rows)
+
+    # real decode is an explicit stub
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        image_features(media, deterministic_fake=False).collect()
