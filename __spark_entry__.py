@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _docs(spark, sf), ALL_TERMS
         ),
         "phrase_match": lambda spark, sf: ir.phrase_match(_docs(spark, sf), PHRASE),
+        "term_search_any": lambda spark, sf: _term_search_any(spark, sf),
+        "pagerank_integer": lambda spark, sf: _pagerank_integer(spark, sf),
         # --- dedup family (training-data pipeline) ---
         "dedup_exact": lambda spark, sf: dedup.exact_dedup_groups(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
@@ -98,6 +100,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _term_search_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    q = spark.createDataFrame([(t,) for t in ALL_TERMS], "term string")
+    return (
+        exploded_tokens(_docs(spark, sf_dir))
+        .join(F.broadcast(q), "term")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import pagerank_integer
+
+    return pagerank_integer(_docs(spark, sf_dir), iterations=5)
+
+
+def _pagerank_integer_sql() -> str:
+    from searchengine_spark.operators.graph_demo import pagerank_integer_sql
+
+    return pagerank_integer_sql(iterations=5)
+
+
 def _lexicon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -122,6 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
+        "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
+        "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "dedup_exact": oracles.exact_dedup_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(n=3, threshold_micros=100_000),

@@ -1,0 +1,104 @@
+"""Oracle-checkable iterative graph compute: integer-arithmetic PageRank.
+
+The production PageRank (operators/pagerank.py) is float and
+reference-faithful (Indexer.java:106-169). This variant exists so the
+*iterative* operator class is covered by the DuckDB correctness gate too:
+all arithmetic is bigint with explicit integer division —
+``((r * 85) div 100) div outdeg`` — so sums are exact and the DuckDB
+recursive-CTE oracle matches bit-for-bit after any number of iterations.
+
+Edges derive deterministically from the documents table:
+src = doc_id → dst ∈ {(doc_id*31+7) mod N, (doc_id*17+3) mod N}, dst ≠ src.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # rank unit: 1e-12 of total mass
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def synthetic_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    n = docs.count()
+    ids = docs.select(F.col(id_col).alias("src"))
+    e1 = ids.select("src", ((F.col("src") * 31 + 7) % n).alias("dst"))
+    e2 = ids.select("src", ((F.col("src") * 17 + 3) % n).alias("dst"))
+    return e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def pagerank_integer(
+    docs: DataFrame, iterations: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, rank_scaled) after ``iterations`` exact-integer PR steps."""
+    spark = docs.sparkSession
+    n = docs.count()
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    edges = synthetic_edges(docs, id_col)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    e = edges.join(outdeg, "src")
+    src_set = outdeg.select(F.col("src").alias("doc_id"))
+
+    base = (SCALE * 15 // 100) // n
+    ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
+    for _ in range(iterations):
+        dangling_total = (
+            ranks.join(src_set, "doc_id", "left_anti").agg(F.sum("r").alias("s")).collect()[0]["s"]
+            or 0
+        )
+        dang = (dangling_total * DAMP_NUM // DAMP_DEN) // n
+        contrib = (
+            e.join(ranks, e.src == ranks.doc_id)
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr(f"(r * {DAMP_NUM} div {DAMP_DEN}) div od").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)) + F.lit(dang)).cast("long").alias("r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("doc_id", F.col("r").alias("rank_scaled"))
+
+
+def pagerank_integer_sql(iterations: int = 5) -> str:
+    """DuckDB recursive-CTE twin (multiple working-table references are a
+    DuckDB extension; this is the oracle, not a portability claim)."""
+    return f"""
+WITH RECURSIVE
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 31 + 7) % n.n AS dst FROM documents, n
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+  ) WHERE src <> dst
+),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1),
+pr(it, doc_id, r) AS (
+  SELECT 0, doc_id, ({SCALE} // n.n)::BIGINT FROM nodes, n
+  UNION ALL
+  SELECT it + 1, doc_id, base + contrib + dang FROM (
+    SELECT p.it AS it, nd.doc_id AS doc_id,
+           (({SCALE} * 15 // 100) // (SELECT n FROM n))::BIGINT AS base,
+           coalesce((SELECT sum((p2.r * {DAMP_NUM} // {DAMP_DEN}) // o.od)
+                     FROM pr p2 JOIN edges e ON e.src = p2.doc_id
+                     JOIN outdeg o ON o.src = e.src
+                     WHERE e.dst = nd.doc_id AND p2.it = p.it), 0)::BIGINT AS contrib,
+           (((SELECT coalesce(sum(p3.r), 0) FROM pr p3
+              WHERE p3.it = p.it AND p3.doc_id NOT IN (SELECT src FROM outdeg))
+             * {DAMP_NUM} // {DAMP_DEN}) // (SELECT n FROM n))::BIGINT AS dang
+    FROM (SELECT DISTINCT it FROM pr) p, nodes nd
+    WHERE p.it < {iterations}
+  )
+)
+SELECT doc_id, r AS rank_scaled FROM pr WHERE it = {iterations}
+"""

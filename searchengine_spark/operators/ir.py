@@ -81,10 +81,10 @@ def bm25_topk(
     concentrate a single reducer (contrast the groupBy('term') lexicon agg,
     which is salted at scale — operators/postings.py).
     """
-    n_docs = docs.count()
     dls = doc_lengths(docs, id_col, text_col)
-    # exact, engine-portable average: bigint sum / count
+    # one scan: doc count + exact engine-portable average (bigint sum/count)
     sums = dls.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
+    n_docs = int(sums["c"])
     avgdl = float(sums["s"]) / float(sums["c"])
 
     post = postings(docs, id_col, text_col)

@@ -34,7 +34,6 @@ from searchengine_spark.operators.scoring import (
     PAGERANK_WEIGHT,
     TFIDF_WEIGHT,
     TITLE_WEIGHT,
-    bm25_score_candidates,
 )
 
 

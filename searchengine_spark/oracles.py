@@ -521,3 +521,14 @@ SELECT user_id, session_id,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
 FROM sid GROUP BY 1, 2
 """
+
+
+def term_search_any_sql(terms: list[str]) -> str:
+    """Union-of-term-results semantics (the reference's handleTermSearch
+    Set union, SearchService.java:466-476 / SURVEY.md A8+O4)."""
+    return f"""
+WITH {_TOKENS_CTE},
+q AS (SELECT term FROM {_terms_values(terms)})
+SELECT DISTINCT terms.doc_id
+FROM terms JOIN q ON terms.term = q.term
+"""
