@@ -40,14 +40,17 @@ def main(argv: list[str] | None = None) -> int:
             F.sum("doc_len").alias("s"), F.count(F.lit(1)).alias("c")
         ).collect()[0]
         avgdl = float(stats["s"]) / float(stats["c"]) if stats["c"] else 1.0
+        is_phrase = args.query.startswith('"') and args.query.endswith('"') and len(args.query) > 2
+        text = args.query[1:-1] if is_phrase else args.query
         df = wand_topk(
             spark,
             idx["segments"],
             idx["lexicon"],
             idx["documents"],
-            query_tokenize(args.query),
+            query_tokenize(text),
             avgdl,
             args.k,
+            phrase=is_phrase,
         )
     for row in df.collect():
         print(json.dumps(row.asDict(), default=str))

@@ -284,6 +284,50 @@ def _wand_shard(
     return out
 
 
+def _phrase_topk_in_shard(
+    term_blocks: dict[str, list[dict]],
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> list[tuple[float, int]]:
+    """Exact phrase top-k within one shard: decode positions for docs present
+    in ALL phrase terms' lists, keep position-adjacent docs, score them
+    directly (sorted-term fold — same floats as the join path)."""
+    per_term: list[dict[int, tuple]] = []  # doc -> (positions, tf, dl)
+    for t in terms:
+        blocks = term_blocks.get(t)
+        if not blocks:
+            return []
+        entry: dict[int, tuple] = {}
+        for b in sorted(blocks, key=lambda x: x["block_id"]):
+            ids, tfs, dls = codec.decode_block(b)
+            poss = codec.decode_positions(b)
+            for d, p, tf, dl in zip(ids.tolist(), poss, tfs.tolist(), dls.tolist()):
+                entry[d] = (p, tf, dl)
+        per_term.append(entry)
+    cand = set(per_term[0])
+    for pm in per_term[1:]:
+        cand &= set(pm)
+    out = []
+    for d in cand:
+        first, _, _ = per_term[0][d]
+        rest = [set(pm[d][0].tolist()) for pm in per_term[1:]]
+        if not any(
+            all((p + i + 1) in rest[i] for i in range(len(rest))) for p in first.tolist()
+        ):
+            continue
+        score = 0.0
+        for t in sorted(set(terms)):
+            _, tf, dl = per_term[terms.index(t)][d]
+            score += idfs[t] * (tf * (codec.BM25_K1 + 1.0)) / (
+                tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl)
+            )
+        out.append((score, d))
+    out.sort(key=lambda x: (-x[0], x[1]))
+    return out[:k]
+
+
 def wand_topk(
     spark: SparkSession,
     segments: DataFrame,
@@ -293,9 +337,15 @@ def wand_topk(
     avgdl: float,
     k: int = 10,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    phrase: bool = False,
 ) -> DataFrame:
     """Distributed block-max WAND: partition-pruned segment scan → per-shard
-    WAND heap in applyInPandas → global TakeOrderedAndProject merge."""
+    WAND heap in applyInPandas → global TakeOrderedAndProject merge.
+
+    With ``phrase=True`` the per-shard executor first restricts to docs where
+    the terms are position-adjacent (decoded from the positions blobs), then
+    scores those docs exactly — same semantics as query.search_bm25's
+    positional phrase mode, but served entirely from the compressed index."""
     terms = list(dict.fromkeys(query_terms))
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, url string, score double")
@@ -305,16 +355,26 @@ def wand_topk(
         .collect()
     )
     idfs = {r["term"]: r["idf_bm25"] for r in idf_rows}
-    if not idfs:
+    if not idfs or (phrase and any(t not in idfs for t in terms)):
+        # phrase semantics: a term absent from the lexicon makes the exact
+        # phrase unmatchable (index/query stem mismatch, quirk Q2, can cause
+        # this even for phrases present in raw text — reference-faithful)
         return spark.createDataFrame([], "rank int, doc_id long, url string, score double")
     buckets = _buckets_of(spark, list(idfs), n_buckets)
 
     pruned = segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
 
+    ordered_terms = list(terms)  # full sequence — phrase adjacency needs dups
+
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         term_blocks: dict[str, list[dict]] = {}
         for _, row in pdf.iterrows():
             term_blocks.setdefault(row["term"], []).append(row.to_dict())
+        if phrase and len(ordered_terms) >= 2:
+            ptop = _phrase_topk_in_shard(term_blocks, ordered_terms, idfs, avgdl, k)
+            return pd.DataFrame(
+                [(int(d), float(s)) for s, d in ptop], columns=["doc_id", "score"]
+            ).astype({"doc_id": "int64", "score": "float64"})
         top = _wand_shard(term_blocks, idfs, avgdl, k)
         return pd.DataFrame(
             [(int(d), float(s)) for s, d, _ in top], columns=["doc_id", "score"]

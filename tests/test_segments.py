@@ -84,3 +84,30 @@ def test_merge_associativity(spark, index, tmp_path_factory):
         return {k: sorted(v) for k, v in out.items()}
 
     assert decode_all(merged) == decode_all(single)
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        '"index build"',  # both terms survive index tokenization → matches
+        # "inverted" crude-stems to "inver" at index time but Porter-stems to
+        # "invert" at query time (quirk Q2) → exact phrase unmatchable even
+        # though the raw text contains it — both paths must agree on empty
+        '"inverted index build"',
+    ],
+)
+def test_wand_phrase_equals_join_path(spark, index, query):
+    """Phrase mode served from compressed segments == positional phrase over
+    raw postings (same docs, bit-identical scores)."""
+    phrase_terms = query_tokenize(query[1:-1])
+    got = wand_topk(
+        spark, index["segments"], index["lexicon"], index["documents"],
+        phrase_terms, _avgdl(index), k=10, phrase=True,
+    ).collect()
+    want = search_bm25(
+        spark, index["postings"], index["lexicon"], index["documents"], query, k=10,
+        positional_phrase=True,
+    ).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in want
+    ]
