@@ -97,6 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": relational.orders_rollup,
         "events_hourly": relational.events_hourly,
         "events_sessionize": relational.events_sessionize,
+        "events_asof_prior": relational.events_asof_prior,
+        "events_quantiles": relational.events_quantiles,
+        "events_pivot_by_type": relational.events_pivot_by_type,
+        "heavy_hitter_terms": relational.heavy_hitter_terms,
+        "lineitem_moments": relational.lineitem_moments,
     }
 
 
@@ -171,4 +176,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": oracles.orders_rollup_sql(),
         "events_hourly": oracles.events_hourly_sql(),
         "events_sessionize": oracles.events_sessionize_sql(),
+        "events_asof_prior": oracles.events_asof_prior_sql(),
+        "events_quantiles": oracles.events_quantiles_sql(),
+        "events_pivot_by_type": oracles.events_pivot_sql(),
+        "heavy_hitter_terms": oracles.heavy_hitter_terms_sql(),
+        "lineitem_moments": oracles.lineitem_moments_sql(),
     }

@@ -144,3 +144,111 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         )
     )
+
+
+def events_asof_prior(spark: SparkSession, sf_dir: str, anchor_type: str = "purchase", ref_type: str = "click") -> DataFrame:
+    """As-of lookup (Spark has no native ASOF JOIN — pyspark_guide "common
+    OLAP patterns"): for each ``anchor_type`` event, the timestamp of the
+    most recent prior-or-equal ``ref_type`` event of the same user, via a
+    last_value(ignoreNulls) window over the merged per-user timeline —
+    one shuffle, no range join explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "_ref_ts", F.when(F.col("event_type") == ref_type, F.col("ts"))
+    ).withColumn("asof_ref_ts", F.last("_ref_ts", ignorenulls=True).over(w))
+    return (
+        marked.filter(F.col("event_type") == anchor_type)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.date_format("asof_ref_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ref_ts"),
+        )
+    )
+
+
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-rank quantiles per event_type over integer micros. Explicit
+    row_number definition (value at row ceil(q·n)) instead of interpolating
+    `percentile` — engine interpolation formulas differ by ULPs, nearest
+    rank is definitionally exact everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1e6).cast("long")
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = (
+        ev.withColumn("v", v)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"), F.col("v"))).alias("p50_micros"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.95).cast("long"), F.col("v"))).alias("p95_micros"),
+        F.min("v").alias("min_micros"),
+        F.max("v").alias("max_micros"),
+    )
+
+
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Exact heavy hitters: top-k terms by total occurrences across the
+    corpus (ties by term asc) — the A-series hot-key detector feeding the
+    salted-agg decision."""
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exploded_tokens(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("occurrences"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user, event counts spread across type columns (O-series
+    pivot/unpivot coverage; fixed column set so the schema is static)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer moments per returnflag (sums of cents / cross products
+    as bigints) + correlation derived from them in one final float
+    expression — statistics ops without float-sum nondeterminism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    agg = (
+        li.select("l_returnflag", q.alias("q"), p.alias("p"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_q"),
+            F.sum("p").alias("sum_p"),
+            F.sum(F.col("q") * F.col("q")).alias("sum_qq"),
+            F.sum(F.col("p") * F.col("p")).alias("sum_pp"),
+            F.sum(F.col("q") * F.col("p")).alias("sum_qp"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sum_qp").cast("double") / n - (F.col("sum_q").cast("double") / n) * (F.col("sum_p").cast("double") / n)
+    var_q = F.col("sum_qq").cast("double") / n - (F.col("sum_q").cast("double") / n) * (F.col("sum_q").cast("double") / n)
+    var_p = F.col("sum_pp").cast("double") / n - (F.col("sum_p").cast("double") / n) * (F.col("sum_p").cast("double") / n)
+    return agg.select(
+        "l_returnflag", "n", "sum_q", "sum_p", "sum_qq", "sum_pp", "sum_qp",
+        F.round(cov / (F.sqrt(var_q) * F.sqrt(var_p)) * 1e6).cast("long").alias("corr_micros"),
+    )

@@ -532,3 +532,87 @@ q AS (SELECT term FROM {_terms_values(terms)})
 SELECT DISTINCT terms.doc_id
 FROM terms JOIN q ON terms.term = q.term
 """
+
+
+def events_asof_prior_sql(anchor_type: str = "purchase", ref_type: str = "click") -> str:
+    return f"""
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = '{ref_type}' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS asof_ref_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(asof_ref_ts, '%Y-%m-%d %H:%M:%S') AS asof_ref_ts
+FROM marked WHERE event_type = '{anchor_type}'
+"""
+
+
+def events_quantiles_sql() -> str:
+    # nearest-rank (value at row ceil(q*n)) — same definition as the Spark
+    # side; interpolating quantile functions differ across engines by ULPs
+    return """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v FROM events
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS p50_micros,
+       max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN v END) AS p95_micros,
+       min(v) AS min_micros,
+       max(v) AS max_micros
+FROM ranked GROUP BY event_type
+"""
+
+
+def heavy_hitter_terms_sql(k: int = 20) -> str:
+    return f"""
+WITH {_TOKENS_CTE}
+SELECT term, count(*)::BIGINT AS occurrences, count(DISTINCT doc_id)::BIGINT AS df
+FROM terms GROUP BY term
+ORDER BY occurrences DESC, term ASC
+LIMIT {k}
+"""
+
+
+def events_pivot_sql() -> str:
+    return """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
+def lineitem_moments_sql() -> str:
+    return """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n,
+         sum(q)::BIGINT AS sum_q, sum(p)::BIGINT AS sum_p,
+         sum(q*q)::BIGINT AS sum_qq, sum(p*p)::BIGINT AS sum_pp,
+         sum(q*p)::BIGINT AS sum_qp
+  FROM m GROUP BY 1
+)
+SELECT l_returnflag, n, sum_q, sum_p, sum_qq, sum_pp, sum_qp,
+       CAST(round(
+         (CAST(sum_qp AS DOUBLE)/n - (CAST(sum_q AS DOUBLE)/n) * (CAST(sum_p AS DOUBLE)/n))
+         / (sqrt(CAST(sum_qq AS DOUBLE)/n - (CAST(sum_q AS DOUBLE)/n) * (CAST(sum_q AS DOUBLE)/n))
+            * sqrt(CAST(sum_pp AS DOUBLE)/n - (CAST(sum_p AS DOUBLE)/n) * (CAST(sum_p AS DOUBLE)/n)))
+         * 1e6) AS BIGINT) AS corr_micros
+FROM agg
+"""
