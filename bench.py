@@ -108,6 +108,24 @@ def build_index_bench(cpus: int, n_docs: int) -> dict:
         for r, _, fs in os.walk(os.path.join(index_dir, "segments"))
         for f in fs
     )
+
+    # query latency against the COMPRESSED index (block-max WAND path)
+    from pyspark.sql import functions as SF
+
+    from searchengine_spark.plans.build_index import load_index
+    from searchengine_spark.operators.segments import wand_topk
+    from searchengine_spark.functions.textproc import query_tokenize
+
+    idx = load_index(spark, index_dir)
+    stats = idx["documents"].agg(SF.sum("doc_len").alias("s"), SF.count(SF.lit(1)).alias("c")).collect()[0]
+    avgdl = float(stats["s"]) / float(stats["c"]) if stats["c"] else 1.0
+    lats = []
+    for q in ["index search engine", "return partition merge", "spark segment", "posting block skip", "graph pagerank crawler", "index search engine", "spark segment"]:
+        t0 = time.monotonic()
+        wand_topk(spark, idx["segments"], idx["lexicon"], idx["documents"], query_tokenize(q), avgdl, k=10).collect()
+        lats.append(time.monotonic() - t0)
+    lats.sort()
+
     shutil.rmtree(index_dir, ignore_errors=True)
     return {
         "cpus": cpus,
@@ -115,6 +133,8 @@ def build_index_bench(cpus: int, n_docs: int) -> dict:
         "sec": round(wall, 3),
         "docs_per_sec": round(n / wall, 1),
         "segment_bytes": seg_bytes,
+        "wand_p50_sec": round(lats[len(lats) // 2], 3),
+        "wand_p95_sec": round(lats[max(0, int(len(lats) * 0.95) - 1)], 3),
     }
 
 

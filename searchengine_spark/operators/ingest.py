@@ -123,3 +123,31 @@ def verify_sha256_invariant(corpus: DataFrame, documents: DataFrame) -> int:
         .filter((F.col("expected").isNull()) | (F.col("expected") != F.col("actual")))
         .count()
     )
+
+
+def apply_exclusions(corpus: DataFrame, rules: list[dict]) -> DataFrame:
+    """Exclusion-rule filter — the corpus analog of robots.txt denylists
+    (RobotsTxtHandler.java:31-78, SURVEY.md S3): drop rows whose repo/path
+    matches any rule. Rules are a tiny broadcast table; the check is a
+    broadcast LEFT ANTI join on prefix/lang predicates (the reference's
+    per-URL prefix scan, vectorized).
+
+    rule: {"repo_prefix": str|None, "path_prefix": str|None, "lang": str|None}
+    — conjunctive within a rule, disjunctive across rules.
+    """
+    spark = corpus.sparkSession
+    if not rules:
+        return corpus
+    deny = spark.createDataFrame(
+        [
+            (r.get("repo_prefix"), r.get("path_prefix"), r.get("lang"))
+            for r in rules
+        ],
+        "repo_prefix string, path_prefix string, lang string",
+    )
+    cond = (
+        (deny.repo_prefix.isNull() | corpus.repo.startswith(deny.repo_prefix))
+        & (deny.path_prefix.isNull() | corpus.path.startswith(deny.path_prefix))
+        & (deny.lang.isNull() | (corpus.lang == deny.lang))
+    )
+    return corpus.join(F.broadcast(deny), cond, "left_anti")
