@@ -349,9 +349,10 @@ def wand_topk(
     terms = list(dict.fromkeys(query_terms))
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, url string, score double")
+    # one tiny job fetches idf AND write-bucket per query term
     idf_rows = (
         lexicon.join(F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string")), "term")
-        .select("term", "idf_bm25")
+        .select("term", "idf_bm25", F.pmod(F.hash("term"), F.lit(n_buckets)).alias("bucket"))
         .collect()
     )
     idfs = {r["term"]: r["idf_bm25"] for r in idf_rows}
@@ -360,7 +361,7 @@ def wand_topk(
         # phrase unmatchable (index/query stem mismatch, quirk Q2, can cause
         # this even for phrases present in raw text — reference-faithful)
         return spark.createDataFrame([], "rank int, doc_id long, url string, score double")
-    buckets = _buckets_of(spark, list(idfs), n_buckets)
+    buckets = sorted({int(r["bucket"]) for r in idf_rows})
 
     pruned = segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
 
@@ -395,12 +396,3 @@ def wand_topk(
     )
 
 
-def _buckets_of(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
-    """Exact write-side bucket ids for the query terms: ask Spark's own
-    murmur3 (one tiny local job) instead of reimplementing the hash."""
-    rows = (
-        spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
-        .collect()
-    )
-    return sorted({int(r["b"]) for r in rows})
