@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from searchengine_spark.session import get_spark
     from searchengine_spark.plans.build_index import load_index
-    from searchengine_spark.operators.query import search_bm25, search_compat
+    from searchengine_spark.operators.query import is_phrase_query, search_bm25, search_compat
     from searchengine_spark.operators.segments import wand_topk
     from searchengine_spark.functions.textproc import query_tokenize
 
@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
             F.sum("doc_len").alias("s"), F.count(F.lit(1)).alias("c")
         ).collect()[0]
         avgdl = float(stats["s"]) / float(stats["c"]) if stats["c"] else 1.0
-        is_phrase = args.query.startswith('"') and args.query.endswith('"') and len(args.query) > 2
+        is_phrase = is_phrase_query(args.query)
         text = args.query[1:-1] if is_phrase else args.query
         df = wand_topk(
             spark,

@@ -68,7 +68,10 @@ def image_features(
     """(media_id, width, height, n_bytes, sha256, mean_r/g/b) per image row.
 
     Pure plumbing demo of the decode → feature-extract stage: binary in,
-    fixed-width features out, one Arrow crossing."""
+    fixed-width features out, one Arrow crossing. ``media_repartition_bytes``
+    caps blob bytes per task: partitions = ceil(total_blob_bytes / cap), so
+    one skewed input split can't materialize gigabytes of pixels in a single
+    worker (costs one sizing aggregate — skip with ``None``)."""
     decode = _decode_fake if deterministic_fake else _decode_real
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,6 +92,12 @@ def image_features(
             )
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "blob")
+    if media_repartition_bytes:
+        total = imgs.agg(F.sum(F.length("blob")).alias("b")).collect()[0]["b"] or 0
+        n_parts = max(1, -(-int(total) // int(media_repartition_bytes)))
+        cur = imgs.rdd.getNumPartitions()
+        if n_parts > cur:
+            imgs = imgs.repartition(n_parts)
     return imgs.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
 
 

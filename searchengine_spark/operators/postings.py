@@ -82,9 +82,16 @@ def skew_ratio(postings: DataFrame, n_buckets: int | None = None) -> float:
     return float(per_bucket["mx"]) / float(per_bucket["mean"])
 
 
+TARGET_ROWS_PER_REDUCER = 5_000_000
+
+
 def choose_salts(n_postings: int, n_partitions: int) -> int:
-    """Heuristic salt count: enough that a term owning 10% of all postings
-    still spreads across every partition."""
+    """Salt count sized to the data: a worst-case hot term owning ~10% of
+    all postings must fan out into partials of ≤ TARGET_ROWS_PER_REDUCER
+    rows, and never fewer salts than partitions (so a hot term can occupy
+    every reducer). Bounded above to keep the phase-2 row count sane."""
     if n_postings <= 0:
         return DEFAULT_SALTS
-    return max(DEFAULT_SALTS, 2 ** math.ceil(math.log2(max(n_partitions, 2))))
+    hot_term_rows = n_postings // 10
+    by_volume = math.ceil(hot_term_rows / TARGET_ROWS_PER_REDUCER)
+    return int(min(4096, max(DEFAULT_SALTS, n_partitions, by_volume)))

@@ -188,14 +188,23 @@ def search_compat(
     from pyspark.sql import Window
 
     win = Window.partitionBy()
+    # Degenerate-max guards: when every candidate's tfidf_sum (or pagerank)
+    # is 0, the reference would compute 0/0 = NaN (Ranker.java:88-89 — it
+    # never happens there because PR always runs). We define the normalized
+    # term as 0 instead, mirrored in tests/oracle.py, so indexes built with
+    # with_pagerank=False still rank sanely.
+    max_tfidf = F.max("tfidf_sum").over(win)
+    max_pr = F.max("pr").over(win)
+    tfidf_term = F.when(max_tfidf != 0.0, F.col("tfidf_sum") / max_tfidf).otherwise(0.0)
+    pr_term = F.when(max_pr != 0.0, F.col("pr") / max_pr).otherwise(0.0)
     scored = per_doc.select(
         "doc_id",
         "url",
         "title",
         "last_term",
         (
-            F.lit(TFIDF_WEIGHT) * (F.col("tfidf_sum") / F.max("tfidf_sum").over(win))
-            + F.lit(PAGERANK_WEIGHT) * (F.col("pr") / F.max("pr").over(win))
+            F.lit(TFIDF_WEIGHT) * tfidf_term
+            + F.lit(PAGERANK_WEIGHT) * pr_term
             + F.lit(TITLE_WEIGHT) * (F.col("title_matches").cast("double") / F.lit(float(len(qwords))))
             + F.least(F.col("header_score"), F.lit(H1_WEIGHT))
         ).alias("score"),

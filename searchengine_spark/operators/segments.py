@@ -173,44 +173,56 @@ def _wand_shard(
         def __init__(self, term: str, blocks: list[dict]):
             self.term = term
             self.blocks = sorted(blocks, key=lambda b: b["block_id"])
-            self.bi = -1
+            self.bi = 0
             self.ub = max(b["block_max_score"] for b in self.blocks)
-            self._load_next()
+            self.ids = None  # current block decoded lazily
 
-        def _load_next(self):
-            self.bi += 1
-            if self.bi < len(self.blocks):
+        @property
+        def exhausted(self) -> bool:
+            return self.bi >= len(self.blocks)
+
+        def _ensure(self):
+            # decode the current block only when its postings are touched —
+            # blocks stepped over by skip pointers are never decoded
+            if self.ids is None and not self.exhausted:
                 self.ids, self.tfs, self.dls = codec.decode_block(self.blocks[self.bi])
                 self.pi = 0
-            else:
-                self.ids = None
+
+        def _next_block(self):
+            self.bi += 1
+            self.ids = None
 
         @property
         def cur(self) -> int:
-            return int(self.ids[self.pi]) if self.ids is not None else 1 << 62
+            if self.exhausted:
+                return 1 << 62
+            self._ensure()
+            return int(self.ids[self.pi])
 
         def cur_block_max(self) -> float:
-            return self.blocks[self.bi]["block_max_score"] if self.ids is not None else 0.0
+            return self.blocks[self.bi]["block_max_score"] if not self.exhausted else 0.0
 
         def advance_to(self, target: int):
-            # block-level skip via skip_doc_id, then in-block gallop
-            while self.ids is not None and self.blocks[self.bi]["skip_doc_id"] < target:
-                self._load_next()
-            if self.ids is None:
+            # block-level skip via skip_doc_id (no decode), then in-block gallop
+            while not self.exhausted and self.blocks[self.bi]["skip_doc_id"] < target:
+                self._next_block()
+            if self.exhausted:
                 return
+            self._ensure()
             j = int(np.searchsorted(self.ids[self.pi :], target))
             self.pi += j
             if self.pi >= len(self.ids):
-                self._load_next()
-                if self.ids is not None:
-                    self.advance_to(target)
+                self._next_block()
+                self.advance_to(target)
 
         def next_doc(self):
+            self._ensure()
             self.pi += 1
             if self.pi >= len(self.ids):
-                self._load_next()
+                self._next_block()
 
         def score_cur(self) -> float:
+            self._ensure()
             tf = float(self.tfs[self.pi])
             dl = float(self.dls[self.pi])
             return idfs[self.term] * (tf * (codec.BM25_K1 + 1.0)) / (
@@ -227,7 +239,7 @@ def _wand_shard(
         return max(heap[0][0], threshold)
 
     while True:
-        live = [it for it in iters if it.ids is not None]
+        live = [it for it in iters if not it.exhausted]
         if not live:
             break
         live.sort(key=lambda it: it.cur)
@@ -346,7 +358,8 @@ def wand_topk(
     the terms are position-adjacent (decoded from the positions blobs), then
     scores those docs exactly — same semantics as query.search_bm25's
     positional phrase mode, but served entirely from the compressed index."""
-    terms = list(dict.fromkeys(query_terms))
+    raw_terms = list(query_terms)  # full sequence — phrase adjacency needs dups
+    terms = list(dict.fromkeys(raw_terms))
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, url string, score double")
     # one tiny job fetches idf AND write-bucket per query term
@@ -365,7 +378,7 @@ def wand_topk(
 
     pruned = segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
 
-    ordered_terms = list(terms)  # full sequence — phrase adjacency needs dups
+    ordered_terms = raw_terms
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         term_blocks: dict[str, list[dict]] = {}

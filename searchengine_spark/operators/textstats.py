@@ -56,7 +56,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_dist = F.size(F.array_distinct(toks))
     n_chars = F.length(F.col(text_col))
-    n_alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-z0-9]", ""))
+    n_alnum = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
     ratio = lambda num, den: F.when(
         den > 0, F.round(F.lit(1e6) * num.cast("double") / den.cast("double")).cast("long")
     ).otherwise(F.lit(0).cast("long"))

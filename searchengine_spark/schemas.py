@@ -53,20 +53,21 @@ LEXICON = T.StructType(
         T.StructField("df", T.LongType(), False),
         T.StructField("idf_compat", T.DoubleType(), False),  # ln(N/(1+df)) Q9
         T.StructField("idf_bm25", T.DoubleType(), False),  # Robertson
-        T.StructField("n_blocks", T.IntegerType(), True),
     ]
 )
 
+# field order mirrors operators/segments.py::SEGMENT_SCHEMA exactly
 SEGMENTS = T.StructType(
     [
-        T.StructField("term", T.StringType(), False),
         T.StructField("bucket", T.IntegerType(), False),  # hash(term) % n_buckets
+        T.StructField("shard", T.IntegerType(), False),  # doc_id // shard_span
+        T.StructField("term", T.StringType(), False),
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("n_postings", T.IntegerType(), False),
         T.StructField("doc_ids_delta_varint", T.BinaryType(), False),
         T.StructField("tfs_varint", T.BinaryType(), False),
-        T.StructField("positions_blob", T.BinaryType(), False),
         T.StructField("doc_lens_varint", T.BinaryType(), False),
+        T.StructField("positions_blob", T.BinaryType(), False),
         T.StructField("skip_doc_id", T.LongType(), False),  # max doc_id in block
         T.StructField("block_max_score", T.DoubleType(), False),  # BM25 upper bound
     ]

@@ -72,10 +72,16 @@ def stream_events_hourly(
     events_dir: str,
     checkpoint_dir: str,
     queryName: str = "events_hourly_stream",
+    output_mode: str = "complete",
 ):
-    """Watermarked tumbling-window count+sum over streaming events; late
-    rows beyond 2 hours are dropped at the watermark (state stays bounded —
-    the property that makes this run forever at cluster scale)."""
+    """Tumbling-window count+sum over streaming events.
+
+    Output-mode semantics matter here: in the default ``complete`` mode
+    (used by the bounded smoke test — every window re-emitted to the memory
+    sink) Spark retains ALL window state and the watermark does NOT drop
+    late rows. For an unbounded production stream pass
+    ``output_mode="append"``: finalized windows emit once the 2-hour
+    watermark passes them, later rows are dropped, and state stays bounded."""
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     stream = spark.readStream.schema(schema).parquet(events_dir)
     agg = (
@@ -93,7 +99,7 @@ def stream_events_hourly(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(queryName)
         .option("checkpointLocation", checkpoint_dir)

@@ -187,9 +187,14 @@ class OracleIndex:
         max_pr = max(c["pr"] for c in comp.values())
         out = []
         for doc_id, c in comp.items():
+            # degenerate-max guard mirrored from the engine (see
+            # operators/query.py): all-zero max normalizer → term is 0,
+            # where the reference would produce NaN (it never hits this)
+            tfidf_term = (c["tfidf"] / max_tfidf) if max_tfidf != 0.0 else 0.0
+            pr_term = (c["pr"] / max_pr) if max_pr != 0.0 else 0.0
             score = (
-                0.4 * (c["tfidf"] / max_tfidf)
-                + 0.3 * (c["pr"] / max_pr)
+                0.4 * tfidf_term
+                + 0.3 * pr_term
                 + 0.7 * (c["tm"] / len(qwords))
                 + min(c["hdr"], 0.45)
             )

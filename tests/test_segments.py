@@ -111,3 +111,37 @@ def test_wand_phrase_equals_join_path(spark, index, query):
     assert [(r["rank"], r["doc_id"], r["score"]) for r in got] == [
         (r["rank"], r["doc_id"], r["score"]) for r in want
     ]
+
+
+def test_wand_phrase_repeated_term(spark, index):
+    """Repeated-term phrase must use the FULL term sequence for adjacency —
+    dedup-before-adjacency would match the shortened phrase (review finding)."""
+    from searchengine_spark.operators.segments import _phrase_topk_in_shard
+    import numpy as np
+    from searchengine_spark.operators import codec
+
+    # craft one shard: doc 1 has "spark spark", doc 2 only "spark data spark"
+    def blocks_for(postings):  # {doc: positions}
+        ids = np.array(sorted(postings), dtype=np.uint64)
+        tfs = np.array([len(postings[d]) for d in sorted(postings)], dtype=np.uint64)
+        dls = np.array([10] * len(ids), dtype=np.uint64)
+        pos = [postings[d] for d in sorted(postings)]
+        bl = codec.encode_blocks(ids, tfs, dls, pos, idf=1.0, avgdl=10.0)
+        for b in bl:
+            b["term"] = "spark"
+        return bl
+
+    term_blocks = {"spark": blocks_for({1: [0, 1], 2: [0, 2]})}
+    got = _phrase_topk_in_shard(term_blocks, ["spark", "spark"], {"spark": 1.0}, 10.0, 10)
+    assert [d for _, d in got] == [1]  # only doc 1 has adjacent repeat
+
+    # and via the public API on the real index: "index index" (never adjacent)
+    got2 = wand_topk(
+        spark, index["segments"], index["lexicon"], index["documents"],
+        ["index", "index"], _avgdl(index), k=5, phrase=True,
+    ).collect()
+    want2 = search_bm25(
+        spark, index["postings"], index["lexicon"], index["documents"],
+        '"index index"', k=5, positional_phrase=True,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got2] == [(r["doc_id"], r["score"]) for r in want2]
