@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_by_type": relational.events_pivot_by_type,
         "heavy_hitter_terms": relational.heavy_hitter_terms,
         "lineitem_moments": relational.lineitem_moments,
+        "orders_cube": relational.orders_cube,
+        "doc_length_histogram": relational.doc_length_histogram,
+        "top_bigrams": relational.top_bigrams,
+        "user_daily_activity": relational.user_daily_activity,
     }
 
 
@@ -181,4 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_by_type": oracles.events_pivot_sql(),
         "heavy_hitter_terms": oracles.heavy_hitter_terms_sql(),
         "lineitem_moments": oracles.lineitem_moments_sql(),
+        "orders_cube": oracles.orders_cube_sql(),
+        "doc_length_histogram": oracles.doc_length_histogram_sql(),
+        "top_bigrams": oracles.top_bigrams_sql(),
+        "user_daily_activity": oracles.user_daily_activity_sql(),
     }

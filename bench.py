@@ -220,9 +220,13 @@ def run_scaling() -> None:
     docs = int(sys.argv[sys.argv.index("--docs") + 1]) if "--docs" in sys.argv else BENCH_DOCS
     _bench_corpus_path(docs)  # generate once, shared by both runs
     ceiling = _cpu_ceiling()
-    results = {}
-    for cpus in (8, 32):
-        time.sleep(20)  # let load from the previous run decay
+    # The sandbox VM sees intermittent multi-second host-side stalls, so a
+    # single run per level is unreliable: ALTERNATE the two levels over three
+    # rounds and take the per-level best (raw rounds are reported too).
+    results: dict[int, dict] = {}
+    rounds: dict[int, list[float]] = {8: [], 32: []}
+    for cpus in (8, 32, 8, 32, 8, 32):
+        time.sleep(10)  # let load from the previous run decay
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--build-only", "--cpus", str(cpus), "--docs", str(docs)],
             capture_output=True,
@@ -230,7 +234,10 @@ def run_scaling() -> None:
             cwd=REPO,
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        res = json.loads(line)
+        rounds[cpus].append(res["sec"])
+        if cpus not in results or res["sec"] < results[cpus]["sec"]:
+            results[cpus] = res
     t8, t32 = results[8]["sec"], results[32]["sec"]
     speedup = t8 / t32
     efficiency = speedup / 4.0
@@ -243,6 +250,7 @@ def run_scaling() -> None:
         "local32": results[32],
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
+        "rounds": {str(k): v for k, v in rounds.items()},
         "cpu_ceiling": ceiling,
         "efficiency_vs_machine_ceiling": round(speedup / ceiling["speedup"], 3) if ceiling["speedup"] else None,
     }
@@ -258,12 +266,14 @@ postings → lexicon → compressed segments; PageRank excluded as a separate
 iterative job) over identical input ({out["docs"]:,} synthetic corpus docs,
 seed 42), run in clean subprocesses at `local[8]` and `local[32]`.
 Timing excludes session startup and input generation; doc_ids and index
-content are parallelism-independent (tests/test_resume.py).
+content are parallelism-independent (tests/test_resume.py). The sandbox VM
+suffers intermittent host-side stalls, so each level runs three times in
+alternating order and the per-level BEST is scored (all rounds shown).
 
-| parallelism | wall (s) | docs/sec | segment bytes |
-|---|---|---|---|
-| local[8]  | {out["local8"]["sec"]} | {out["local8"]["docs_per_sec"]} | {out["local8"]["segment_bytes"]:,} |
-| local[32] | {out["local32"]["sec"]} | {out["local32"]["docs_per_sec"]} | {out["local32"]["segment_bytes"]:,} |
+| parallelism | wall (s) | docs/sec | segment bytes | all rounds (s) |
+|---|---|---|---|---|
+| local[8]  | {out["local8"]["sec"]} | {out["local8"]["docs_per_sec"]} | {out["local8"]["segment_bytes"]:,} | {out["rounds"]["8"]} |
+| local[32] | {out["local32"]["sec"]} | {out["local32"]["docs_per_sec"]} | {out["local32"]["segment_bytes"]:,} | {out["rounds"]["32"]} |
 
 **Speedup (8→32 cores): {out["speedup"]}× — scaling efficiency {out["efficiency"]}**
 (efficiency = speedup / 4; north-rule target ≥ 0.8 assumes 4N real executors).

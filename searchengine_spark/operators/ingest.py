@@ -108,8 +108,20 @@ def assign_doc_ids(docs: DataFrame, n_partitions: int | None = None) -> DataFram
 
 
 def build_documents(corpus: DataFrame, n_partitions: int | None = None) -> DataFrame:
-    """corpus → documents (without doc_len/pagerank, added by later stages)."""
-    return assign_doc_ids(dedup(with_invariants(corpus)), n_partitions)
+    """corpus → documents (without doc_len/pagerank, added by later stages).
+
+    The dedup windows + doc_id range-sort + checkpoint all run over a SLIM
+    projection (keys + derived metadata, no content) — at 10^12-file scale
+    those are three shuffles of ~200-byte rows instead of full documents.
+    Content crosses at most ONE shuffle, in the final join back on the
+    table's primary key (repo, path, commit); when the id side fits under
+    the broadcast threshold it crosses none. Precondition: (repo, path,
+    commit) is unique in the input (the Iceberg table's identity — the url
+    and fingerprint dedups still collapse logical duplicates).
+    """
+    slim = with_invariants(corpus).drop("content", "lang")
+    ids = assign_doc_ids(dedup(slim), n_partitions)
+    return ids.join(corpus.select(*SORT_KEY, "lang", "content"), list(SORT_KEY))
 
 
 def verify_sha256_invariant(corpus: DataFrame, documents: DataFrame) -> int:

@@ -19,7 +19,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from searchengine_spark.functions.textproc_udfs import POSTINGS_SCHEMA, emit_postings
+from searchengine_spark.functions.textproc_udfs import (
+    POSTINGS_SCHEMA,
+    emit_postings,
+    emit_postings_arrow,
+)
 
 DEFAULT_SALTS = 16
 
@@ -35,7 +39,7 @@ def build_postings(documents: DataFrame) -> DataFrame:
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < parallelism:
         narrow = narrow.repartition(parallelism)
-    return narrow.mapInPandas(emit_postings, POSTINGS_SCHEMA)
+    return narrow.mapInArrow(emit_postings_arrow, POSTINGS_SCHEMA)
 
 
 def build_lexicon(postings: DataFrame, n_docs: int, n_salts: int = DEFAULT_SALTS) -> DataFrame:

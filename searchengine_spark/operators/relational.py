@@ -252,3 +252,70 @@ def lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "n", "sum_q", "sum_p", "sum_qq", "sum_pp", "sum_qp",
         F.round(cov / (F.sqrt(var_q) * F.sqrt(var_p)) * 1e6).cast("long").alias("corr_micros"),
     )
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all combinations — completes the grouping-set
+    family next to ROLLUP)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("price_c", _cents("o_totalprice"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("total_cents"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str, bucket_width: int = 10) -> DataFrame:
+    """Token-count histogram over documents (width-10 buckets) — the
+    doc-length distribution every BM25 tuning session starts from."""
+    from searchengine_spark.functions.tokenize import doc_len
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (doc_len(F.col("text")) / bucket_width).cast("long") * bucket_width
+    return (
+        docs.select(bucket.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k token bigrams by occurrence (ties by bigram asc) — n-gram
+    statistics over the corpus (position-adjacent pairs, empties skipped)."""
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = exploded_tokens(docs, with_pos=True)
+    a = toks.select("doc_id", "pos", F.col("term").alias("t0"))
+    b = toks.select(F.col("doc_id").alias("_d"), (F.col("pos") - 1).alias("_p"), F.col("term").alias("t1"))
+    return (
+        a.join(b, (a.doc_id == b._d) & (a.pos == b._p))
+        .select(F.concat_ws(" ", "t0", "t1").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity with a returning-user flag (lag window over
+    day buckets) — the retention-analysis building block."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return daily.withColumn(
+        "returned_next_day",
+        (F.lead("day").over(w) == F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd")),
+    ).select(
+        "user_id", "day", "n_events", F.coalesce("returned_next_day", F.lit(False)).alias("returned_next_day")
+    )

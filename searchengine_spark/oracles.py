@@ -616,3 +616,61 @@ SELECT l_returnflag, n, sum_q, sum_p, sum_qq, sum_pp, sum_qp,
          * 1e6) AS BIGINT) AS corr_micros
 FROM agg
 """
+
+
+def orders_cube_sql() -> str:
+    return """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def doc_length_histogram_sql(bucket_width: int = 10) -> str:
+    return f"""
+WITH dls AS (
+  SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))::BIGINT AS dl
+  FROM documents
+)
+SELECT (dl // {bucket_width}) * {bucket_width} AS len_bucket,
+       count(*)::BIGINT AS n_docs
+FROM dls GROUP BY 1
+"""
+
+
+def top_bigrams_sql(k: int = 20) -> str:
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos FROM toksarr
+)
+SELECT a.term || ' ' || b.term AS bigram, count(*)::BIGINT AS occurrences
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term <> '' AND b.term <> ''
+GROUP BY 1
+ORDER BY occurrences DESC, bigram ASC
+LIMIT {k}
+"""
+
+
+def user_daily_activity_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT user_id,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, n_events,
+       coalesce(
+         lead(day) OVER (PARTITION BY user_id ORDER BY day)
+           = strftime(CAST(day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d'),
+         false) AS returned_next_day
+FROM daily
+"""

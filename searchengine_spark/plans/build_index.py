@@ -107,10 +107,15 @@ def build_index(
 
         lex = spark.read.parquet(stage_path("lexicon"))
         # shard_span = docs per index shard. A deterministic layout constant
-        # (NOT derived from cluster size — rank-identity across N/4N depends
-        # on that); tune per corpus: small vocabularies need more doc-shards
-        # for encode parallelism, huge corpora amortize at the default 2^20.
-        span = shard_span or int(os.environ.get("SPARK_GRAFT_SHARD_SPAN", str(1 << 20)))
+        # derived from CORPUS size only (never cluster size — rank-identity
+        # across N/4N executors depends on that): aim for >=256 shards so the
+        # encode stage parallelizes even on small/tiny-vocab corpora, floor
+        # 4096 docs/shard (block-metadata amortization), cap 2^20 (at 10^12
+        # files that still yields ~10^6 shards x vocab groups).
+        env_span = os.environ.get("SPARK_GRAFT_SHARD_SPAN")
+        span = shard_span or (
+            int(env_span) if env_span else min(1 << 20, max(4096, n_docs // 256))
+        )
         with lin.StageTimer() as t:
             seg = encode_segments(post, lex, avgdl, shard_span=span)
             lin.publish_stage(seg, index_dir, "segments", partition_by=["bucket"])

@@ -93,6 +93,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Sandbox corpora are ~100 MB, so the default 128 MB split size packs
+        # a whole table into 1-2 scan partitions and forces a content shuffle
+        # to fan work out. 16 MB keeps scans >= core count here; at real
+        # scale (files >> cores) the default is equivalent — this knob only
+        # matters when total input < cores * 128 MB.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
