@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "phrase_match": lambda spark, sf: ir.phrase_match(_docs(spark, sf), PHRASE),
         "term_search_any": lambda spark, sf: _term_search_any(spark, sf),
+        "term_search_except": lambda spark, sf: ir.term_search_except(
+            spark, _docs(spark, sf), ALL_TERMS[:2], [ALL_TERMS[2]]
+        ),
         "pagerank_integer": lambda spark, sf: _pagerank_integer(spark, sf),
         # --- dedup family (training-data pipeline) ---
         "dedup_exact": lambda spark, sf: dedup.exact_dedup_groups(_docs(spark, sf)),
@@ -82,6 +85,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": lambda spark, sf: similarity.ann_lsh_topk(
             emb(spark, sf), n_queries=8, k=5
+        ),
+        "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(
+            emb(spark, sf), n_queries=8, k=5, centroid_stride=64, nprobe=2
+        ),
+        # synthetic embeddings have no true near-identical pairs (max pair
+        # cosine ~0.51), so the gate threshold 0.35 selects the top ~0.1%
+        # most-similar pairs — same operator, non-empty check
+        "embedding_cosine_dups": lambda spark, sf: dedup.embedding_cosine_dups(
+            emb(spark, sf), threshold_micros=350_000
         ),
         # --- text analysis ---
         "token_stats": lambda spark, sf: textstats.token_stats(_docs(spark, sf)),
@@ -160,6 +172,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
+        "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
+        "ann_ivf_topk": oracles.ann_ivf_sql(n_queries=8, k=5, centroid_stride=64, nprobe=2),
+        "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "dedup_exact": oracles.exact_dedup_sql(),

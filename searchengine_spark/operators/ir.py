@@ -157,6 +157,31 @@ def term_search_all(
     )
 
 
+def term_search_except(
+    spark: SparkSession,
+    docs: DataFrame,
+    include_terms: list[str],
+    exclude_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs containing ALL include terms and NONE of the exclude terms —
+    the set-difference member of the term-search family (SURVEY.md §2.6
+    O4's union + §2.5 J5's intersection get their EXCEPT sibling). The
+    exclusion is a LEFT ANTI join against the any-match doc set: no
+    distinct-aggregate on the big side, and the anti join's build side is
+    the (small) matching-doc list."""
+    inc = term_search_all(spark, docs, include_terms, id_col, text_col)
+    q = _query_terms_df(spark, exclude_terms)
+    exc = (
+        exploded_tokens(docs, id_col, text_col)
+        .join(F.broadcast(q), "term")
+        .select(id_col)
+        .distinct()
+    )
+    return inc.join(exc, id_col, "left_anti")
+
+
 def phrase_match(
     docs: DataFrame,
     phrase_terms: list[str],

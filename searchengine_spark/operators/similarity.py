@@ -127,3 +127,77 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_micros")
     )
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroid_stride: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) for a deterministic IVF index.
+
+    Centroids are the vectors whose id is a multiple of ``centroid_stride``
+    — a seeded selection, not k-means, so the partitioning is a pure
+    function of the table (rank-stable across cluster sizes; a k-means job
+    can swap in without changing consumers). Every vector is assigned to
+    its max-cosine centroid (ties → smallest centroid id); the assignment
+    is ONE broadcast join + window over |N| rows, and the resulting
+    ``cell`` column is the partition key the inverted lists live under.
+    """
+    cents = embeddings.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cent")
+    )
+    scored = embeddings.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents)).select(
+        id_col, vec_col, "cell", cosine_micros(F.col(vec_col), F.col("_cent")).alias("_cm")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cm"), F.asc("cell"))
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    return cents, assign
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    centroid_stride: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` cells whose
+    centroids are closest to the query (exact cosine within the probed
+    cells). The scale path beside LSH: candidate count is |probed cells|,
+    not |N|, and the cell column prunes the scan when the index is stored
+    partitioned-by-cell. Deterministic end-to-end (quantized-integer
+    cosine, id tie-breaks) — the DuckDB oracle reproduces it exactly.
+    """
+    cents, assign = ivf_assignments(embeddings, centroid_stride, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    qc = q.join(F.broadcast(cents)).select(
+        "query_id", "_qv", "cell", cosine_micros(F.col("_qv"), F.col("_cent")).alias("_cm")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cm"), F.asc("cell"))
+    probed = qc.withColumn("_rn", F.row_number().over(wq)).filter(F.col("_rn") <= nprobe).select(
+        "query_id", "_qv", "cell"
+    )
+    cand = assign.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell")
+    scored = (
+        cand.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine_micros(F.col("_qv"), F.col("_cv")).alias("cosine_micros")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_micros"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_micros")
+    )

@@ -674,3 +674,81 @@ SELECT user_id, day, n_events,
          false) AS returned_next_day
 FROM daily
 """
+
+
+def term_search_except_sql(include_terms: list[str], exclude_terms: list[str]) -> str:
+    n = len(set(include_terms))
+    return f"""
+WITH {_TOKENS_CTE}
+SELECT terms.doc_id
+FROM terms JOIN {_terms_values(include_terms)} ON terms.term = q.term
+GROUP BY terms.doc_id
+HAVING count(DISTINCT terms.term) = {n}
+EXCEPT
+SELECT DISTINCT terms.doc_id
+FROM terms JOIN {_terms_values(exclude_terms).replace(" AS q(term)", " AS qe(term)")} ON terms.term = qe.term
+"""
+
+
+def _cos_micros_sql(a: str, b: str) -> str:
+    """Cosine-in-micros over two pre-quantized BIGINT list expressions —
+    the same expression tree as similarity.cosine_micros (integer dot/norm
+    sums, float only in the final sqrt/divide)."""
+    return (
+        f"CAST(round(1e6 * CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS DOUBLE)"
+        f" / (sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE))"
+        f" * sqrt(CAST(list_sum(list_transform({b}, x -> x * x)) AS DOUBLE)))) AS BIGINT)"
+    )
+
+
+_QUANT_EMB = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+
+
+def embedding_cosine_dups_sql(threshold_micros: int = 900_000) -> str:
+    return f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_micros_sql('a.v', 'b.v')} AS cosine_micros
+  FROM qe a JOIN qe b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_micros FROM scored
+WHERE cosine_micros >= {threshold_micros}
+"""
+
+
+def ann_ivf_sql(
+    n_queries: int = 8, k: int = 5, centroid_stride: int = 64, nprobe: int = 2
+) -> str:
+    return f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM qe WHERE vec_id % {centroid_stride} = 0),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_micros_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rn
+    FROM qe e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM qe WHERE vec_id < {n_queries}),
+probed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_micros_sql('q.qv', 'c.cv')} DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_micros_sql('p.qv', 'a.v')} AS cosine_micros
+  FROM assign a JOIN probed p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine_micros FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_micros DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -36,6 +36,19 @@ def _export_pythonpath() -> None:
     # slowdown at local[32] before pinning.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "ARROW_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # Pin glibc malloc in every Python worker (inherited via the JVM): by
+    # default each batch-sized allocation is mmap'd and munmap'd, and at 32
+    # workers the resulting page-fault + TLB-shootdown storm puts the build
+    # at 60-75% SYS time — slower at 32 cores than at 8. Keeping large
+    # buffers in the arena (high mmap/trim thresholds) removes the kernel
+    # round-trips; arenas capped so 32 workers don't hoard address space.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(128 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(128 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
+    # pyarrow's default jemalloc pool madvise-releases every batch, which
+    # reintroduces the same storm on Arrow-heavy stages (segment encode) —
+    # route Arrow through the (now pinned) system allocator instead.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 
 _PYFILE_SENT: set[str] = set()
@@ -81,6 +94,7 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -92,7 +106,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", driver_mem)
+        # -Xms == -Xmx + AlwaysPreTouch: fault the whole heap in at session
+        # startup (untimed) instead of per-stage — 32 task threads first-
+        # touching fresh heap pages mid-build showed up as 60-90% SYS time
+        # (page-fault + TLB-shootdown storm). THP-madvise the heap so the
+        # kernel serves it with 2 MB pages (fewer faults, smaller TLB).
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+UseTransparentHugePages"
+            + (" -XX:+AlwaysPreTouch" if os.environ.get("SPARK_PRETOUCH") else ""),
+        )
         # Sandbox corpora are ~100 MB, so the default 128 MB split size packs
         # a whole table into 1-2 scan partitions and forces a content shuffle
         # to fan work out. 16 MB keeps scans >= core count here; at real
