@@ -20,7 +20,7 @@ order can never flip a rank.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
@@ -87,19 +87,29 @@ def bm25_topk(
     n_docs = int(sums["c"])
     avgdl = float(sums["s"]) / float(sums["c"])
 
-    post = postings(docs, id_col, text_col)
-    lex = lexicon(post, n_docs, id_col).select("term", "idf_bm25")
     q = _query_terms_df(spark, query_terms)
+    # prune at the TOKEN level, before any aggregate: df/tf for a term
+    # depend only on that term's tokens, so aggregating the ~|q| matching
+    # tokens instead of the full vocabulary is exact — and the broadcast
+    # join is the pushdown Catalyst cannot do through a groupBy on its own.
+    # df then comes from a window over the (tiny) pruned postings — one
+    # corpus pass total, no second explode to build a lexicon.
+    toks_q = exploded_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
+    post = toks_q.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    post = post.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
 
+    n = F.lit(float(n_docs))
+    df_ = F.col("df").cast("double")
+    idf_bm25 = F.log(F.lit(1.0) + (n - df_ + 0.5) / (df_ + 0.5))  # == lexicon()
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
-    contrib = F.col("idf_bm25") * (tf * (BM25_K1 + 1.0)) / (
+    contrib = idf_bm25 * (tf * (BM25_K1 + 1.0)) / (
         tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(avgdl))
     )
     scored = (
-        post.join(F.broadcast(q), "term")  # prune postings to query terms first
-        .join(F.broadcast(lex.join(F.broadcast(q), "term")), "term")
-        .join(dls, id_col)
+        post.join(dls, id_col)
         .select(F.col(id_col), F.round(contrib * 1e6).cast("long").alias("c_micros"))
         .groupBy(id_col)
         .agg(F.sum("c_micros").alias("score_micros"))
@@ -119,16 +129,20 @@ def tfidf_topk(
     tf = freq/totalTerms, Indexer.java:255 quirk Q15; idf = ln(N/(1+df)),
     Indexer.java:184 quirk Q9). Scores in micros for determinism."""
     n_docs = docs.count()
-    post = postings(docs, id_col, text_col)
-    lex = lexicon(post, n_docs, id_col).select("term", "idf_compat")
-    dls = doc_lengths(docs, id_col, text_col)
     q = _query_terms_df(spark, query_terms)
+    # token-level pruning + windowed df — same one-pass argument as
+    # bm25_topk; idf_compat inline == lexicon()'s expression
+    toks_q = exploded_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
+    post = toks_q.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    post = post.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    dls = doc_lengths(docs, id_col, text_col)
 
-    contrib = (F.col("tf").cast("double") / F.col("dl").cast("double")) * F.col("idf_compat")
+    idf_compat = F.log(F.lit(float(n_docs)) / (F.col("df").cast("double") + 1.0))
+    contrib = (F.col("tf").cast("double") / F.col("dl").cast("double")) * idf_compat
     scored = (
-        post.join(F.broadcast(q), "term")
-        .join(F.broadcast(lex.join(F.broadcast(q), "term")), "term")
-        .join(dls, id_col)
+        post.join(dls, id_col)
         .select(F.col(id_col), F.round(contrib * 1e6).cast("long").alias("c_micros"))
         .groupBy(id_col)
         .agg(F.sum("c_micros").alias("score_micros"))
