@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _docs(spark, sf), ALL_TERMS[:2], [ALL_TERMS[2]]
         ),
         "pagerank_integer": lambda spark, sf: _pagerank_integer(spark, sf),
+        "prefix_suggest": lambda spark, sf: ir.prefix_suggest(_docs(spark, sf), "s", k=5),
         # --- dedup family (training-data pipeline) ---
         "dedup_exact": lambda spark, sf: dedup.exact_dedup_groups(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "ann_ivf_topk": oracles.ann_ivf_sql(n_queries=8, k=5, centroid_stride=64, nprobe=2),
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
+        "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "dedup_exact": oracles.exact_dedup_sql(),

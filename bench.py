@@ -344,6 +344,21 @@ salted agg, bounded encode groups, single content shuffle) has no serial
 stage.
 
 Reproduce: `python bench.py --scaling --docs {out["docs"]}`
+
+## spark-submit --py-files (north rule submission mode)
+
+Verified working, with the package supplied ONLY via --py-files (run from
+outside the repo):
+
+```
+python -c "import shutil; shutil.make_archive('/tmp/sespark_pkg','zip',root_dir='.',base_dir='searchengine_spark')"
+/opt/spark/bin/spark-submit --master local[8] --py-files /tmp/sespark_pkg.zip \\
+    searchengine_spark/jobs/build_index.py --synthetic 2000 --out /tmp/idx --no-pagerank
+```
+
+On a cluster the same command takes `--master <cluster>` plus
+`--driver-memory/--executor-memory`; `jobs/run_queries.py` is the query
+twin.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)

@@ -227,3 +227,26 @@ def phrase_match(
             "inner",
         ).select(out[id_col], out["p0"])
     return out.select(id_col).distinct()
+
+
+def prefix_suggest(
+    docs: DataFrame,
+    prefix: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k suggestion terms for a prefix, by corpus frequency (ties by
+    term asc) — the engine-side analog of the reference's top-5 prefix
+    suggestions (suggestionService.js:6-31, SURVEY.md A9/O3; the reference
+    counts per-user query history client-side, the engine counts the
+    corpus). startswith compiles to a Catalyst StartsWith — at scale it
+    prunes against a term-sorted lexicon instead of re-tokenizing."""
+    return (
+        exploded_tokens(docs, id_col, text_col)
+        .filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )

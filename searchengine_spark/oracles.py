@@ -752,3 +752,12 @@ SELECT query_id, rank, neighbor_id, cosine_micros FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def prefix_suggest_sql(prefix: str, k: int = 5) -> str:
+    return f"""
+WITH {_TOKENS_CTE}
+SELECT term, count(*)::BIGINT AS n
+FROM terms WHERE term LIKE '{prefix}%'
+GROUP BY term ORDER BY n DESC, term ASC LIMIT {k}
+"""
