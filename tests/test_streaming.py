@@ -80,3 +80,59 @@ def test_multimodal_pipeline(spark):
 
     with _pytest.raises(Exception):
         image_features(media, deterministic_fake=False).collect()
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a session opened in batch 1 must
+    close (and emit) when batch 2 — fed through a checkpoint RESTART —
+    brings an event past the 30-min gap. Proves cross-batch state."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from searchengine_spark.streaming.stateful import stream_sessionize
+
+    events_dir = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt_sess")
+    events_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")  # Spark reads µs, not ns
+        df.to_parquet(events_dir / name, index=False)
+
+    # batch 1: user 1 has two events 10 min apart (one open session);
+    # user 2 has one event
+    write_batch("b1.parquet", [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+    ])
+    out_dir = str(tmp_path / "sessions")
+    q = stream_sessionize(spark, str(events_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+
+    def read_sessions():
+        import glob
+        files = glob.glob(os.path.join(out_dir, "batch=*", "*.parquet"))
+        if not files:
+            return []
+        return spark.read.parquet(os.path.join(out_dir, "*")).collect()
+
+    assert len(read_sessions()) == 0  # nothing closed yet
+
+    # batch 2 (restart from checkpoint): user 1 event 2h later → closes the
+    # batch-1 session (2 events) and opens a new one
+    write_batch("b2.parquet", [
+        (4, t0 + dt.timedelta(hours=2), 1, "click", 1.0, "{}"),
+    ])
+    q2 = stream_sessionize(spark, str(events_dir), out_dir, ckpt)
+    q2.awaitTermination(120)
+    rows = read_sessions()
+    out = {(r["user_id"], r["n_events"]) for r in rows}
+    assert (1, 2) in out  # the batch-1 session survived the restart intact
+    closed = [r for r in rows if r["user_id"] == 1 and r["n_events"] == 2][0]
+    assert closed["session_end_us"] - closed["session_start_us"] == 10 * 60 * 1_000_000
