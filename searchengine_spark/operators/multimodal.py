@@ -129,3 +129,97 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
         meta = {"duration_sec": str(10 + i % 50)} if kind == "video" else {}
         rows.append((i, kind, f"application/x-fake-{kind}", bytearray(blob), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, duration_ms long, n_bytes long, rms double"
+)
+
+
+def _audio_decode_fake(blob: bytes) -> tuple[int, int, float]:
+    h = hashlib.sha256(blob).digest()
+    sample_rate = (8000, 16000, 44100, 48000)[h[0] % 4]
+    duration_ms = 500 + int.from_bytes(h[1:3], "big") % 60_000
+    rms = h[3] / 255.0
+    return sample_rate, duration_ms, rms
+
+
+def audio_features(
+    media: DataFrame,
+    deterministic_fake: bool = False,
+    media_repartition_bytes: int = 256 << 20,
+) -> DataFrame:
+    """(media_id, sample_rate, duration_ms, n_bytes, rms) per audio row —
+    the audio twin of image_features (same byte-capped repartition, one
+    Arrow crossing; decode stubbed, seeded fake for pipeline tests)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "audio decode requires ffmpeg/librosa — use "
+                        "deterministic_fake=True for pipeline testing"
+                    )
+                sr, dur, rms = _audio_decode_fake(b)
+                rows.append((media_id, sr, dur, len(b), rms))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "duration_ms", "n_bytes", "rms"]
+            )
+
+    auds = _byte_capped(
+        media.filter(F.col("kind") == "audio").select("media_id", "blob"),
+        media_repartition_bytes,
+    )
+    return auds.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, blob binary"
+
+
+def image_resize(
+    media: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    deterministic_fake: bool = False,
+    media_repartition_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Resize stage plumbing: binary in → (resized) binary out, fixed target
+    dims. Fake path emits a deterministic content-hash-seeded blob of
+    width*height bytes, so downstream stages see realistic row sizes; the
+    real path is the PIL call."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "image resize requires PIL — use deterministic_fake=True"
+                    )
+                seed = hashlib.sha256(b).digest()
+                out = (seed * (target_width * target_height // len(seed) + 1))[
+                    : target_width * target_height
+                ]
+                rows.append((media_id, target_width, target_height, out))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "blob"])
+
+    imgs = _byte_capped(
+        media.filter(F.col("kind") == "image").select("media_id", "blob"),
+        media_repartition_bytes,
+    )
+    return imgs.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def _byte_capped(df: DataFrame, cap_bytes: int | None) -> DataFrame:
+    """Repartition so no task holds more than ~cap_bytes of blob."""
+    if not cap_bytes:
+        return df
+    total = df.agg(F.sum(F.length("blob")).alias("b")).collect()[0]["b"] or 0
+    n_parts = max(1, -(-int(total) // int(cap_bytes)))
+    if n_parts > df.rdd.getNumPartitions():
+        df = df.repartition(n_parts)
+    return df

@@ -136,3 +136,26 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert (1, 2) in out  # the batch-1 session survived the restart intact
     closed = [r for r in rows if r["user_id"] == 1 and r["n_events"] == 2][0]
     assert closed["session_end_us"] - closed["session_start_us"] == 10 * 60 * 1_000_000
+
+
+def test_multimodal_audio_and_resize(spark):
+    from searchengine_spark.operators.multimodal import (
+        audio_features,
+        image_resize,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, 30)
+    auds = audio_features(media, deterministic_fake=True).collect()
+    assert auds and all(r["sample_rate"] in (8000, 16000, 44100, 48000) for r in auds)
+    assert all(500 <= r["duration_ms"] < 60_500 for r in auds)
+
+    resized = image_resize(media, 64, 48, deterministic_fake=True).collect()
+    assert resized and all(len(r["blob"]) == 64 * 48 for r in resized)
+    # deterministic: same blob -> same resized bytes
+    again = image_resize(media, 64, 48, deterministic_fake=True).collect()
+    assert sorted(r["blob"] for r in resized) == sorted(r["blob"] for r in again)
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        audio_features(media, deterministic_fake=False).collect()
