@@ -76,10 +76,12 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 2) -> Dat
     )
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (J6: the 'not yet indexed' pattern)."""
+def customers_without_orders(spark: SparkSession, sf_dir: str, since: str = "1998-01-01") -> DataFrame:
+    """Anti-join (J6: the 'not yet indexed' pattern) — customers with no
+    order since the cutoff (the synthetic data gives every customer SOME
+    order, so the unfiltered anti join would be an empty-vs-empty check)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit(since))
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
 
 

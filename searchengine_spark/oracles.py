@@ -463,10 +463,11 @@ SELECT o_custkey, rn, o_orderkey, price_c FROM (
 """
 
 
-def customers_without_orders_sql() -> str:
-    return """
+def customers_without_orders_sql(since: str = "1998-01-01") -> str:
+    return f"""
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '{since}')
 """
 
 
