@@ -124,6 +124,10 @@ def build_index_bench(cpus: int, n_docs: int) -> dict:
     idx = load_index(spark, index_dir)
     stats = idx["documents"].agg(SF.sum("doc_len").alias("s"), SF.count(SF.lit(1)).alias("c")).collect()[0]
     avgdl = float(stats["s"]) / float(stats["c"]) if stats["c"] else 1.0
+    # serving path runs AQE OFF: adaptive re-planning costs ~0.5s of driver
+    # round-trips per small query (measured p50 2.0s -> 1.4s); AQE pays off
+    # on the build's big shuffles, not on k-row serving plans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     lats = []
     for q in ["index search engine", "return partition merge", "spark segment", "posting block skip", "graph pagerank crawler", "index search engine", "spark segment"]:
         t0 = time.monotonic()

@@ -28,7 +28,13 @@ def main(argv: list[str] | None = None) -> int:
     from searchengine_spark.operators.segments import wand_topk
     from searchengine_spark.functions.textproc import query_tokenize
 
-    spark = get_spark(master=args.master, app_name="run_queries")
+    # serving session: AQE off — adaptive re-planning adds ~0.5 s of driver
+    # round-trips per small query and buys nothing on k-row plans
+    spark = get_spark(
+        master=args.master,
+        app_name="run_queries",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     idx = load_index(spark, args.index)
 
     if args.mode == "compat":
@@ -58,4 +64,7 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    # bare-script invocation: sys.path[0] is jobs/, not the repo root
+    import os as _os
+    sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
     sys.exit(main())
