@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": relational.doc_length_histogram,
         "top_bigrams": relational.top_bigrams,
         "user_daily_activity": relational.user_daily_activity,
+        "events_hopping_window": relational.events_hopping_window,
     }
 
 
@@ -206,4 +207,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": oracles.doc_length_histogram_sql(),
         "top_bigrams": oracles.top_bigrams_sql(),
         "user_daily_activity": oracles.user_daily_activity_sql(),
+        "events_hopping_window": oracles.events_hopping_window_sql(),
     }

@@ -321,3 +321,23 @@ def user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "day", "n_events", F.coalesce("returned_next_day", F.lit(False)).alias("returned_next_day")
     )
+
+
+def events_hopping_window(
+    spark: SparkSession, sf_dir: str, window_min: int = 60, slide_min: int = 15
+) -> DataFrame:
+    """Sliding (hopping) window counts — each event lands in
+    window/slide overlapping windows (F.window with a slideDuration; the
+    tumbling case is events_hourly). Epoch-aligned starts, so the DuckDB
+    oracle reproduces the window set exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", f"{window_min} minutes", f"{slide_min} minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )

@@ -762,3 +762,21 @@ SELECT term, count(*)::BIGINT AS n
 FROM terms WHERE term LIKE '{prefix}%'
 GROUP BY term ORDER BY n DESC, term ASC LIMIT {k}
 """
+
+
+def events_hopping_window_sql(window_min: int = 60, slide_min: int = 15) -> str:
+    n_hops = window_min // slide_min
+    return f"""
+WITH hops AS (
+  SELECT event_type,
+         unnest(generate_series(
+             time_bucket(INTERVAL {slide_min} MINUTE, ts)
+               - INTERVAL {window_min - slide_min} MINUTE,
+             time_bucket(INTERVAL {slide_min} MINUTE, ts),
+             INTERVAL {slide_min} MINUTE)) AS wstart
+  FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+       count(*)::BIGINT AS n
+FROM hops GROUP BY 1, 2
+"""
