@@ -107,6 +107,11 @@ def build_index_bench(cpus: int, n_docs: int) -> dict:
         for k, v in metrics.items()
         if isinstance(v, dict) and "wall_ms" in v
     }
+    stages_ms = {
+        k: int(v["wall_ms"])
+        for k, v in metrics.items()
+        if isinstance(v, dict) and "wall_ms" in v
+    }
     n = spark.read.parquet(os.path.join(index_dir, "documents")).count()
     seg_bytes = sum(
         os.path.getsize(os.path.join(r, f))
@@ -143,6 +148,7 @@ def build_index_bench(cpus: int, n_docs: int) -> dict:
         "docs_per_sec": round(n / wall, 1),
         "segment_bytes": seg_bytes,
         "stages": stages,
+        "stages_ms": stages_ms,
         "wand_p50_sec": round(lats[len(lats) // 2], 3),
         "wand_p95_sec": round(lats[max(0, int(len(lats) * 0.95) - 1)], 3),
     }
@@ -231,19 +237,24 @@ def _burn(n: int) -> int:
 
 
 def _membw_ceiling() -> dict:
-    """Parallel-memcpy control: what 8→32-way scaling the VM's MEMORY BUS
-    delivers. Shuffle/scan/write stages are bandwidth-bound, so their
-    per-core scaling is capped by this number, not by core count — on a
-    real N→4N cluster every node adds its own memory bus and the cap
-    does not apply."""
+    """Parallel allocate+copy control: what 8→32-way scaling this VM's
+    memory subsystem (page faults + copies) delivers. Shuffle/publish
+    stages are memory-traffic-bound, so their per-core scaling is capped
+    near this number — on a real N→4N cluster every node adds its own
+    memory bus and the cap does not apply. Absolute MB/s counts copied
+    bytes (4 copies per 256 MB task), pool warm-up excluded."""
     import time as _t
     from multiprocessing import Pool
 
     def rate(procs: int) -> float:
-        t0 = _t.monotonic()
         with Pool(procs) as p:
+            p.map(_copy_mb, [64] * procs)  # warm the pool outside the timing
+            t0 = _t.monotonic()
             p.map(_copy_mb, [256] * procs * 2)
-        return procs * 2 * 256 / (_t.monotonic() - t0)  # MB/s aggregate
+            dt = _t.monotonic() - t0
+        # each task copies its 256 MB buffer 4 times → 4*256 MB of traffic
+        # (read+write per copy not double-counted; treat as copied bytes)
+        return procs * 2 * 4 * 256 / dt  # MB/s aggregate copied
 
     r8, r32 = rate(8), rate(32)
     return {"mb_s_8": round(r8), "mb_s_32": round(r32), "speedup": round(r32 / r8, 3)}
@@ -297,9 +308,9 @@ def run_scaling() -> None:
         "cpu_ceiling": ceiling,
         "membw_ceiling": membw,
         "stage_speedup": {
-            s: round(results[8]["stages"][s] / results[32]["stages"][s], 2)
-            for s in results[8].get("stages", {})
-            if results[32].get("stages", {}).get(s)
+            s: round(results[8]["stages_ms"][s] / results[32]["stages_ms"][s], 2)
+            for s in results[8].get("stages_ms", {})
+            if results[32].get("stages_ms", {}).get(s)
         },
         "efficiency_vs_machine_ceiling": round(speedup / ceiling["speedup"], 3) if ceiling["speedup"] else None,
     }
@@ -333,13 +344,14 @@ Per-stage speedup (best rounds): {out["stage_speedup"]}
 
 - pure-CPU (raw-Python multiprocessing): **{out["cpu_ceiling"]["speedup"]}×**
   (hyperthreaded/turbo-clamped — 32 logical ≠ 32 physical cores);
-- memory bandwidth (parallel memcpy): **{out["membw_ceiling"]["speedup"]}×**
+- memory traffic (parallel allocate+copy): **{out["membw_ceiling"]["speedup"]}×**
   ({out["membw_ceiling"]["mb_s_8"]} → {out["membw_ceiling"]["mb_s_32"]} MB/s
-  aggregate — the bus saturates near 8 streams).
+  aggregate copied — page-fault + copy throughput on this VM is extremely
+  low in absolute terms).
 
 The CPU-bound stages (tokenize/postings, segment encode) scale at or near
 the pure-CPU ceiling; the flat stages (ingest shuffle + parquet publish)
-are pinned to the memory-bandwidth ceiling, which one box cannot raise.
+are bound by single-box memory/disk traffic, which one box cannot raise.
 Relative to the CPU ceiling the whole build's efficiency is
 **{out["efficiency_vs_machine_ceiling"]}**. On a real N→4N cluster every
 added executor brings its own memory bus and disks, so the bandwidth-bound

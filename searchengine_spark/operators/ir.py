@@ -20,7 +20,7 @@ order can never flip a rank.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
@@ -43,25 +43,53 @@ def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col), doc_len(F.col(text_col)).alias("dl"))
 
 
-def lexicon(post: DataFrame, n_docs: int, id_col: str = "doc_id") -> DataFrame:
-    """(term, df, idf_bm25, idf_compat) per term.
-
-    - ``idf_bm25``  : Robertson ln(1 + (N-df+0.5)/(df+0.5))
-    - ``idf_compat``: the reference's ln(N/(1+df)) (Indexer.java:184, quirk Q9 —
-      may go negative; reproduced for compat scoring)
-    """
+def idf_bm25_expr(n_docs: int, df_col: str = "df") -> F.Column:
+    """Robertson ln(1 + (N-df+0.5)/(df+0.5)) — the ONE definition every
+    consumer (lexicon, top-k scorers, oracles-by-construction) shares."""
     n = F.lit(float(n_docs))
-    df_ = F.col("df").cast("double")
+    df_ = F.col(df_col).cast("double")
+    return F.log(F.lit(1.0) + (n - df_ + 0.5) / (df_ + 0.5))
+
+
+def idf_compat_expr(n_docs: int, df_col: str = "df") -> F.Column:
+    """The reference's ln(N/(1+df)) (Indexer.java:184, quirk Q9 — may go
+    negative; reproduced for compat scoring)."""
+    return F.log(F.lit(float(n_docs)) / (F.col(df_col).cast("double") + 1.0))
+
+
+def lexicon(post: DataFrame, n_docs: int, id_col: str = "doc_id") -> DataFrame:
+    """(term, df, idf_bm25, idf_compat) per term."""
     return post.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df")).select(
         "term",
         "df",
-        F.log(F.lit(1.0) + (n - df_ + 0.5) / (df_ + 0.5)).alias("idf_bm25"),
-        F.log(n / (df_ + 1.0)).alias("idf_compat"),
+        idf_bm25_expr(n_docs).alias("idf_bm25"),
+        idf_compat_expr(n_docs).alias("idf_compat"),
     )
 
 
 def _query_terms_df(spark: SparkSession, terms: list[str]) -> DataFrame:
     return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
+def _pruned_postings_with_df(
+    docs: DataFrame, q: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(term, id, tf, df) restricted to the query terms.
+
+    Pruning happens at the TOKEN level, before any aggregate: df/tf for a
+    term depend only on that term's tokens, so aggregating the ~|q| matching
+    tokens instead of the full vocabulary is exact — and the broadcast join
+    is the pushdown Catalyst cannot do through a groupBy on its own. df then
+    comes from a tiny per-term aggregate broadcast-joined back — NOT from a
+    window partitioned by term, which would concentrate a hot term's entire
+    posting list on one task (the exact skew this engine salts against
+    elsewhere). The pruned explode runs twice (once per aggregate); both
+    passes are map-only scans with no concentration point.
+    """
+    toks_q = exploded_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
+    post = toks_q.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    dfs = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))  # |q| rows
+    return post.join(F.broadcast(dfs), "term")
 
 
 def bm25_topk(
@@ -88,21 +116,9 @@ def bm25_topk(
     avgdl = float(sums["s"]) / float(sums["c"])
 
     q = _query_terms_df(spark, query_terms)
-    # prune at the TOKEN level, before any aggregate: df/tf for a term
-    # depend only on that term's tokens, so aggregating the ~|q| matching
-    # tokens instead of the full vocabulary is exact — and the broadcast
-    # join is the pushdown Catalyst cannot do through a groupBy on its own.
-    # df then comes from a window over the (tiny) pruned postings — one
-    # corpus pass total, no second explode to build a lexicon.
-    toks_q = exploded_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
-    post = toks_q.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    post = post.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    post = _pruned_postings_with_df(docs, q, id_col, text_col)
 
-    n = F.lit(float(n_docs))
-    df_ = F.col("df").cast("double")
-    idf_bm25 = F.log(F.lit(1.0) + (n - df_ + 0.5) / (df_ + 0.5))  # == lexicon()
+    idf_bm25 = idf_bm25_expr(n_docs)
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     contrib = idf_bm25 * (tf * (BM25_K1 + 1.0)) / (
@@ -130,17 +146,10 @@ def tfidf_topk(
     Indexer.java:184 quirk Q9). Scores in micros for determinism."""
     n_docs = docs.count()
     q = _query_terms_df(spark, query_terms)
-    # token-level pruning + windowed df — same one-pass argument as
-    # bm25_topk; idf_compat inline == lexicon()'s expression
-    toks_q = exploded_tokens(docs, id_col, text_col).join(F.broadcast(q), "term")
-    post = toks_q.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    post = post.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    post = _pruned_postings_with_df(docs, q, id_col, text_col)
     dls = doc_lengths(docs, id_col, text_col)
 
-    idf_compat = F.log(F.lit(float(n_docs)) / (F.col("df").cast("double") + 1.0))
-    contrib = (F.col("tf").cast("double") / F.col("dl").cast("double")) * idf_compat
+    contrib = (F.col("tf").cast("double") / F.col("dl").cast("double")) * idf_compat_expr(n_docs)
     scored = (
         post.join(dls, id_col)
         .select(F.col(id_col), F.round(contrib * 1e6).cast("long").alias("c_micros"))
@@ -181,19 +190,25 @@ def term_search_except(
 ) -> DataFrame:
     """Docs containing ALL include terms and NONE of the exclude terms —
     the set-difference member of the term-search family (SURVEY.md §2.6
-    O4's union + §2.5 J5's intersection get their EXCEPT sibling). The
-    exclusion is a LEFT ANTI join against the any-match doc set: no
-    distinct-aggregate on the big side, and the anti join's build side is
-    the (small) matching-doc list."""
-    inc = term_search_all(spark, docs, include_terms, id_col, text_col)
-    q = _query_terms_df(spark, exclude_terms)
-    exc = (
+    O4's union + §2.5 J5's intersection get their EXCEPT sibling). ONE
+    corpus pass: tokens join the flagged include∪exclude term set, then a
+    single per-doc aggregate checks both conditions."""
+    inc, exc = set(include_terms), set(exclude_terms)
+    q = docs.sparkSession.createDataFrame(
+        [(t, t in inc, t in exc) for t in inc | exc],
+        "term string, is_inc boolean, is_exc boolean",
+    )
+    return (
         exploded_tokens(docs, id_col, text_col)
         .join(F.broadcast(q), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(F.when(F.col("is_inc"), F.col("term"))).alias("n_inc"),
+            F.max(F.col("is_exc").cast("int")).alias("any_exc"),
+        )
+        .filter((F.col("n_inc") == len(inc)) & (F.col("any_exc") == 0))
         .select(id_col)
-        .distinct()
     )
-    return inc.join(exc, id_col, "left_anti")
 
 
 def phrase_match(

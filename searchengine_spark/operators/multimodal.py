@@ -91,13 +91,10 @@ def image_features(
                 ],
             )
 
-    imgs = media.filter(F.col("kind") == "image").select("media_id", "blob")
-    if media_repartition_bytes:
-        total = imgs.agg(F.sum(F.length("blob")).alias("b")).collect()[0]["b"] or 0
-        n_parts = max(1, -(-int(total) // int(media_repartition_bytes)))
-        cur = imgs.rdd.getNumPartitions()
-        if n_parts > cur:
-            imgs = imgs.repartition(n_parts)
+    imgs = _byte_capped(
+        media.filter(F.col("kind") == "image").select("media_id", "blob"),
+        media_repartition_bytes,
+    )
     return imgs.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
 
 

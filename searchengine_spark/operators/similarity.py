@@ -148,6 +148,11 @@ def ivf_assignments(
     cents = embeddings.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("_cent")
     )
+    if not cents.head(1):
+        raise ValueError(
+            f"no centroid ids: no {id_col} is a multiple of centroid_stride="
+            f"{centroid_stride} — lower the stride (ids must include its multiples)"
+        )
     scored = embeddings.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents)).select(
         id_col, vec_col, "cell", cosine_micros(F.col(vec_col), F.col("_cent")).alias("_cm")
     )

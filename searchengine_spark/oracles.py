@@ -756,16 +756,18 @@ SELECT query_id, rank, neighbor_id, cosine_micros FROM (
 
 
 def prefix_suggest_sql(prefix: str, k: int = 5) -> str:
+    # starts_with (not LIKE): the Spark side is a literal startswith, so
+    # LIKE metacharacters in the prefix must not act as wildcards
+    p = prefix.replace("'", "''")
     return f"""
 WITH {_TOKENS_CTE}
 SELECT term, count(*)::BIGINT AS n
-FROM terms WHERE term LIKE '{prefix}%'
+FROM terms WHERE starts_with(term, '{p}')
 GROUP BY term ORDER BY n DESC, term ASC LIMIT {k}
 """
 
 
 def events_hopping_window_sql(window_min: int = 60, slide_min: int = 15) -> str:
-    n_hops = window_min // slide_min
     return f"""
 WITH hops AS (
   SELECT event_type,

@@ -59,11 +59,22 @@ def _sessionize_fn(gap_us: int):
         for t in ts_us:
             if start is None:
                 start, last, n = t, t, 1
-            elif t - last > gap_us:
-                closed.append((user_id, start, last, n))
-                start, last, n = t, t, 1
+            elif t > last:
+                if t - last > gap_us:
+                    closed.append((user_id, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
             else:
-                last, n = t, n + 1
+                # late event at-or-before the open session's end (admitted
+                # while above the watermark): absorb it if it falls within
+                # the gap of the session start — never move `last` backward
+                # (a regressed `last` mis-splits later events and can set a
+                # timeout at/below the watermark)
+                if t >= start - gap_us:
+                    start, n = min(start, t), n + 1
+                else:
+                    closed.append((user_id, t, t, 1))
 
         if start is not None:
             state.update((int(start), int(last), int(n)))

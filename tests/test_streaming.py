@@ -159,3 +159,54 @@ def test_multimodal_audio_and_resize(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         audio_features(media, deterministic_fake=False).collect()
+
+
+def test_stream_sessionize_out_of_order(spark, tmp_path):
+    """A late event (earlier than the open session's end) must be absorbed
+    without regressing the session end — a following event inside the TRUE
+    gap must not split the session."""
+    import datetime as dt
+
+    import glob
+
+    import pandas as pd
+
+    from searchengine_spark.streaming.stateful import stream_sessionize
+
+    events_dir = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt_ooo")
+    out_dir = str(tmp_path / "sessions_ooo")
+    events_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(events_dir / name, index=False)
+
+    write_batch("b1.parquet", [(1, t0, 1, "c", 1.0, "{}")])
+    q = stream_sessionize(spark, str(events_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2: late event 10 min BEFORE t0 (absorbed), then one 25 min
+    # after t0 (within gap of the true last=t0) — must stay ONE session
+    write_batch("b2.parquet", [
+        (2, t0 - dt.timedelta(minutes=10), 1, "c", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=25), 1, "c", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=3), 1, "c", 1.0, "{}"),  # closes it
+    ])
+    q2 = stream_sessionize(spark, str(events_dir), out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    rows = (
+        spark.read.parquet(os.path.join(out_dir, "*")).collect()
+        if glob.glob(os.path.join(out_dir, "batch=*", "*.parquet"))
+        else []
+    )
+    closed = [r for r in rows if r["user_id"] == 1 and r["n_events"] == 3]
+    assert closed, f"expected one 3-event session, got {rows}"
+    s = closed[0]
+    assert s["session_start_us"] == int((t0 - dt.timedelta(minutes=10)).timestamp() * 1e6)
+    assert s["session_end_us"] == int((t0 + dt.timedelta(minutes=25)).timestamp() * 1e6)
