@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from searchengine_spark import oracles
-from searchengine_spark.operators import ir
+from searchengine_spark.operators import serve
+from searchengine_spark.plans.gate_index import gate_index
 from searchengine_spark.sources.tables import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -30,12 +31,12 @@ TOPK = 10
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: BM25 top-k over documents at sf0.001."""
+    """Flagship query: BM25 top-k over documents at sf0.001, served from the
+    prebuilt gate index (build-or-load, then a pruned postings lookup)."""
     from searchengine_spark.session import ship_package
 
     ship_package(spark)  # harness-created sessions: workers get the package
-    docs = load_table(spark, SF0001, "documents")
-    return ir.bm25_topk(spark, docs, BM25_TERMS, k=TOPK)
+    return serve.bm25_topk(spark, gate_index(spark, SF0001), BM25_TERMS, k=TOPK)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,25 +50,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return load_table(spark, sf, "embeddings")
 
     return {
-        # --- inverted index / retrieval (SURVEY.md §2.3-2.6, §3) ---
-        "postings_tf": lambda spark, sf: ir.postings(_docs(spark, sf)),
-        "lexicon_stats": lambda spark, sf: _lexicon_stats(spark, sf),
-        "bm25_topk": lambda spark, sf: ir.bm25_topk(
-            spark, _docs(spark, sf), BM25_TERMS, k=TOPK
+        # --- inverted index / retrieval, SERVED FROM THE BUILT INDEX ---
+        # (plans/gate_index.py builds postings/lexicon/segments once per sf;
+        # every entry below is a partition-pruned index lookup, not a corpus
+        # re-tokenization — SURVEY.md §2.3-2.6, §3)
+        "postings_tf": lambda spark, sf: serve.postings_tf(spark, gate_index(spark, sf)),
+        "lexicon_stats": lambda spark, sf: serve.lexicon_stats(spark, gate_index(spark, sf)),
+        "bm25_topk": lambda spark, sf: serve.bm25_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
-        "tfidf_topk": lambda spark, sf: ir.tfidf_topk(
-            spark, _docs(spark, sf), TFIDF_TERMS, k=TOPK
+        # the compressed-segment block-max-WAND physical path, same oracle
+        "bm25_topk_wand": lambda spark, sf: serve.bm25_topk_wand(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
-        "term_search_all": lambda spark, sf: ir.term_search_all(
-            spark, _docs(spark, sf), ALL_TERMS
+        "tfidf_topk": lambda spark, sf: serve.tfidf_topk(
+            spark, gate_index(spark, sf), TFIDF_TERMS, k=TOPK
         ),
-        "phrase_match": lambda spark, sf: ir.phrase_match(_docs(spark, sf), PHRASE),
-        "term_search_any": lambda spark, sf: _term_search_any(spark, sf),
-        "term_search_except": lambda spark, sf: ir.term_search_except(
-            spark, _docs(spark, sf), ALL_TERMS[:2], [ALL_TERMS[2]]
+        "term_search_all": lambda spark, sf: serve.term_search_all(
+            spark, gate_index(spark, sf), ALL_TERMS
+        ),
+        "phrase_match": lambda spark, sf: serve.phrase_match(
+            spark, gate_index(spark, sf), PHRASE
+        ),
+        "term_search_any": lambda spark, sf: serve.term_search_any(
+            spark, gate_index(spark, sf), ALL_TERMS
+        ),
+        "term_search_except": lambda spark, sf: serve.term_search_except(
+            spark, gate_index(spark, sf), ALL_TERMS[:2], [ALL_TERMS[2]]
         ),
         "pagerank_integer": lambda spark, sf: _pagerank_integer(spark, sf),
-        "prefix_suggest": lambda spark, sf: ir.prefix_suggest(_docs(spark, sf), "s", k=5),
+        "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
+            spark, gate_index(spark, sf), "s", k=5
+        ),
         # --- dedup family (training-data pipeline) ---
         "dedup_exact": lambda spark, sf: dedup.exact_dedup_groups(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
@@ -123,20 +137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _term_search_any(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from searchengine_spark.functions.tokenize import exploded_tokens
-
-    q = spark.createDataFrame([(t,) for t in ALL_TERMS], "term string")
-    return (
-        exploded_tokens(_docs(spark, sf_dir))
-        .join(F.broadcast(q), "term")
-        .select("doc_id")
-        .distinct()
-    )
-
-
 def _pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.graph_demo import pagerank_integer
 
@@ -149,20 +149,6 @@ def _pagerank_integer_sql() -> str:
     return pagerank_integer_sql(iterations=5)
 
 
-def _lexicon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
-    lex = ir.lexicon(ir.postings(docs), n_docs)
-    return lex.select(
-        "term",
-        "df",
-        F.round(F.col("idf_bm25") * 1e6).cast("long").alias("idf_bm25_micros"),
-        F.round(F.col("idf_compat") * 1e6).cast("long").alias("idf_compat_micros"),
-    )
-
-
 def oracle_sql() -> dict[str, str]:
     # NOTE: "ann_lsh_topk" is intentionally absent — the LSH bucketing uses
     # driver-derived hyperplanes that are deliberately approximate (recall<1);
@@ -171,6 +157,9 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": oracles.postings_sql(),
         "lexicon_stats": oracles.lexicon_sql(),
         "bm25_topk": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
+        # WAND path answers the SAME oracle as the columnar path — the
+        # compressed index is hash-gated, not just property-tested
+        "bm25_topk_wand": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),

@@ -3,7 +3,8 @@ columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 The Spark-side machinery — schema, partition sizing, UDF signatures, batch
-shapes — is real and tested (tests/test_multimodal.py). The actual media
+shapes — is real and tested (tests/test_streaming.py::test_multimodal_pipeline,
+::test_multimodal_audio_and_resize). The actual media
 decode is STUBBED: the sandbox has no PIL/ffmpeg/torchvision, so
 ``decode_image`` raises ``NotImplementedError`` unless
 ``deterministic_fake=True``, which produces a seeded fake decode
@@ -217,6 +218,10 @@ def _byte_capped(df: DataFrame, cap_bytes: int | None) -> DataFrame:
         return df
     total = df.agg(F.sum(F.length("blob")).alias("b")).collect()[0]["b"] or 0
     n_parts = max(1, -(-int(total) // int(cap_bytes)))
-    if n_parts > df.rdd.getNumPartitions():
+    # estimate current split count from driver metadata (no .rdd conversion):
+    # file-backed frames report their files; in-memory frames spread over
+    # defaultParallelism slices
+    src_parts = len(df.inputFiles()) or df.sparkSession.sparkContext.defaultParallelism
+    if n_parts > src_parts:
         df = df.repartition(n_parts)
     return df

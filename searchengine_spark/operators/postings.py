@@ -37,7 +37,11 @@ def build_postings(documents: DataFrame) -> DataFrame:
     the file splits already exceed core count and this is a no-op."""
     narrow = documents.select("doc_id", "content")
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < parallelism:
+    # Driver-side file metadata only (no .rdd access — that would force an
+    # RDD conversion plan); small-file coalescing is the case we care about,
+    # a big file splits into >1 task on its own.
+    n_files = len(documents.inputFiles()) or 1
+    if n_files < parallelism:
         narrow = narrow.repartition(parallelism)
     return narrow.mapInArrow(emit_postings_arrow, POSTINGS_SCHEMA)
 

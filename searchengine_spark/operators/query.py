@@ -187,17 +187,22 @@ def search_compat(
 
     from pyspark.sql import Window
 
-    win = Window.partitionBy()
+    # A6 max-normalizers (Ranker.java:88-89) as a 1-row aggregate broadcast
+    # back over the candidates — NOT an unpartitioned window, which would
+    # move the whole candidate set of a hot term onto a single task.
     # Degenerate-max guards: when every candidate's tfidf_sum (or pagerank)
     # is 0, the reference would compute 0/0 = NaN (Ranker.java:88-89 — it
     # never happens there because PR always runs). We define the normalized
     # term as 0 instead, mirrored in tests/oracle.py, so indexes built with
     # with_pagerank=False still rank sanely.
-    max_tfidf = F.max("tfidf_sum").over(win)
-    max_pr = F.max("pr").over(win)
+    maxima = per_doc.agg(
+        F.max("tfidf_sum").alias("_max_tfidf"), F.max("pr").alias("_max_pr")
+    )
+    max_tfidf = F.col("_max_tfidf")
+    max_pr = F.col("_max_pr")
     tfidf_term = F.when(max_tfidf != 0.0, F.col("tfidf_sum") / max_tfidf).otherwise(0.0)
     pr_term = F.when(max_pr != 0.0, F.col("pr") / max_pr).otherwise(0.0)
-    scored = per_doc.select(
+    scored = per_doc.crossJoin(F.broadcast(maxima)).select(
         "doc_id",
         "url",
         "title",

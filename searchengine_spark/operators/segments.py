@@ -24,6 +24,7 @@ most one term's postings within one shard — bounded by shard_span docs.
 from __future__ import annotations
 
 import heapq
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -153,18 +154,34 @@ def _reencode(segments: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------------ WAND
 
+def _micros(x: float) -> int:
+    """round(x*1e6) half-up — the integer-micros contract every gate uses
+    (same result as Spark ``F.round(col*1e6)`` / DuckDB ``round(x*1e6)``
+    for the positive scores that occur here)."""
+    return int(math.floor(x * 1e6 + 0.5))
+
+
 def _wand_shard(
     term_blocks: dict[str, list[dict]],
     idfs: dict[str, float],
     avgdl: float,
     k: int,
     threshold: float = float("-inf"),
+    micros: bool = False,
 ) -> list[tuple[float, int, list[tuple[str, float]]]]:
     """Block-max WAND over one shard's decoded block lists.
 
     Returns up to k (score, doc_id, contribs) tuples. Exact w.r.t. brute
     force (property-tested): pruning only skips docs whose UB sum can't beat
     the current kth score.
+
+    With ``micros=True``, every per-term contribution is rounded to bigint
+    micros exactly as the columnar scorers do, and ALL comparisons (upper
+    bounds, pivot selection, heap threshold) run on those integers — the
+    returned scores are bit-identical to ``sum(round(contrib*1e6))``, so the
+    WAND path shares the columnar path's DuckDB oracle. Rounding is monotone,
+    so a rounded block max is still a valid upper bound for rounded
+    contributions; pruning stays exact.
     """
 
     class TermIter:
@@ -175,6 +192,8 @@ def _wand_shard(
             self.blocks = sorted(blocks, key=lambda b: b["block_id"])
             self.bi = 0
             self.ub = max(b["block_max_score"] for b in self.blocks)
+            if micros:
+                self.ub = _micros(self.ub)
             self.ids = None  # current block decoded lazily
 
         @property
@@ -200,7 +219,10 @@ def _wand_shard(
             return int(self.ids[self.pi])
 
         def cur_block_max(self) -> float:
-            return self.blocks[self.bi]["block_max_score"] if not self.exhausted else 0.0
+            if self.exhausted:
+                return 0
+            bm = self.blocks[self.bi]["block_max_score"]
+            return _micros(bm) if micros else bm
 
         def advance_to(self, target: int):
             # block-level skip via skip_doc_id (no decode), then in-block gallop
@@ -225,9 +247,10 @@ def _wand_shard(
             self._ensure()
             tf = float(self.tfs[self.pi])
             dl = float(self.dls[self.pi])
-            return idfs[self.term] * (tf * (codec.BM25_K1 + 1.0)) / (
+            c = idfs[self.term] * (tf * (codec.BM25_K1 + 1.0)) / (
                 tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl)
             )
+            return _micros(c) if micros else c
 
     iters = [TermIter(t, bl) for t, bl in term_blocks.items() if bl]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
@@ -407,5 +430,51 @@ def wand_topk(
             "score",
         )
     )
+
+
+def wand_topk_micros(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    query_terms: list[str],
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Block-max WAND returning exact **bigint-micros** scores:
+    (doc_id, score_micros), bit-identical to the columnar
+    ``sum(round(contrib*1e6))`` BM25 — the compressed physical path under the
+    same DuckDB oracle as the columnar one.
+
+    Plan: one tiny |q|-row lexicon lookup (idf + bucket) → bucket-partition-
+    pruned segment scan → per-shard integer WAND heap (applyInPandas) →
+    global TakeOrderedAndProject merge of ≤ k rows per shard."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score_micros long")
+    idf_rows = (
+        lexicon.filter(F.col("term").isin(terms))
+        .select("term", "idf_bm25", F.pmod(F.hash("term"), F.lit(n_buckets)).alias("bucket"))
+        .collect()
+    )
+    idfs = {r["term"]: r["idf_bm25"] for r in idf_rows}
+    if not idfs:
+        return spark.createDataFrame([], "doc_id long, score_micros long")
+    buckets = sorted({int(r["bucket"]) for r in idf_rows})
+    pruned = segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_blocks: dict[str, list[dict]] = {}
+        for _, row in pdf.iterrows():
+            term_blocks.setdefault(row["term"], []).append(row.to_dict())
+        top = _wand_shard(term_blocks, idfs, avgdl, k, micros=True)
+        return pd.DataFrame(
+            [(int(d), int(s)) for s, d, _ in top], columns=["doc_id", "score_micros"]
+        ).astype({"doc_id": "int64", "score_micros": "int64"})
+
+    per_shard = pruned.groupBy("shard").applyInPandas(
+        run_shard, "doc_id long, score_micros long"
+    )
+    return per_shard.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)
 
 

@@ -1,0 +1,236 @@
+"""Index-served retrieval: every gated query answered from the prebuilt
+gate index (plans/gate_index.py) instead of re-tokenizing the corpus.
+
+This is the engine's actual physical query path, mirroring the reference's
+index-served lookups (SearchService.java:464-477 — per-term fetches against
+the prebuilt ``Terms`` collection; our analog is a partition-pruned scan of
+the term-bucketed postings/segments parquet):
+
+- ONE tiny driver job per query collects the |q| lexicon rows (term, df,
+  idf, bucket) — the point-lookup step;
+- the postings scan is pruned to the query terms' bucket directories
+  (partition pruning) plus a term predicate pushed to parquet;
+- scoring joins the broadcast |q|-row lexicon back — no corpus scan, no
+  per-query aggregate over the vocabulary, no driver-side avgdl job (avgdl
+  is a manifest scalar).
+
+Scores are bigint micros (round(score*1e6)) summed in integer space — exact,
+associative, bit-identical across partition counts and engines (the same
+contract the round-1 gates established).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_EMPTY_TOPK = "doc_id long, score_micros long"
+
+
+def _qlex(spark: SparkSession, idx: dict, terms: list[str]) -> list:
+    """The per-query point lookup: collect the query terms' lexicon rows."""
+    uniq = list(dict.fromkeys(terms))
+    return (
+        idx["lexicon"]
+        .filter(F.col("term").isin(uniq))
+        .select("term", "df", "idf_bm25", "idf_compat", "bucket")
+        .collect()
+    )
+
+
+def _pruned_postings(idx: dict, rows: list) -> DataFrame:
+    """Postings scan restricted to the query terms: bucket partition pruning
+    + term predicate pushdown."""
+    buckets = sorted({int(r["bucket"]) for r in rows})
+    terms = [r["term"] for r in rows]
+    return idx["postings"].filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+
+
+def _lex_df(spark: SparkSession, rows: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(r["term"], r["df"], r["idf_bm25"], r["idf_compat"]) for r in rows],
+        "term string, df long, idf_bm25 double, idf_compat double",
+    )
+
+
+def postings_tf(spark: SparkSession, idx: dict) -> DataFrame:
+    """The stored postings themselves (term, doc_id, tf)."""
+    return idx["postings"].select("term", "doc_id", "tf")
+
+
+def lexicon_stats(spark: SparkSession, idx: dict) -> DataFrame:
+    return idx["lexicon"].select(
+        "term",
+        "df",
+        F.round(F.col("idf_bm25") * 1e6).cast("long").alias("idf_bm25_micros"),
+        F.round(F.col("idf_compat") * 1e6).cast("long").alias("idf_compat_micros"),
+    )
+
+
+def bm25_topk(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 top-k served from the index: (doc_id, score_micros).
+
+    Plan: pruned postings scan → broadcast join of the |q|-row lexicon →
+    per-doc bigint aggregate → TakeOrderedAndProject. Zero corpus scans,
+    zero per-query driver aggregates."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    avgdl = F.lit(idx["avgdl"])
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = F.col("idf_bm25") * (tf * (BM25_K1 + 1.0)) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    )
+    return (
+        post.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def tfidf_topk(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Reference-style TF-IDF top-k (tf/totalTerms · ln(N/(1+df)), quirks
+    Q15/Q9) served from the index."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    contrib = (F.col("tf").cast("double") / F.col("dl").cast("double")) * F.col(
+        "idf_compat"
+    )
+    return (
+        post.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def term_search_all(
+    spark: SparkSession, idx: dict, query_terms: list[str]
+) -> DataFrame:
+    """Posting-list intersection (J5) over the stored postings."""
+    uniq = list(dict.fromkeys(query_terms))
+    rows = _qlex(spark, idx, uniq)
+    if len(rows) < len(uniq):  # a term with no postings → empty intersection
+        return spark.createDataFrame([], "doc_id long")
+    return (
+        _pruned_postings(idx, rows)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))  # postings unique per (term,doc)
+        .filter(F.col("n_terms") == len(uniq))
+        .select("doc_id")
+    )
+
+
+def term_search_any(
+    spark: SparkSession, idx: dict, query_terms: list[str]
+) -> DataFrame:
+    """Posting-list union (O4)."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], "doc_id long")
+    return _pruned_postings(idx, rows).select("doc_id").distinct()
+
+
+def term_search_except(
+    spark: SparkSession,
+    idx: dict,
+    include_terms: list[str],
+    exclude_terms: list[str],
+) -> DataFrame:
+    """ALL include terms and NONE of the exclude terms (O4' EXCEPT) — one
+    pruned postings pass, one per-doc aggregate."""
+    inc, exc = set(include_terms), set(exclude_terms)
+    rows = _qlex(spark, idx, sorted(inc | exc))
+    found = {r["term"] for r in rows}
+    if not inc <= found:  # an include term with no postings → empty
+        return spark.createDataFrame([], "doc_id long")
+    flags = spark.createDataFrame(
+        [(t, t in inc, t in exc) for t in sorted(inc | exc)],
+        "term string, is_inc boolean, is_exc boolean",
+    )
+    return (
+        _pruned_postings(idx, rows)
+        .join(F.broadcast(flags), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.when(F.col("is_inc"), F.col("term"))).alias("n_inc"),
+            F.max(F.col("is_exc").cast("int")).alias("any_exc"),
+        )
+        .filter((F.col("n_inc") == len(inc)) & (F.col("any_exc") == 0))
+        .select("doc_id")
+    )
+
+
+def phrase_match(
+    spark: SparkSession, idx: dict, phrase_terms: list[str]
+) -> DataFrame:
+    """Exact token-adjacent phrase, served from the STORED positions arrays
+    (the reference stored positions but never used them — quirk Q10; we use
+    them, and from the index rather than re-tokenizing)."""
+    assert len(phrase_terms) >= 2
+    rows = _qlex(spark, idx, phrase_terms)
+    found = {r["term"] for r in rows}
+    if not set(phrase_terms) <= found:
+        return spark.createDataFrame([], "doc_id long")
+    pos = _pruned_postings(idx, rows).select(
+        "doc_id", "term", F.explode("positions").alias("p")
+    )
+    first = pos.filter(F.col("term") == phrase_terms[0]).select(
+        "doc_id", F.col("p").alias("p0")
+    )
+    out = first
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("_id"), F.col("p").alias(f"p{i}")
+        )
+        out = out.join(
+            nxt, (out["doc_id"] == nxt["_id"]) & (nxt[f"p{i}"] == out["p0"] + i), "inner"
+        ).select(out["doc_id"], out["p0"])
+    return out.select("doc_id").distinct()
+
+
+def prefix_suggest(
+    spark: SparkSession, idx: dict, prefix: str, k: int = 5
+) -> DataFrame:
+    """Top-k suggestion terms by corpus frequency — a lexicon-only scan
+    (StartsWith prunes against parquet term min/max), no corpus pass."""
+    return (
+        idx["lexicon"]
+        .filter(F.col("term").startswith(prefix))
+        .select("term", F.col("cf").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def bm25_topk_wand(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 top-k via block-max WAND over the compressed segments —
+    (doc_id, score_micros), hash-identical to ``bm25_topk`` (same DuckDB
+    oracle): scoring inside WAND runs in integer micros (each term
+    contribution rounded exactly as the column expression does), so pruning
+    thresholds and final scores are exact integers on any engine."""
+    from searchengine_spark.operators.segments import wand_topk_micros
+
+    return wand_topk_micros(
+        spark, idx["segments"], idx["lexicon"], query_terms, idx["avgdl"], k=k
+    )
