@@ -84,9 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- dedup family (training-data pipeline) ---
         "dedup_exact": lambda spark, sf: dedup.exact_dedup_groups(_docs(spark, sf)),
-        "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
-            _docs(spark, sf), n=3, threshold_micros=100_000
-        ),
+        "dedup_ngram_jaccard": lambda spark, sf: _ngram_jaccard_capped(spark, sf),
         "minhash_signatures": lambda spark, sf: dedup.minhash_signatures(
             _docs(spark, sf), n_perms=16
         ),
@@ -106,7 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # synthetic embeddings have no true near-identical pairs (max pair
         # cosine ~0.51), so the gate threshold 0.35 selects the top ~0.1%
-        # most-similar pairs — same operator, non-empty check
+        # most-similar pairs — same operator, non-empty check. Default mode
+        # is the banded-LSH candidate path (linear at scale); the oracle
+        # replicates the banding exactly.
         "embedding_cosine_dups": lambda spark, sf: dedup.embedding_cosine_dups(
             emb(spark, sf), threshold_micros=350_000
         ),
@@ -137,6 +137,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# stop-shingle cap (dedup_ngram_jaccard gate): integer-exact in both engines
+NGRAM_DF_CAP_MIN = 16
+NGRAM_DF_CAP_DEN = 100  # cap = max(16, ceil_div(n_docs, 100))
+
+
+def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators import dedup
+
+    n_docs = _docs(spark, sf_dir).count()
+    cap = max(NGRAM_DF_CAP_MIN, (n_docs + NGRAM_DF_CAP_DEN - 1) // NGRAM_DF_CAP_DEN)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold_micros=100_000, max_shingle_df=cap
+    )
+
+
 def _pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.graph_demo import pagerank_integer
 
@@ -150,9 +165,6 @@ def _pagerank_integer_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    # NOTE: "ann_lsh_topk" is intentionally absent — the LSH bucketing uses
-    # driver-derived hyperplanes that are deliberately approximate (recall<1);
-    # the driver records the weaker rows-only check for it.
     return {
         "postings_tf": oracles.postings_sql(),
         "lexicon_stats": oracles.lexicon_sql(),
@@ -165,12 +177,20 @@ def oracle_sql() -> dict[str, str]:
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "ann_ivf_topk": oracles.ann_ivf_sql(n_queries=8, k=5, centroid_stride=64, nprobe=2),
+        # the approximate LSH path is deterministic (integer plane dots), so
+        # even recall<1 output is hash-checkable — no more rows-only gate
+        "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "dedup_exact": oracles.exact_dedup_sql(),
-        "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(n=3, threshold_micros=100_000),
+        "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(
+            n=3,
+            threshold_micros=100_000,
+            df_cap_min=NGRAM_DF_CAP_MIN,
+            df_cap_den=NGRAM_DF_CAP_DEN,
+        ),
         "minhash_signatures": oracles.minhash_sql(n_perms=16),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(n_perms=16, rows_per_band=8),
         "simhash": oracles.simhash_sql(n_bits=32),

@@ -201,13 +201,34 @@ shingles AS (
 """
 
 
-def ngram_jaccard_sql(n: int = 3, threshold_micros: int = 100000) -> str:
+def ngram_jaccard_sql(
+    n: int = 3,
+    threshold_micros: int = 100000,
+    df_cap_min: int | None = None,
+    df_cap_den: int = 100,
+) -> str:
+    """With ``df_cap_min`` set, ubiquitous shingles (doc frequency >
+    max(df_cap_min, ceil_div(n_docs, df_cap_den))) are dropped before the
+    candidate join — the stop-shingle defusal mirrored from
+    dedup.ngram_jaccard_pairs(max_shingle_df=...). Pure integer arithmetic
+    so both engines compute the identical cap."""
+    src = "shingles"
+    cap_ctes = ""
+    if df_cap_min is not None:
+        cap_ctes = f""",
+cap AS (SELECT greatest({df_cap_min}, (count(*) + {df_cap_den - 1}) // {df_cap_den})::BIGINT AS c
+        FROM documents),
+hot AS (SELECT shingle FROM shingles GROUP BY shingle
+        HAVING count(*) > (SELECT c FROM cap)),
+kept AS (SELECT s.* FROM shingles s LEFT JOIN hot USING (shingle)
+         WHERE hot.shingle IS NULL)"""
+        src = "kept"
     return f"""
-WITH {_shingles_cte(n)},
-sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shingles GROUP BY 1),
+WITH {_shingles_cte(n)}{cap_ctes},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM {src} GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -705,13 +726,101 @@ def _cos_micros_sql(a: str, b: str) -> str:
 _QUANT_EMB = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
 
 
-def embedding_cosine_dups_sql(threshold_micros: int = 900_000) -> str:
+def _sig_sql(vec_expr: str, n_planes: int, dim: int = 64) -> str:
+    """Hyperplane LSH signature over a pre-quantized BIGINT list — the
+    integer plane components are compile-time literals (functions/planes.py),
+    so the sign of every plane dot is an exact integer comparison identical
+    to the Spark/numpy side."""
+    from searchengine_spark.functions.planes import plane_ints
+
+    parts = []
+    for comps in plane_ints(n_planes, dim):
+        lit = "[" + ", ".join(str(c) for c in comps) + "]::BIGINT[]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({vec_expr}, {lit}),"
+            f" p -> p[1] * p[2])) > 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)
+
+
+def ann_lsh_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    dim: int = 64,
+) -> str:
+    """Exact replica of similarity.ann_lsh_topk: integer hyperplane
+    signatures → banded (OR-amplified) candidates → integer-cosine rerank."""
+    n_bands = n_planes // rows_per_band
     return f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_sig_sql('v', n_planes, dim)} AS s FROM qe),
+bands AS (
+  SELECT vec_id, b.range AS band_id,
+         substr(s, (b.range * {rows_per_band} + 1)::INT, {rows_per_band}) AS band_key
+  FROM sig CROSS JOIN range({n_bands}) b
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c
+    ON q.band_id = c.band_id AND q.band_key = c.band_key
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_cos_micros_sql('qv.v', 'cv.v')} AS cosine_micros
+  FROM cand
+  JOIN qe qv ON qv.vec_id = cand.query_id
+  JOIN qe cv ON cv.vec_id = cand.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine_micros FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_micros DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def embedding_cosine_dups_sql(
+    threshold_micros: int = 900_000,
+    exact: bool = False,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    dim: int = 64,
+) -> str:
+    """Default: the banded-LSH candidate path (dedup.embedding_cosine_dups'
+    scale-safe default) reproduced exactly — signatures, band split,
+    bucket join, integer-cosine verify. ``exact=True`` is the all-pairs
+    small-scale twin."""
+    if exact:
+        return f"""
 WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_cos_micros_sql('a.v', 'b.v')} AS cosine_micros
   FROM qe a JOIN qe b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_micros FROM scored
+WHERE cosine_micros >= {threshold_micros}
+"""
+    n_bands = n_planes // rows_per_band
+    return f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_sig_sql('v', n_planes, dim)} AS s FROM qe),
+bands AS (
+  SELECT vec_id, b.range AS band_id,
+         substr(s, (b.range * {rows_per_band} + 1)::INT, {rows_per_band}) AS band_key
+  FROM sig CROSS JOIN range({n_bands}) b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM bands a JOIN bands b2
+    ON a.band_id = b2.band_id AND a.band_key = b2.band_key AND a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT id_a, id_b, {_cos_micros_sql('va.v', 'vb.v')} AS cosine_micros
+  FROM cand JOIN qe va ON va.vec_id = id_a JOIN qe vb ON vb.vec_id = id_b
 )
 SELECT id_a, id_b, cosine_micros FROM scored
 WHERE cosine_micros >= {threshold_micros}

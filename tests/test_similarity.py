@@ -1,0 +1,83 @@
+"""ANN/LSH quality gates: the approximate paths are hash-gated for
+determinism (tests/test_entry_parity.py), but a deterministic-yet-useless
+signature would still hash-match — these tests pin RECALL against an exact
+numpy reference so a quality regression fails loudly (VERDICT r01 item 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from searchengine_spark.operators import dedup, similarity
+from searchengine_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+THRESH = 350_000  # same gate threshold as __spark_entry__
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(spark):
+    return load_table(spark, SF, "embeddings").toPandas()
+
+
+def _exact_micros_matrix(emb_pdf):
+    V = similarity._quantize_np(np.stack(emb_pdf["embedding"].to_numpy()))
+    n = np.sqrt((V * V).sum(1).astype(np.float64))
+    return similarity._micros_np(
+        (1e6 * (V @ V.T).astype(np.float64)) / (n[:, None] * n[None, :])
+    )
+
+
+def test_ann_lsh_recall_floor(spark, emb_pdf):
+    """Banded-LSH top-k recall vs brute force ≥ 0.25 (measured ~0.45 on this
+    corpus whose 'neighbors' are weak, cosine ~0.3-0.5 — true near-dups
+    recall far higher; the floor catches a broken signature/banding)."""
+    emb = load_table(spark, SF, "embeddings")
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.ann_bruteforce_topk(emb).collect()}
+    lsh_rows = similarity.ann_lsh_topk(emb).collect()
+    lsh = {(r.query_id, r.neighbor_id) for r in lsh_rows}
+    assert len(bf & lsh) / len(bf) >= 0.25
+    # rerank correctness: every reported cosine is the true exact cosine
+    M = _exact_micros_matrix(emb_pdf)
+    ids = emb_pdf["vec_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for r in lsh_rows:
+        assert r.cosine_micros == M[pos[r.query_id], pos[r.neighbor_id]]
+
+
+def test_embedding_dups_lsh_subset_and_recall(spark, emb_pdf):
+    """The banded candidate path returns a SUBSET of the exact all-pairs
+    result (precision 1.0 by construction — every candidate is exact-
+    verified) with recall above a floor."""
+    emb = load_table(spark, SF, "embeddings")
+    got = {(r.id_a, r.id_b) for r in dedup.embedding_cosine_dups(emb, THRESH).collect()}
+    M = _exact_micros_matrix(emb_pdf)
+    ids = emb_pdf["vec_id"].to_numpy()
+    iu = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if M[i, j] >= THRESH
+    }
+    assert got <= exact  # precision 1.0
+    assert len(got & exact) / max(1, len(exact)) >= 0.25  # measured ~0.47
+
+
+def test_exact_mode_matches_numpy(spark, emb_pdf):
+    """The exact=True all-pairs mode equals the numpy reference exactly."""
+    emb = load_table(spark, SF, "embeddings").limit(100)
+    got = {
+        (r.id_a, r.id_b, r.cosine_micros)
+        for r in dedup.embedding_cosine_dups(emb, THRESH, exact=True).collect()
+    }
+    ids_set = set(emb.select("vec_id").toPandas()["vec_id"])
+    sub = emb_pdf[emb_pdf["vec_id"].isin(ids_set)].reset_index(drop=True)
+    M = _exact_micros_matrix(sub)
+    ids = sub["vec_id"].to_numpy()
+    iu = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])), int(M[i, j]))
+        for i, j in zip(*iu)
+        if M[i, j] >= THRESH
+    }
+    assert got == exact
