@@ -27,6 +27,10 @@ BM25_TERMS = ["spark", "hash", "join"]
 TFIDF_TERMS = ["merge", "sort", "window"]
 ALL_TERMS = ["vector", "stream", "window"]
 PHRASE = ["hash", "join"]
+# compat-gate query: words must be Porter-fixed points (query_tokenize
+# returns them unchanged) so the DuckDB oracle needs no stemmer
+COMPAT_QUERY = "hash join window"
+COMPAT_TERMS = ["hash", "join", "window"]
 TOPK = 10
 
 
@@ -77,6 +81,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "term_search_except": lambda spark, sf: serve.term_search_except(
             spark, gate_index(spark, sf), ALL_TERMS[:2], [ALL_TERMS[2]]
+        ),
+        # the reference's own ranking formula (Ranker.java:74-97: weighted
+        # tfidf/pagerank/title/header-cap), gated end-to-end incl. url/title
+        # result assembly
+        "compat_topk": lambda spark, sf: serve.compat_topk(
+            spark, sf, COMPAT_QUERY, k=TOPK
         ),
         "pagerank_integer": lambda spark, sf: _pagerank_integer(spark, sf),
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
@@ -182,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
+        "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "dedup_exact": oracles.exact_dedup_sql(),

@@ -231,7 +231,15 @@ def search_compat(
 
     ranked = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return ranked.select(
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rank"),
+        F.row_number()
+            .over(
+                # rank over the already-limited <=k rows; the single-valued
+                # partition key (non-foldable, so the optimizer keeps it) is
+                # intentional — bounded input, and no spurious "No Partition
+                # Defined" warning from an empty partition spec
+                Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+            .alias("rank"),
         "doc_id",
         "url",
         "title",
@@ -285,7 +293,15 @@ def search_bm25(
 
     ranked = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return ranked.select(
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rank"),
+        F.row_number()
+            .over(
+                # rank over the already-limited <=k rows; the single-valued
+                # partition key (non-foldable, so the optimizer keeps it) is
+                # intentional — bounded input, and no spurious "No Partition
+                # Defined" warning from an empty partition spec
+                Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+            .alias("rank"),
         "doc_id",
         "url",
         "score",

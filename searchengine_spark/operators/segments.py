@@ -424,7 +424,15 @@ def wand_topk(
     return (
         ranked.join(documents.select("doc_id", "url"), "doc_id", "left")
         .select(
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rank"),
+            F.row_number()
+            .over(
+                # rank over the already-limited <=k rows; the single-valued
+                # partition key (non-foldable, so the optimizer keeps it) is
+                # intentional — bounded input, and no spurious "No Partition
+                # Defined" warning from an empty partition spec
+                Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+            .alias("rank"),
             "doc_id",
             "url",
             "score",

@@ -221,6 +221,93 @@ def prefix_suggest(
     )
 
 
+# ---------------------------------------------------------------- compat gate
+
+_COMPAT_FIXTURES: dict = {}
+
+
+def compat_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """Fixture index for gating the reference's compat scorer
+    (Ranker.java:74-97) end-to-end over the driver's ``documents`` table.
+
+    Derived deterministically so the DuckDB oracle can reproduce every
+    column (the full-pipeline index uses the Porter/crude-stem tokenizer,
+    which is not SQL-expressible — tokenization here is the simple gate
+    tokenizer; the stemming quirks stay covered by the pytest oracle suite):
+
+    - postings: the gate index's, plus header flags from the first
+      occurrence position — h1: minpos<5, h2: 5≤minpos<15, h3: 15≤minpos<30
+      (disjoint, the markdown-header analog for headerless plain text);
+    - documents: url = ``doc://{source}/{doc_id}``, title = first 48 chars,
+      content = text, pagerank = the exact-integer PageRank twin
+      (graph_demo.pagerank_integer, 5 iterations) cast to double — integer-
+      valued doubles, so pr/max_pr ratios are bit-identical cross-engine.
+    """
+    from searchengine_spark.operators.graph_demo import pagerank_integer
+    from searchengine_spark.plans.gate_index import gate_index
+    from searchengine_spark.sources.tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _COMPAT_FIXTURES:
+        return _COMPAT_FIXTURES[key]
+    idx = gate_index(spark, sf_dir)
+    minpos = F.element_at("positions", 1)  # positions stored sorted
+    post = idx["postings"].select(
+        "term",
+        "doc_id",
+        "tf",
+        F.col("dl").alias("doc_len"),
+        "positions",
+        (minpos < 5).alias("term_h1"),
+        ((minpos >= 5) & (minpos < 15)).alias("term_h2"),
+        ((minpos >= 15) & (minpos < 30)).alias("term_h3"),
+    )
+    lex = idx["lexicon"].select("term", "df", "idf_bm25", "idf_compat")
+    docs = load_table(spark, sf_dir, "documents")
+    pr = pagerank_integer(docs, iterations=5)
+    documents = (
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.substring("text", 1, 48).alias("title"),
+            F.col("text").alias("content"),
+        )
+        .join(pr, "doc_id")
+        .withColumn("pagerank", F.col("rank_scaled").cast("double"))
+        .drop("rank_scaled")
+    )
+    out = {"postings": post, "lexicon": lex, "documents": documents}
+    _COMPAT_FIXTURES[key] = out
+    return out
+
+
+def compat_topk(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    """The reference's full ranking pipeline (0.4·tfidf/max + 0.3·pr/max +
+    0.7·titleMatches/|Q_words| + min(header, 0.45), quirks Q3/Q9/Q14/Q15)
+    gated end-to-end: (rank, doc_id, url, title, score_micros).
+
+    Runs query.search_compat over the compat fixture. The Q11 has-snippet
+    filter is provably a no-op on this corpus (plain space-separated text +
+    Porter-fixed query terms → every candidate's term is findable), so the
+    SQL oracle omits it; tests/test_compat_gate.py asserts the invariant.
+    """
+    from searchengine_spark.operators.query import search_compat
+
+    fx = compat_fixture(spark, sf_dir)
+    res = search_compat(
+        spark, fx["postings"], fx["lexicon"], fx["documents"], query, k=k
+    )
+    return res.select(
+        "rank",
+        "doc_id",
+        "url",
+        "title",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_micros"),
+    )
+
+
 def bm25_topk_wand(
     spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
 ) -> DataFrame:

@@ -864,6 +864,116 @@ SELECT query_id, rank, neighbor_id, cosine_micros FROM (
 """
 
 
+def compat_topk_sql(terms: list[str], query: str, k: int = 10) -> str:
+    """DuckDB twin of serve.compat_topk / query.search_compat — the
+    reference's Ranker.java:74-97 formula:
+
+        0.4·tfidfSum/maxTfIdf + 0.3·pr/maxPr
+        + 0.7·titleMatches/|Query_Words| + min(headerScore, 0.45)
+
+    Float-exactness: the Spark side folds per-term doubles in term-sorted
+    order starting from 0.0; here the fold is an explicit left-associated
+    pivot sum over the sorted term list with ``coalesce(x, 0.0)`` for absent
+    terms — adding +0.0 is IEEE-exact, so both folds produce bit-identical
+    doubles. PageRank comes from the exact-integer twin (integer-valued
+    doubles), and the final score is rounded to bigint micros.
+
+    ``query`` must tokenize to ``terms`` unchanged (Porter-fixed words).
+    Query_Words comes from the reference's broken Q3 split (for a plain
+    multi-word query that is the single whole lowered string), computed here
+    by the same python function the Spark side uses.
+    """
+    from searchengine_spark.functions.textproc import query_words
+
+    ts = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in ts)
+    qws = [w.lower().replace("'", "''") for w in query_words(query)]
+    tm_expr = " + ".join(
+        f"(CASE WHEN contains(lower(dx.title), '{w}') THEN 1 ELSE 0 END)" for w in qws
+    )
+    qw_div = repr(float(len(qws)))
+
+    def _fold(col: str) -> str:
+        expr = "0.0"
+        for t in ts:
+            expr = f"({expr} + coalesce(max(CASE WHEN term = '{t}' THEN {col} END), 0.0))"
+        return expr
+
+    pr_cte = pagerank_integer_sql_import()
+    return f"""
+WITH toksc AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t FROM documents
+),
+posc AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos FROM toksc
+),
+dlsc AS (
+  SELECT doc_id, len(list_filter(t, x -> x <> ''))::BIGINT AS dl FROM toksc
+),
+nq AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+postq AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf, min(pos)::BIGINT AS minpos
+  FROM posc WHERE term IN ({in_list}) GROUP BY 1, 2
+),
+lexq AS (SELECT term, count(*)::BIGINT AS df FROM postq GROUP BY 1),
+prq AS (SELECT doc_id, rank_scaled FROM ({pr_cte}) AS _p),
+docsx AS (
+  SELECT doc_id,
+         'doc://' || source || '/' || doc_id::VARCHAR AS url,
+         substr(text, 1, 48) AS title
+  FROM documents
+),
+rows_ AS (
+  SELECT p.doc_id, p.term,
+         (CAST(p.tf AS DOUBLE) / CAST(d.dl AS DOUBLE)) * ln(nq.n_docs / (lexq.df + 1.0)) AS tfidf,
+         (CASE WHEN p.minpos < 5 THEN 0.45
+               WHEN p.minpos < 15 THEN 0.25
+               WHEN p.minpos < 30 THEN 0.1 ELSE 0.0 END) AS hdr,
+         ({tm_expr}) AS tm
+  FROM postq p
+  JOIN dlsc d USING (doc_id)
+  JOIN lexq USING (term)
+  JOIN docsx dx USING (doc_id)
+  CROSS JOIN nq
+),
+per_doc AS (
+  SELECT doc_id,
+         {_fold('tfidf')} AS tfidf_sum,
+         {_fold('hdr')} AS header_score,
+         sum(tm)::BIGINT AS title_matches
+  FROM rows_ GROUP BY doc_id
+),
+per_doc_pr AS (
+  SELECT pd.*, dx.url, dx.title,
+         CAST(coalesce(pr.rank_scaled, 0) AS DOUBLE) AS pr
+  FROM per_doc pd
+  JOIN docsx dx USING (doc_id)
+  LEFT JOIN prq pr USING (doc_id)
+),
+mx AS (SELECT max(tfidf_sum) AS mt, max(pr) AS mp FROM per_doc_pr),
+scored AS (
+  SELECT doc_id, url, title,
+         (((0.4 * (CASE WHEN mt <> 0.0 THEN tfidf_sum / mt ELSE 0.0 END))
+           + (0.3 * (CASE WHEN mp <> 0.0 THEN pr / mp ELSE 0.0 END)))
+          + (0.7 * (CAST(title_matches AS DOUBLE) / {qw_div})))
+         + least(header_score, 0.45) AS score
+  FROM per_doc_pr CROSS JOIN mx
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+       doc_id, url, title,
+       CAST(round(score * 1e6) AS BIGINT) AS score_micros
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def pagerank_integer_sql_import() -> str:
+    from searchengine_spark.operators.graph_demo import pagerank_integer_sql
+
+    return pagerank_integer_sql(iterations=5)
+
+
 def prefix_suggest_sql(prefix: str, k: int = 5) -> str:
     # starts_with (not LIKE): the Spark side is a literal startswith, so
     # LIKE metacharacters in the prefix must not act as wildcards
