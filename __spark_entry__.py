@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": lambda spark, sf: dedup.embedding_cosine_dups(
             emb(spark, sf), threshold_micros=350_000
         ),
+        # --- multimodal plumbing (deterministic-fake decode; the Spark-side
+        # schema/partitioning/Arrow machinery is real, the media libs are
+        # stubbed — SURVEY/VERDICT multimodal row) ---
+        "image_features": lambda spark, sf: _media_features(spark, sf, "image"),
+        "audio_features": lambda spark, sf: _media_features(spark, sf, "audio"),
         # --- text analysis ---
         "token_stats": lambda spark, sf: textstats.token_stats(_docs(spark, sf)),
         "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
@@ -145,6 +150,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_daily_activity": relational.user_daily_activity,
         "events_hopping_window": relational.events_hopping_window,
     }
+
+
+def _media_features(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Fake-media feature gates: one media row per documents row (size scales
+    with sf), features recomputed bit-for-bit by the DuckDB oracle."""
+    from searchengine_spark.operators import multimodal
+
+    n = _docs(spark, sf_dir).count()
+    media = multimodal.make_fake_media(spark, n)
+    fn = multimodal.image_features if kind == "image" else multimodal.audio_features
+    return fn(media, deterministic_fake=True)
 
 
 # stop-shingle cap (dedup_ngram_jaccard gate): integer-exact in both engines
@@ -206,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(n_perms=16, rows_per_band=8),
         "simhash": oracles.simhash_sql(n_bits=32),
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
+        "image_features": oracles.image_features_sql(),
+        "audio_features": oracles.audio_features_sql(),
         "token_stats": oracles.token_stats_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),

@@ -51,10 +51,18 @@ def _decode_real(blob: bytes) -> tuple[int, int, tuple[float, float, float]]:
     )
 
 
+def _fake_digest(blob: bytes) -> bytes:
+    """Content digest for the fake decodes: sha256 of the LOWERCASE-HEX
+    encoding of the blob (not the raw bytes) — DuckDB's sha256 only hashes
+    VARCHAR, and hashing the hex string lets the driver-gate oracle
+    recompute every fake feature engine-independently."""
+    return hashlib.sha256(blob.hex().encode()).digest()
+
+
 def _decode_fake(blob: bytes) -> tuple[int, int, tuple[float, float, float]]:
     """Seeded fake decode: dimensions and channel means derived from the
     content hash — deterministic, so downstream aggregates are testable."""
-    h = hashlib.sha256(blob).digest()
+    h = _fake_digest(blob)
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
     means = (h[2] / 255.0, h[3] / 255.0, h[4] / 255.0)
@@ -81,9 +89,13 @@ def image_features(
             for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
                 b = bytes(blob)
                 w, hgt, (mr, mg, mb) = decode(b)
-                rows.append(
-                    (media_id, w, hgt, len(b), hashlib.sha256(b).hexdigest(), mr, mg, mb)
-                )
+                # fake mode fingerprints the hex encoding (what _fake_digest
+                # hashes) so the SQL oracle can recompute it; real mode
+                # fingerprints the raw bytes (the ingest-invariant analog)
+                fp = (
+                    hashlib.sha256(b.hex().encode()) if deterministic_fake else hashlib.sha256(b)
+                ).hexdigest()
+                rows.append((media_id, w, hgt, len(b), fp, mr, mg, mb))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -135,7 +147,7 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def _audio_decode_fake(blob: bytes) -> tuple[int, int, float]:
-    h = hashlib.sha256(blob).digest()
+    h = _fake_digest(blob)
     sample_rate = (8000, 16000, 44100, 48000)[h[0] % 4]
     duration_ms = 500 + int.from_bytes(h[1:3], "big") % 60_000
     rms = h[3] / 255.0

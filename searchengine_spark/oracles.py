@@ -864,6 +864,62 @@ SELECT query_id, rank, neighbor_id, cosine_micros FROM (
 """
 
 
+# shared CTE: the deterministic fake media table (multimodal.make_fake_media,
+# n = |documents|), reconstructed byte-for-byte in SQL. A blob's lowercase
+# hex is repeat(sha256('media'||i), 4 + i%7); all fake features derive from
+# sha256 of that hex string (multimodal._fake_digest — DuckDB's sha256 only
+# hashes VARCHAR, which is why the fake path fingerprints hex, not bytes).
+_MEDIA_CTE = """
+ids AS (SELECT row_number() OVER () - 1 AS i FROM documents),
+blobhex AS (
+  SELECT i, i % 3 AS kind_id,
+         repeat(sha256('media' || i::VARCHAR), (4 + i % 7)::INT) AS bh
+  FROM ids
+),
+feats AS (
+  SELECT i AS media_id, kind_id, sha256(bh) AS hx,
+         (length(bh) // 2)::BIGINT AS n_bytes
+  FROM blobhex
+)
+"""
+
+
+def _hexbyte(k: int) -> str:
+    """SQL int value of digest byte k (0-based) from the hex column hx."""
+    return f"CAST(('0x' || substr(hx, {2 * k + 1}, 2)) AS INT)"
+
+
+def image_features_sql() -> str:
+    """Twin of multimodal.image_features(make_fake_media(n_docs),
+    deterministic_fake=True): kind 'image' = i % 3 == 0."""
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id::BIGINT AS media_id,
+       (16 + {_hexbyte(0)} % 240)::INT AS width,
+       (16 + {_hexbyte(1)} % 240)::INT AS height,
+       n_bytes,
+       hx AS sha256,
+       {_hexbyte(2)} / 255.0 AS mean_r,
+       {_hexbyte(3)} / 255.0 AS mean_g,
+       {_hexbyte(4)} / 255.0 AS mean_b
+FROM feats WHERE kind_id = 0
+"""
+
+
+def audio_features_sql() -> str:
+    """Twin of multimodal.audio_features(...): kind 'audio' = i % 3 == 1."""
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id::BIGINT AS media_id,
+       (CASE {_hexbyte(0)} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 44100 ELSE 48000 END)::INT AS sample_rate,
+       (500 + CAST(('0x' || substr(hx, 3, 4)) AS INT) % 60000)::BIGINT AS duration_ms,
+       n_bytes,
+       {_hexbyte(3)} / 255.0 AS rms
+FROM feats WHERE kind_id = 1
+"""
+
+
 def compat_topk_sql(terms: list[str], query: str, k: int = 10) -> str:
     """DuckDB twin of serve.compat_topk / query.search_compat — the
     reference's Ranker.java:74-97 formula:
