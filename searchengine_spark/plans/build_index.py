@@ -88,9 +88,12 @@ def build_index(
                 .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
                 .collect()[0]
             )
-            dl = post.groupBy("doc_id").agg(F.first("doc_len").alias("dl")).agg(
-                F.sum("dl").alias("s")
-            ).collect()[0]
+            # avgdl without re-shuffling postings by doc: every kept token
+            # contributes exactly 1 to some tf AND 1 to its doc's doc_len
+            # (textproc.index_tokenize), so sum(tf) == sum over docs of
+            # doc_len — a narrow map-side aggregate instead of the full
+            # groupBy('doc_id') exchange this stage used to pay.
+            dl = post.agg(F.sum("tf").alias("s")).collect()[0]
         skew = float(stats["mx"]) / float(stats["mean"]) if stats["mean"] else 1.0
         avgdl = float(dl["s"] or 0) / n_docs if n_docs else 1.0
         parts = lin.partition_metrics(stage_path("lexicon"))

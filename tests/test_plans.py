@@ -91,11 +91,43 @@ def test_exact_dedup_single_shuffle(spark):
     assert "Join" not in plan and "Sort" not in plan
 
 
-def test_ann_bruteforce_broadcasts_queries(spark):
+def test_ann_bruteforce_is_one_scan_no_join(spark):
+    """The numpy-matmul brute force ships the |Q|-row query set as a driver
+    constant: the plan must be scan → MapInPandas → window over the tiny
+    per-batch top-k — no join of any kind, no |Q|×N row blowup."""
     from searchengine_spark.operators import similarity
     from searchengine_spark.sources.tables import load_table
 
     emb = load_table(spark, SF_DIR, "embeddings")
     plan = plan_of(similarity.ann_bruteforce_topk(emb, n_queries=4, k=3))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan  # |Q|xN must not be a full cartesian
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_serve_bm25_prunes_and_broadcasts(spark):
+    """Index-served BM25: postings scan pruned to the query terms' bucket
+    directories (PartitionFilters), lexicon rows broadcast, bounded top-k,
+    and nothing big shuffled."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.bm25_topk(spark, idx, ["spark", "hash"], k=10))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "bucket" in pf
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_serve_wand_prunes_buckets(spark):
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.bm25_topk_wand(spark, idx, ["spark", "hash"], k=10))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "bucket" in pf
+    assert "TakeOrderedAndProject" in plan
