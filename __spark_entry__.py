@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compat_topk": lambda spark, sf: serve.compat_topk(
             spark, sf, COMPAT_QUERY, k=TOPK
         ),
+        # result assembly (SearchService.convertDocumentsToResults shape:
+        # term/url/title/snippet/id + rank/score) — snippet rendered at query
+        # time over the <=k winners, bolding/ellipses per the reference
+        "search_results": lambda spark, sf: _search_results(spark, sf),
         "pagerank_integer": lambda spark, sf: _pagerank_integer(spark, sf),
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
@@ -178,6 +182,14 @@ def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.results import search_results
+
+    return search_results(
+        spark, gate_index(spark, sf_dir), _docs(spark, sf_dir), BM25_TERMS, k=TOPK
+    )
+
+
 def _pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.graph_demo import pagerank_integer
 
@@ -209,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
+        "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "dedup_exact": oracles.exact_dedup_sql(),

@@ -1,0 +1,140 @@
+"""Result assembly: the reference's search-response shape, index-served.
+
+The reference materializes every hit as ``{term, url, title, snippet, id}``
+(SearchService.convertDocumentsToResults, SearchService.java:391-423) with
+``snippet = snippets[0]`` — the first pre-rendered 60-word window of the
+page's last-processed term (quirks Q11/Q12). Round 1 covered this shape only
+in the pytest oracle suite; this module gates it: BM25 top-k from the gate
+index, then url/title lookup and a 60-word centered snippet rendered at
+query time for the <=k candidate docs.
+
+Snippet contract (the simple-tokenizer analog of
+Indexer.getCenteredTermSnippets, Indexer.java:354-394, so the DuckDB oracle
+can replicate it bit-for-bit — the Porter-stemmed variant stays covered by
+tests/oracle.py):
+
+- ``words = split(text, '\\s+')`` (raw, punctuated words);
+- a word *matches* the snippet term iff the term appears in the word's
+  simple-token list (``split(lower(word), '[^a-z0-9]+')``) — the same
+  tokenizer that built the index, so every candidate doc has a match;
+- the window centers on the FIRST matching word: ``start = max(0, i - 30)``,
+  ``end = min(n, start + 60)``, ``start = max(0, end - 60)`` (the
+  reference's clipping rules);
+- matching words inside the window are wrapped in ``<b>..</b>``, words are
+  space-joined, ``'... '`` / ``' ...'`` ellipses mark clipped edges;
+- snippet term = the lexicographically LAST matched query term of the doc
+  (the pinned Q12 "last processed term" order).
+
+Everything here is Catalyst higher-order functions over <=k rows — the
+per-element lambda interpretation cost is bounded by k, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.tokenize import TOKEN_SPLIT_RE
+
+SNIPPET_WORDS = 60
+
+
+def _word_matches(word: Column, term: Column) -> Column:
+    """Word-vs-term match under the simple-tokenizer contract."""
+    return F.array_contains(F.split(F.lower(word), TOKEN_SPLIT_RE), term)
+
+
+def snippet_expr(text: Column, term: Column, n_words: int = SNIPPET_WORDS) -> Column:
+    """60-word centered, bolded, ellipsized snippet as one Catalyst
+    expression (null when the term never matches — callers on index-served
+    candidates never see that)."""
+    half = n_words // 2
+    words = F.split(text, r"\s+")
+    n = F.size(words)
+    # first matching word index (0-based): filter the position sequence
+    pos = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: _word_matches(F.element_at(words, j + 1), term),
+    )
+    i = F.get(pos, 0)  # null-safe (ANSI element_at throws on empty arrays)
+    start = F.greatest(F.lit(0), i - half)
+    end = F.least(n, start + n_words)
+    start = F.greatest(F.lit(0), end - n_words)
+    window = F.slice(words, start + 1, end - start)
+    bolded = F.transform(
+        window,
+        lambda w: F.when(_word_matches(w, term), F.concat(F.lit("<b>"), w, F.lit("</b>"))).otherwise(w),
+    )
+    body = F.array_join(bolded, " ")
+    return F.when(
+        i.isNotNull(),
+        F.concat(
+            F.when(start > 0, F.lit("... ")).otherwise(F.lit("")),
+            body,
+            F.when(end < n, F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+
+
+def search_results(
+    spark: SparkSession,
+    idx: dict,
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Index-served BM25 top-k assembled into the reference's response shape:
+    ``(rank, doc_id, term, url, title, snippet, score_micros)``.
+
+    Plan: bm25_topk (pruned postings scan + broadcast lexicon + bounded
+    top-k) → broadcast the <=k winners against documents for url/title/text
+    (one equi-join, hit side broadcast) → snippet expression over k rows.
+    """
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators import serve
+
+    top = serve.bm25_topk(spark, idx, query_terms, k=k)
+    rows = serve._qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "rank int, doc_id long, term string, url string, title string, "
+            "snippet string, score_micros long",
+        )
+    # last matched term per winning doc (Q12 pinned order): tiny pruned
+    # postings pass restricted to the k winners
+    post = serve._pruned_postings(idx, rows)
+    last_term = (
+        post.join(F.broadcast(top.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("term").alias("term"))
+    )
+    # url/title derived exactly as the compat fixture does (documents.parquet
+    # has no url/title columns): url = doc://{source}/{doc_id}, title = first
+    # 48 chars — the convertDocumentsToResults field mapping
+    docs_side = documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.substring("text", 1, 48).alias("title"),
+        F.col("text").alias("_text"),
+    )
+    out = (
+        docs_side.join(F.broadcast(top.join(last_term, "doc_id")), "doc_id")
+        .withColumn("snippet", snippet_expr(F.col("_text"), F.col("term")))
+        .filter(F.col("snippet").isNotNull())  # Q11: empty-snippet hits dropped
+    )
+    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("score_micros"), F.asc("doc_id")
+    )
+    return out.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "term",
+        "url",
+        "title",
+        "snippet",
+        "score_micros",
+    )

@@ -1057,3 +1057,98 @@ SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
        count(*)::BIGINT AS n
 FROM hops GROUP BY 1, 2
 """
+
+
+def search_results_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Result-assembly oracle (operators/results.py::search_results): BM25
+    top-k re-ranked into the reference's response shape
+    ``(rank, doc_id, term, url, title, snippet, score_micros)`` — snippet is
+    the 60-word window centered on the FIRST word matching the doc's last
+    (max) matched query term, bolded/ellipsized exactly as
+    Indexer.getCenteredTermSnippets does, under the simple-tokenizer word
+    match (a raw word matches iff the term is in its token split)."""
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+q AS (SELECT term FROM {_terms_values(terms)}),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM q)
+),
+scored AS (
+  SELECT post.doc_id,
+         CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM post
+  JOIN q ON post.term = q.term
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+),
+topk AS (
+  SELECT doc_id, sum(c_micros)::BIGINT AS score_micros
+  FROM scored GROUP BY doc_id
+  ORDER BY score_micros DESC, doc_id ASC
+  LIMIT {k}
+),
+lastterm AS (
+  SELECT post.doc_id, max(post.term) AS term
+  FROM post
+  JOIN q ON post.term = q.term
+  JOIN topk ON post.doc_id = topk.doc_id
+  GROUP BY post.doc_id
+),
+words AS (
+  SELECT d.doc_id, string_split_regex(d.text, '\\s+') AS w
+  FROM documents d JOIN topk USING (doc_id)
+),
+wordpos AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS idx
+  FROM words
+),
+matchpos AS (
+  SELECT wp.doc_id, lt.term, min(wp.idx) AS i
+  FROM wordpos wp JOIN lastterm lt USING (doc_id)
+  WHERE list_contains(string_split_regex(lower(wp.word), '{TOKEN_SPLIT_RE}'),
+                      lt.term)
+  GROUP BY wp.doc_id, lt.term
+),
+win AS (
+  SELECT mp.doc_id, mp.term,
+         len(w.w) AS n_words,
+         greatest(0, least(len(w.w), greatest(0, mp.i - 30) + 60) - 60) AS s,
+         least(len(w.w), greatest(0, mp.i - 30) + 60) AS e
+  FROM matchpos mp JOIN words w USING (doc_id)
+),
+snip AS (
+  SELECT w.doc_id, win.term, win.s, win.e, win.n_words,
+         array_to_string(
+           list_transform(
+             w.w[win.s + 1 : win.e],
+             x -> CASE WHEN list_contains(
+                          string_split_regex(lower(x), '{TOKEN_SPLIT_RE}'),
+                          win.term)
+                       THEN '<b>' || x || '</b>' ELSE x END),
+           ' ') AS body
+  FROM words w JOIN win USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY t.score_micros DESC, t.doc_id ASC) AS rank,
+       t.doc_id,
+       snip.term,
+       'doc://' || d.source || '/' || t.doc_id AS url,
+       substring(d.text, 1, 48) AS title,
+       (CASE WHEN snip.s > 0 THEN '... ' ELSE '' END)
+         || snip.body
+         || (CASE WHEN snip.e < snip.n_words THEN ' ...' ELSE '' END) AS snippet,
+       t.score_micros
+FROM topk t
+JOIN snip USING (doc_id)
+JOIN documents d USING (doc_id)
+"""
