@@ -37,6 +37,7 @@ HEADLINE = [
     "bm25_topk",
     "bm25_topk_wand",
     "compat_topk",
+    "search_results",
     "tfidf_topk",
     "phrase_match",
     "postings_tf",
@@ -250,7 +251,9 @@ def _cpu_ceiling() -> dict:
             p.map(_burn, [3_000_000] * procs * 4)
         return procs * 4 / (_t.monotonic() - t0)
 
-    r8, r32 = rate(8), rate(32)
+    # best-of-3 per level, alternating: host-side stalls hit single runs
+    r8 = max(rate(8) for _ in range(3))
+    r32 = max(rate(32) for _ in range(3))
     return {"r8": round(r8, 1), "r32": round(r32, 1), "speedup": round(r32 / r8, 3)}
 
 
@@ -281,7 +284,10 @@ def _membw_ceiling() -> dict:
         # (read+write per copy not double-counted; treat as copied bytes)
         return procs * 2 * 4 * 256 / dt  # MB/s aggregate copied
 
-    r8, r32 = rate(8), rate(32)
+    # best-of-3 per level: a single multi-second host stall otherwise
+    # poisons the ceiling this whole report is normalized against
+    r8 = max(rate(8) for _ in range(3))
+    r32 = max(rate(32) for _ in range(3))
     return {"mb_s_8": round(r8), "mb_s_32": round(r32), "speedup": round(r32 / r8, 3)}
 
 

@@ -2,8 +2,8 @@
 
 All row-level work is Spark built-ins (whole-stage codegen): sha256 invariant,
 content fingerprint, URL key, dedup. The one scale-sensitive step is the
-deterministic dense ``doc_id`` assignment — done with the two-phase
-range-sort + partition-offset technique instead of a single global window
+deterministic dense ``doc_id`` assignment — done with a two-phase
+sampled-boundary bucket + offset technique instead of a single global window
 (which would serialize on one task at 10^12 rows). IDs depend only on the
 total order of the unique key (repo, path, commit), so they are identical at
 any parallelism level — the north rule's rank-identity between N and 4N
@@ -66,51 +66,122 @@ def dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(docs: DataFrame, n_partitions: int | None = None) -> DataFrame:
+def _sample_boundaries(
+    sample_from: DataFrame, n_buckets: int, target_per_bucket: int = 128
+) -> list[tuple[str, str, str]]:
+    """Deterministic range boundaries over the (repo,path,commit) key:
+    hash-filter a ~``n_buckets·target_per_bucket``-row sample (same rows at
+    any parallelism — the filter is a pure row predicate, not a reservoir),
+    sort on the driver, take every len/n_buckets-th key. Boundaries need not
+    be exact quantiles — they only balance bucket sizes, never affect the
+    assigned ids."""
+    if n_buckets <= 1:
+        return []
+    n = sample_from.count()
+    want = n_buckets * target_per_bucket
+    if n <= want:
+        return []  # tiny input → one bucket is fine
+    mod = max(1, n // want)
+    keys = (
+        sample_from.select(*SORT_KEY)
+        .filter(F.pmod(F.xxhash64(*SORT_KEY), F.lit(mod)) == 0)
+        .collect()
+    )
+    tuples = sorted((r["repo"], r["path"], r["commit"]) for r in keys)
+    if len(tuples) < n_buckets:
+        return []
+    step = len(tuples) / n_buckets
+    bounds: list[tuple[str, str, str]] = []
+    for i in range(1, n_buckets):
+        t = tuples[int(i * step)]
+        if not bounds or t > bounds[-1]:
+            bounds.append(t)
+    return bounds
+
+
+def assign_doc_ids(
+    docs: DataFrame,
+    n_partitions: int | None = None,
+    sample_from: DataFrame | None = None,
+) -> DataFrame:
     """Dense, deterministic doc_id = rank in the global (repo,path,commit)
-    order — scalable two-phase assignment:
+    order — two-phase assignment with a *data-derived* range bucket:
 
-    1. range-repartition + sort within partitions on the key;
-    2. per-partition ordinal via a window partitioned by the physical
-       partition id (no second shuffle — data is already colocated);
-    3. add broadcast per-partition offsets.
+    1. bucket = #(sampled boundaries <= key): a pure, order-preserving
+       function of the row, computed map-side (no range exchange, no
+       reliance on physical partition ids — so nothing needs checkpointing
+       to stay stable across re-evaluation);
+    2. per-bucket counts (one tiny agg on the persisted slim rows) →
+       cumulative offsets, broadcast back;
+    3. doc_id = offset(bucket) + row_number within bucket ordered by key —
+       one hash exchange total.
 
-    Stage count: one range-exchange, one tiny driver-side offset collect.
+    Replaces the earlier repartitionByRange + eager localCheckpoint design,
+    which paid an extra full evaluation for Spark's boundary-sampling job
+    plus a range exchange *and* a window hash exchange; profiling showed
+    that chain scaling backwards 8→32 cores on small-row inputs (fixed
+    per-shuffle costs dominate). ``sample_from`` lets the caller supply a
+    cheap key source (the raw corpus scan, column-pruned) so boundary
+    sampling never evaluates the upstream dedup/fingerprint pipeline.
+    The boundary count is a load-balance knob only: ids are rank-in-global-
+    order at any bucket count, so results stay identical across N/4N
+    parallelism. At cluster scale use n_partitions ~ executors·4; the O(B)
+    per-row boundary scan is a vectorized struct-compare (swap in a binary
+    search via a sorted-array higher-order expr if B grows past ~10^3).
     """
+    from pyspark import StorageLevel
+
     spark = docs.sparkSession
     if n_partitions is None:
         n_partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
 
-    sorted_df = docs.repartitionByRange(n_partitions, *SORT_KEY).sortWithinPartitions(*SORT_KEY)
-    # PIN the partitioned data before reading it twice: repartitionByRange
-    # samples to pick boundaries, so re-evaluating the plan can move rows
-    # between partitions — the per-partition counts would then disagree with
-    # the window pass and produce overlapping ids. localCheckpoint makes the
-    # boundary draw happen exactly once. (Found by the scaling bench: doc
-    # counts differed between local[8] and local[32] before this.)
-    with_pid = sorted_df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    src = sample_from if sample_from is not None else docs
+    bounds = _sample_boundaries(src, n_partitions)
+    if bounds:
+        barr = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("repo"), F.lit(p).alias("path"), F.lit(c).alias("commit")
+                )
+                for r, p, c in bounds
+            ]
+        )
+        key = F.struct(F.col("repo"), F.col("path"), F.col("commit"))
+        bucket = F.size(F.filter(barr, lambda b: b <= key))
+    else:
+        # single bucket; non-foldable zero so the window below keeps a real
+        # partition spec (no "No Partition Defined" single-task warning)
+        bucket = F.pmod(F.xxhash64("repo"), F.lit(1))
+    bucketed = docs.withColumn("_bucket", bucket.cast("int")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = {
+        r["_bucket"]: r["cnt"]
+        for r in bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
     offsets = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     offset_df = F.broadcast(
-        spark.createDataFrame([(pid, off) for pid, off in offsets.items()], "_pid int, _offset long")
+        spark.createDataFrame(
+            [(b, off) for b, off in offsets.items()], "_bucket int, _offset long"
+        )
     )
-    w = Window.partitionBy("_pid").orderBy(*SORT_KEY)
+    w = Window.partitionBy("_bucket").orderBy(*SORT_KEY)
     return (
-        with_pid.withColumn("_rn", F.row_number().over(w))
-        .join(offset_df, "_pid")
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .join(offset_df, "_bucket")
         .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn", "_offset")
+        .drop("_bucket", "_rn", "_offset")
     )
 
 
 def build_documents(corpus: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """corpus → documents (without doc_len/pagerank, added by later stages).
 
-    The dedup windows + doc_id range-sort + checkpoint all run over a SLIM
+    The dedup windows + doc_id bucket/ordinal passes all run over a SLIM
     projection (keys + derived metadata, no content) — at 10^12-file scale
     those are three shuffles of ~200-byte rows instead of full documents.
     Content crosses at most ONE shuffle, in the final join back on the
@@ -120,7 +191,11 @@ def build_documents(corpus: DataFrame, n_partitions: int | None = None) -> DataF
     and fingerprint dedups still collapse logical duplicates).
     """
     slim = with_invariants(corpus).drop("content", "lang")
-    ids = assign_doc_ids(dedup(slim), n_partitions)
+    # boundary sampling reads keys straight off the (column-pruned) corpus
+    # scan — never through the fingerprint/dedup pipeline above
+    ids = assign_doc_ids(
+        dedup(slim), n_partitions, sample_from=corpus.select(*SORT_KEY)
+    )
     return ids.join(corpus.select(*SORT_KEY, "lang", "content"), list(SORT_KEY))
 
 
