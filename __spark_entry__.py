@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stubbed — SURVEY/VERDICT multimodal row) ---
         "image_features": lambda spark, sf: _media_features(spark, sf, "image"),
         "audio_features": lambda spark, sf: _media_features(spark, sf, "audio"),
+        "video_frame_sample": lambda spark, sf: _video_frames(spark, sf),
         # --- text analysis ---
         "token_stats": lambda spark, sf: textstats.token_stats(_docs(spark, sf)),
         "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
@@ -170,6 +171,17 @@ def _media_features(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
 # stop-shingle cap (dedup_ngram_jaccard gate): integer-exact in both engines
 NGRAM_DF_CAP_MIN = 16
 NGRAM_DF_CAP_DEN = 100  # cap = max(16, ceil_div(n_docs, 100))
+
+
+def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan gate: JVM-side sequence explode over the
+    duration metadata of the deterministic fake media table."""
+    from searchengine_spark.operators import multimodal
+
+    n = _docs(spark, sf_dir).count()
+    return multimodal.frame_sample_plan(
+        multimodal.make_fake_media(spark, n), every_n_seconds=5
+    )
 
 
 def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
         "image_features": oracles.image_features_sql(),
         "audio_features": oracles.audio_features_sql(),
+        "video_frame_sample": oracles.video_frame_sample_sql(every_n_seconds=5),
         "token_stats": oracles.token_stats_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),

@@ -1152,3 +1152,21 @@ FROM topk t
 JOIN snip USING (doc_id)
 JOIN documents d USING (doc_id)
 """
+
+
+def video_frame_sample_sql(every_n_seconds: int = 5) -> str:
+    """Twin of multimodal.frame_sample_plan(make_fake_media(n_docs)): kind
+    'video' = i % 3 == 2, duration_sec = 10 + i % 50, one row per planned
+    frame timestamp (generate_series is end-inclusive, matching Spark's
+    sequence(0, dur-1, step))."""
+    return f"""
+WITH ids AS (SELECT row_number() OVER () - 1 AS i FROM documents),
+vids AS (
+  SELECT i AS media_id, (10 + i % 50)::INT AS dur
+  FROM ids WHERE i % 3 = 2
+)
+SELECT media_id::BIGINT AS media_id,
+       unnest(generate_series(0, greatest(dur - 1, 0), {every_n_seconds}))::INT
+         AS frame_ts_sec
+FROM vids
+"""
