@@ -34,3 +34,24 @@ def test_fingerprint_whitespace_insensitive(spark):
     )
     fps = [r["fingerprint"] for r in with_invariants(df).collect()]
     assert fps[0] == fps[1]  # collapsed whitespace -> same fingerprint
+
+
+def test_doc_ids_equal_global_rank_at_any_bucket_count(spark):
+    """assign_doc_ids must produce EXACTLY rank-in-(repo,path,commit)-order
+    regardless of how many sampled-boundary buckets it uses — the bucket
+    count is a load-balance knob, never a semantic one (north-rule
+    rank-identity across N/4N parallelism rides on this)."""
+    from searchengine_spark.operators.ingest import SORT_KEY, assign_doc_ids
+
+    corpus = generate_corpus(spark, 300, seed=7).select(*SORT_KEY)
+    expected = {
+        (r["repo"], r["path"], r["commit"]): i
+        for i, r in enumerate(
+            sorted(corpus.collect(), key=lambda r: (r["repo"], r["path"], r["commit"]))
+        )
+    }
+    for n_buckets in (1, 3, 16):
+        got = assign_doc_ids(corpus, n_partitions=n_buckets).collect()
+        assert len(got) == len(expected)
+        for r in got:
+            assert r["doc_id"] == expected[(r["repo"], r["path"], r["commit"])], n_buckets
