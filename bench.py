@@ -377,18 +377,23 @@ Per-stage speedup (best rounds): {out["stage_speedup"]}
   (hyperthreaded/turbo-clamped — 32 logical ≠ 32 physical cores);
 - memory traffic (parallel allocate+copy): **{out["membw_ceiling"]["speedup"]}×**
   ({out["membw_ceiling"]["mb_s_8"]} → {out["membw_ceiling"]["mb_s_32"]} MB/s
-  aggregate copied — page-fault + copy throughput on this VM is extremely
-  low in absolute terms).
+  aggregate copied; both controls are best-of-3 per level — single control
+  runs get poisoned by the VM's multi-second host stalls).
 
 The CPU-bound stages (tokenize/postings, segment encode) scale at or near
-the pure-CPU ceiling; the flat stages (ingest shuffle + parquet publish)
-are bound by single-box memory/disk traffic, which one box cannot raise.
-Relative to the CPU ceiling the whole build's efficiency is
-**{out["efficiency_vs_machine_ceiling"]}**. On a real N→4N cluster every
-added executor brings its own memory bus and disks, so the bandwidth-bound
-stages scale with node count there — the plan itself (map-only tokenizer,
-salted agg, bounded encode groups, single content shuffle) has no serial
-stage.
+the pure-CPU ceiling; the remaining stages (ingest content join + parquet
+publish, documents finalize) are bound by single-box memory/disk traffic,
+which one box cannot raise. Round 2 rewired the two stages round 1
+measured *backwards*: documents_raw (0.96× → sampled-boundary doc-id
+buckets replacing repartitionByRange + eager localCheckpoint: one exchange
+instead of two, no extra boundary-sampling evaluation) and lexicon (avgdl
+folded into a map-side sum(tf); its remaining ~2 s is fixed per-stage
+overhead, <4% of the build). Relative to the CPU ceiling the whole build's
+efficiency is **{out["efficiency_vs_machine_ceiling"]}**. On a real N→4N
+cluster every added executor brings its own memory bus and disks, so the
+bandwidth-bound stages scale with node count there — the plan itself
+(map-only tokenizer, salted agg, bounded encode groups, single content
+shuffle) has no serial stage.
 
 Reproduce: `python bench.py --scaling --docs {out["docs"]}`
 
