@@ -85,21 +85,52 @@ def bm25_contrib(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np
     return idf * (tf * (BM25_K1 + 1.0)) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
 
 
+def _positions_stream(plists: list[np.ndarray]) -> np.ndarray:
+    """Per-posting ``count, delta_1..delta_count`` stream, fully vectorized
+    (the old per-position Python loop dominated the whole segment-encode
+    stage — ~10^8 positions walked row-at-a-time at bench scale)."""
+    n = len(plists)
+    counts = np.fromiter((len(p) for p in plists), count=n, dtype=np.int64)
+    total = int(counts.sum())
+    stream = np.empty(n + total, dtype=np.uint64)
+    starts = np.empty(n, dtype=np.int64)  # flat offset of each list's head
+    starts[0] = 0
+    np.cumsum(counts[:-1], out=starts[1:])
+    if total:
+        flat = np.concatenate(plists).astype(np.int64, copy=False)
+        d = np.empty_like(flat)
+        d[0] = flat[0]
+        if flat.size > 1:
+            d[1:] = np.diff(flat)
+        nz = counts > 0
+        d[starts[nz]] = flat[starts[nz]]  # first delta of a list is absolute
+    else:
+        d = np.empty(0, dtype=np.int64)
+    cidx = starts + np.arange(n, dtype=np.int64)  # count slots in the stream
+    stream[cidx] = counts.astype(np.uint64)
+    mask = np.ones(stream.size, dtype=bool)
+    mask[cidx] = False
+    stream[mask] = d.astype(np.uint64)
+    return stream
+
+
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
-    positions: list[list[int]],
+    positions: list,
     idf: float,
     avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> list[dict]:
-    """Postings (sorted by doc_id) → list of block dicts."""
+    """Postings (sorted by doc_id) → list of block dicts. ``positions``
+    accepts any sequence of int sequences (numpy arrays straight out of the
+    Arrow batch — no per-element Python conversion needed)."""
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.uint64)[order]
     tfs = np.asarray(tfs, dtype=np.uint64)[order]
     doc_lens = np.asarray(doc_lens, dtype=np.uint64)[order]
-    positions = [positions[i] for i in order]
+    plists = [np.asarray(positions[i], dtype=np.int64) for i in order]
 
     blocks = []
     for b0 in range(0, len(doc_ids), block_size):
@@ -108,13 +139,6 @@ def encode_blocks(
         deltas = np.empty_like(ids)
         deltas[0] = ids[0]
         deltas[1:] = np.diff(ids)
-        pos_stream: list[int] = []
-        for plist in positions[sl]:
-            pos_stream.append(len(plist))
-            prev = 0
-            for p in plist:
-                pos_stream.append(p - prev)
-                prev = p
         scores = bm25_contrib(tfs[sl], doc_lens[sl], idf, avgdl)
         blocks.append(
             {
@@ -123,7 +147,7 @@ def encode_blocks(
                 "doc_ids_delta_varint": varint_encode(deltas),
                 "tfs_varint": varint_encode(tfs[sl]),
                 "doc_lens_varint": varint_encode(doc_lens[sl]),
-                "positions_blob": varint_encode(np.asarray(pos_stream, dtype=np.uint64)),
+                "positions_blob": varint_encode(_positions_stream(plists[sl])),
                 "skip_doc_id": int(ids[-1]),
                 "block_max_score": float(scores.max()),
             }

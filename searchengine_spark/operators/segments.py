@@ -54,8 +54,8 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf["doc_id"].to_numpy(),
         pdf["tf"].to_numpy(),
         pdf["doc_len"].to_numpy(),
-        [list(p) for p in pdf["positions"]],
-        idf=idf,
+        pdf["positions"].to_numpy(),  # ndarray of per-posting arrays, no
+        idf=idf,                      # per-element Python conversion
         avgdl=avgdl,
     )
     return pd.DataFrame(
