@@ -146,19 +146,19 @@ def search_compat(
         )
         matched = matched.join(survivors, ["doc_id", "term"], "left_semi")
 
-    docs_side = documents.select("doc_id", "url", "title", "pagerank")
-
+    # Score from postings only, then ONE slim per-doc join for title/pagerank
+    # AFTER the aggregate. The old shape joined url/title onto every
+    # (doc, term) posting row and shuffled those strings through the groupBy —
+    # for a hot term that is |candidates|·|terms| wide rows; this shape
+    # shuffles slim numeric rows and joins one row per candidate doc.
     lower_title = F.lower(F.col("title"))
     tm = None
     for w in qwords:
         c = F.when(lower_title.contains(w.lower()), 1).otherwise(0)
         tm = c if tm is None else tm + c
 
-    rows = matched.join(docs_side, "doc_id").select(
+    rows = matched.select(
         "doc_id",
-        "url",
-        "title",
-        "pagerank",
         "term",
         ((F.col("tf").cast("double") / F.col("doc_len").cast("double")) * F.col("idf_compat")).alias("_tfidf"),
         (
@@ -166,26 +166,33 @@ def search_compat(
             + F.when(F.col("term_h2"), H2_WEIGHT).otherwise(0.0)
             + F.when(F.col("term_h3"), H3_WEIGHT).otherwise(0.0)
         ).alias("_hdr"),
-        (tm if tm is not None else F.lit(0)).alias("_tm"),
     )
 
-    per_doc = rows.groupBy("doc_id", "url", "title").agg(
-        F.array_sort(F.collect_list(F.struct("term", "_tfidf", "_hdr"))).alias("_contribs"),
-        F.sum("_tm").alias("title_matches"),
-        F.max("pagerank").alias("pr"),
-        F.max("term").alias("last_term"),  # Q12: pinned last-in-sorted-order term
-    ).select(
-        "doc_id",
-        "url",
-        "title",
-        _det_sum(F.col("_contribs"), "_tfidf").alias("tfidf_sum"),
-        _det_sum(F.col("_contribs"), "_hdr").alias("header_score"),
-        "title_matches",
-        "pr",
-        "last_term",
+    per_doc = (
+        rows.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "_tfidf", "_hdr"))).alias("_contribs"),
+            F.count(F.lit(1)).alias("_nterms"),
+            F.max("term").alias("last_term"),  # Q12: pinned last-in-sorted-order term
+        )
+        .join(documents.select("doc_id", "title", "pagerank"), "doc_id")
+        .select(
+            "doc_id",
+            _det_sum(F.col("_contribs"), "_tfidf").alias("tfidf_sum"),
+            _det_sum(F.col("_contribs"), "_hdr").alias("header_score"),
+            # the reference adds the title-match count once per matched term
+            # row; the count depends only on the title, so it factors as
+            # tm · n_term_rows — integer-identical to the per-row sum
+            ((tm if tm is not None else F.lit(0)) * F.col("_nterms")).alias("title_matches"),
+            F.col("pagerank").alias("pr"),
+            "last_term",
+        )
     )
 
-    from pyspark.sql import Window
+    # per_doc feeds two consumers — the 1-row maxima aggregate and the
+    # frontier top-n. No persist: the shared shuffle under both is
+    # deduplicated by ReuseExchange (measured: persisting per_doc DOUBLED
+    # compat p50 at 1.6M docs by paying a cache materialization instead).
 
     # A6 max-normalizers (Ranker.java:88-89) as a 1-row aggregate broadcast
     # back over the candidates — NOT an unpartitioned window, which would
@@ -204,8 +211,6 @@ def search_compat(
     pr_term = F.when(max_pr != 0.0, F.col("pr") / max_pr).otherwise(0.0)
     scored = per_doc.crossJoin(F.broadcast(maxima)).select(
         "doc_id",
-        "url",
-        "title",
         "last_term",
         (
             F.lit(TFIDF_WEIGHT) * tfidf_term
@@ -215,37 +220,66 @@ def search_compat(
         ).alias("score"),
     )
 
-    # assembly: snippets for the pinned last term only (candidates << corpus)
-    snip = (
-        scored.select("doc_id", F.col("last_term").alias("term"))
-        .join(documents.select("doc_id", "content"), "doc_id")
-        .mapInPandas(_snippets_udf(phrase), _SNIPPET_SCHEMA)
-    )
-    out = scored.join(snip, (scored.doc_id == snip.doc_id) & (scored.last_term == snip.term)).select(
-        scored.doc_id, "url", "title", "score", "snippet_first", "has_any", "phrase_snippet"
-    )
-    if phrase is not None:
-        out = out.filter(F.col("phrase_snippet").isNotNull()).withColumn("snippet", F.col("phrase_snippet"))
-    else:
-        out = out.filter(F.col("has_any")).withColumn("snippet", F.col("snippet_first"))  # Q11
-
-    ranked = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return ranked.select(
-        F.row_number()
-            .over(
-                # rank over the already-limited <=k rows; the single-valued
-                # partition key (non-foldable, so the optimizer keeps it) is
-                # intentional — bounded input, and no spurious "No Partition
-                # Defined" warning from an empty partition spec
-                Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.asc("doc_id"))
+    # assembly: rank-first snippet overfetch. The Q11 has-snippet filter
+    # (and the phrase re-bold, Q10) only decides which already-ranked docs
+    # SURVIVE — it never raises a score — so the global top-k survivors are
+    # contained in the top-n candidates for any n with ≥ k survivors inside.
+    # Collect the leading n = max(4k, 50) candidates, push their doc_ids
+    # down to the documents scan (parquet row-group pruning on the
+    # doc_id-clustered files), snippet exactly those rows, and widen the
+    # frontier only if the filter starved the top k (rare: quirk Q2 terms).
+    # The previous shape — snippets for EVERY candidate of a hot term —
+    # scanned all content and was the 20-30 s tail at 1.6M docs; this loop
+    # touches O(k) docs and one pruned scan per round.
+    out_schema = "rank int, doc_id long, url string, title string, score double, snippet string"
+    n = max(4 * k, 50)
+    checked: dict[int, tuple] = {}  # doc_id -> (meta Row | None, snippet Row | None)
+    while True:
+        frontier = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n).collect()
+        todo = [r for r in frontier if r["doc_id"] not in checked]
+        if todo:
+            ids = [int(r["doc_id"]) for r in todo]
+            pairs = spark.createDataFrame(
+                [(int(r["doc_id"]), r["last_term"]) for r in todo], "doc_id long, term string"
             )
-            .alias("rank"),
-        "doc_id",
-        "url",
-        "title",
-        "score",
-        "snippet",
-    )
+            if len(ids) <= 10_000:
+                pruned_docs = documents.filter(F.col("doc_id").isin(ids))
+            else:  # pathological widening: avoid a giant IN expression
+                pruned_docs = documents.join(F.broadcast(pairs.select("doc_id")), "doc_id", "left_semi")
+            meta = {r["doc_id"]: r for r in pruned_docs.select("doc_id", "url", "title").collect()}
+            snips = (
+                pruned_docs.select("doc_id", "content")
+                .join(F.broadcast(pairs), "doc_id")
+                .mapInPandas(_snippets_udf(phrase), _SNIPPET_SCHEMA)
+                .collect()
+            )
+            smap = {r["doc_id"]: r for r in snips}
+            for r in todo:
+                checked[r["doc_id"]] = (meta.get(r["doc_id"]), smap.get(r["doc_id"]))
+        survivors: list[tuple] = []
+        for r in frontier:  # frontier is already in final (score, doc_id) order
+            m, s = checked.get(r["doc_id"], (None, None))
+            if m is None or s is None:
+                continue
+            if phrase is not None:
+                if s["phrase_snippet"] is None:
+                    continue
+                text = s["phrase_snippet"]
+            else:
+                if not s["has_any"]:  # Q11
+                    continue
+                text = s["snippet_first"]
+            survivors.append((r, m, text))
+            if len(survivors) >= k:
+                break
+        if len(survivors) >= k or len(frontier) < n:
+            break  # top k found, or every candidate already checked
+        n *= 4
+    rows = [
+        (i + 1, int(r["doc_id"]), m["url"], m["title"], float(r["score"]), text)
+        for i, (r, m, text) in enumerate(survivors[:k])
+    ]
+    return spark.createDataFrame(rows, out_schema)
 
 
 # ---------------------------------------------------------------- BM25 search
