@@ -106,6 +106,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), n_perms=16, rows_per_band=8
         ),
         "simhash": lambda spark, sf: dedup.simhash(_docs(spark, sf), n_bits=32),
+        # near-dup clustering: connected components (min-label fixpoint)
+        # over the MinHash-LSH candidate graph
+        "dedup_clusters": lambda spark, sf: _dedup_clusters(spark, sf),
+        # eval-leakage check: n-gram overlap vs the deterministic benchmark
+        # slice of the corpus
+        "decontaminate": lambda spark, sf: dedup.decontaminate(_docs(spark, sf), n=5),
+        # deterministic per-language Bernoulli sample (md5-position)
+        "stratified_sample": lambda spark, sf: _stratified_sample(spark, sf),
+        # incremental build: two half-corpus segment sets merged, decoded
+        # back to postings — codec + merge_segments gated in one hash row
+        "incremental_merge_postings": lambda spark, sf: _incremental_postings(spark, sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda spark, sf: similarity.ann_bruteforce_topk(
             emb(spark, sf), n_queries=8, k=5
@@ -194,6 +205,29 @@ def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stratified-sample gate rates: downsample the dominant language (ppm)
+SAMPLE_RATES_PPM = {"en": 300_000}
+SAMPLE_DEFAULT_PPM = 700_000
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.components import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), n_perms=16, rows_per_band=8)
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM)
+
+
+def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.segments import incremental_build_postings
+
+    return incremental_build_postings(_docs(spark, sf_dir), shard_span=64)
+
+
 def _search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.results import search_results
 
@@ -246,6 +280,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oracles.minhash_sql(n_perms=16),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(n_perms=16, rows_per_band=8),
         "simhash": oracles.simhash_sql(n_bits=32),
+        "dedup_clusters": oracles.dedup_clusters_sql(n_perms=16, rows_per_band=8),
+        "decontaminate": oracles.decontaminate_sql(n=5),
+        "stratified_sample": oracles.stratified_sample_sql(
+            SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM
+        ),
+        # the merged-and-decoded segments must equal the corpus tokenization
+        "incremental_merge_postings": oracles.postings_sql(),
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
         "image_features": oracles.image_features_sql(),
         "audio_features": oracles.audio_features_sql(),

@@ -1,0 +1,88 @@
+"""Connected components over the near-duplicate candidate graph —
+the clustering step of a dedup pipeline (pairs → groups → one kept doc
+per group). The reference engine has no graph stage; this is a
+training-data-pipeline operator (VERDICT "LLM-data-pipeline" family),
+expressed as an iterative DataFrame fixpoint like operators/pagerank.py.
+
+Algorithm: min-label propagation. Every node starts labeled with its own
+id; each round replaces a node's label with the min over its closed
+neighborhood; at the fixpoint every node carries the min doc_id of its
+component. All labels are int64 — the fixpoint is exact and the DuckDB
+oracle (a recursive reachability CTE) reproduces it bit-for-bit.
+
+Scale: each round is one shuffle join of the (symmetrized) edge list with
+the label table — linear in |E| per round, and the round count is the
+graph diameter. Near-dup components are shallow (cliques and dense blobs
+from LSH banding), so a handful of rounds suffices at any corpus size;
+for adversarial long-chain graphs swap the body for alternating
+large-star/small-star contraction (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14), which is O(log d) rounds over the
+same join primitive. ``localCheckpoint`` truncates the lineage each round
+exactly as the PageRank loop does (pagerank.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(doc_id, component_id) for every node; component_id = min node id in
+    the node's connected component. Isolated nodes form singleton
+    components. ``edges`` may be directed pairs — they are symmetrized."""
+    sym = edges.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).union(edges.select(F.col(b_col).alias("_a"), F.col(a_col).alias("_b")))
+
+    labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nb_min = (
+            sym.join(labels.select(F.col("_id").alias("_b"), "_comp"), "_b")
+            .groupBy("_a")
+            .agg(F.min("_comp").alias("_nb"))
+            .select(F.col("_a").alias("_id"), "_nb")
+        )
+        new_labels = labels.join(nb_min, "_id", "left").select(
+            "_id", F.least(F.col("_comp"), F.coalesce("_nb", F.col("_comp"))).alias("_comp")
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.select("_id", F.col("_comp").alias("_prev")), "_id"
+            )
+            .filter(F.col("_comp") != F.col("_prev"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_id").alias(id_col), F.col("_comp").alias("component_id")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n_perms: int = 16,
+    rows_per_band: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, component_id) — near-duplicate clusters: connected
+    components over the MinHash-LSH candidate pairs (dedup.minhash_lsh_pairs,
+    the linear-cost scale path). component_id is the min doc_id of the
+    cluster, i.e. the deterministic canonical representative a dedup
+    pipeline would keep."""
+    from searchengine_spark.operators.dedup import minhash_lsh_pairs
+
+    edges = minhash_lsh_pairs(docs, n_perms, rows_per_band, id_col, text_col)
+    return connected_components(docs.select(id_col), edges, id_col=id_col)

@@ -152,6 +152,80 @@ def _reencode(segments: DataFrame) -> DataFrame:
     return segments.groupBy("shard", "term").applyInPandas(regroup, SEGMENT_SCHEMA)
 
 
+def decode_postings(segments: DataFrame) -> DataFrame:
+    """Decode compressed segment blocks back to plain (term, doc_id, tf)
+    postings rows — the inverse of ``encode_segments``. Used to hash-gate
+    the codec + merge path end-to-end (gate ``incremental_merge_postings``:
+    two half-corpus builds merged must decode to exactly the single-shot
+    postings). Embarrassingly parallel: each block decodes independently."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: list[str] = []
+            ids: list[np.ndarray] = []
+            tfs: list[np.ndarray] = []
+            for _, row in pdf.iterrows():
+                i, t, _ = codec.decode_block(row.to_dict())
+                terms += [row["term"]] * len(i)
+                ids.append(i)
+                tfs.append(t)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": np.concatenate(ids).astype(np.int64) if ids else np.array([], dtype=np.int64),
+                    "tf": np.concatenate(tfs).astype(np.int64) if tfs else np.array([], dtype=np.int64),
+                }
+            )
+
+    return segments.mapInPandas(decode, "term string, doc_id long, tf long")
+
+
+def incremental_build_postings(docs: DataFrame, shard_span: int = 64) -> DataFrame:
+    """Incremental index build, gated at the postings level: split the
+    corpus into two batches (doc_id parity — so every doc-range shard
+    receives blocks from BOTH batches and the merge genuinely exercises
+    decode → concat → re-encode, not pass-through), encode each batch into
+    compressed segments with its own batch-local statistics, merge with
+    ``merge_segments``, and decode the merged segments back to (term,
+    doc_id, tf). Equal to the single-shot build's postings by construction
+    — the driver gate checks that against the DuckDB corpus-tokenization
+    oracle, which closes the loop on the delta+varint codec AND the merge
+    in one hash row.
+
+    Batch-local idf/avgdl feed only the block-max score upper bounds
+    (conservative after merge — _reencode keeps the max), exactly the
+    situation of a real rolling index where early segments carry stale
+    statistics."""
+    from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
+    from searchengine_spark.operators.ir import idf_bm25_expr
+
+    def batch_segments(half: DataFrame) -> DataFrame:
+        toks = exploded_tokens(half, with_pos=True)
+        dls = half.select("doc_id", doc_len(F.col("text")).alias("doc_len"))
+        post = (
+            toks.groupBy("term", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.array_sort(F.collect_list("pos")).alias("positions"),
+            )
+            .join(dls, "doc_id")
+        )
+        stats = dls.agg(
+            F.sum("doc_len").alias("s"), F.count(F.lit(1)).alias("c")
+        ).collect()[0]
+        n = int(stats["c"] or 0)
+        avgdl = (float(stats["s"]) / n) if n else 1.0
+        lex = post.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
+            "term", idf_bm25_expr(n).alias("idf_bm25")
+        )
+        return encode_segments(post, lex, avgdl, shard_span=shard_span)
+
+    even = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    odd = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    merged = merge_segments(batch_segments(even), batch_segments(odd))
+    return decode_postings(merged)
+
+
 # ------------------------------------------------------------------ WAND
 
 def _micros(x: float) -> int:

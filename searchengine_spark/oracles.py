@@ -1170,3 +1170,71 @@ SELECT media_id::BIGINT AS media_id,
          AS frame_ts_sec
 FROM vids
 """
+
+
+def decontaminate_sql(n: int = 5, bench_mod: int = 17, bench_rem: int = 3) -> str:
+    """Twin of dedup.decontaminate: distinct token n-gram overlap between
+    each training doc and the deterministic benchmark slice."""
+    return f"""
+WITH {_shingles_cte(n)},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {bench_mod} = {bench_rem}
+)
+SELECT s.doc_id, count(*)::BIGINT AS n_hit_shingles
+FROM shingles s JOIN bench USING (shingle)
+WHERE s.doc_id % {bench_mod} <> {bench_rem}
+GROUP BY 1
+"""
+
+
+def dedup_clusters_sql(n_perms: int = 16, rows_per_band: int = 8) -> str:
+    """Twin of components.dedup_clusters: recursive reachability over the
+    symmetrized MinHash-LSH candidate pairs, component = min reachable id.
+    The Spark side computes the same fixpoint by min-label propagation —
+    both are exact integer results."""
+    return f"""
+WITH RECURSIVE {_TOKHASH_CTE},
+perms(perm_id, a, b) AS (VALUES {_perms_values(n_perms)}),
+sig AS (
+  SELECT tok.doc_id, perms.perm_id,
+         min((perms.a * tok.x + perms.b) % {MERSENNE31})::BIGINT AS minhash
+  FROM tok CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, (perm_id // {rows_per_band})::INT AS band_id,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, s.doc_b FROM reach JOIN sym s ON s.doc_a = reach.r
+)
+SELECT id AS doc_id, min(r)::BIGINT AS component_id FROM reach GROUP BY 1
+"""
+
+
+def stratified_sample_sql(
+    rates_ppm: dict[str, int], default_ppm: int, salt: str = "sample:"
+) -> str:
+    """Twin of sampling.stratified_sample: md5-position Bernoulli keep per
+    language stratum (60-bit hex prefix → int, mod 1e6 — same literal
+    arithmetic as the Spark side)."""
+    cases = " ".join(
+        f"WHEN '{value}' THEN {ppm}" for value, ppm in sorted(rates_ppm.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5('{salt}' || doc_id), 1, 15)) AS BIGINT) % 1000000
+      < CASE lang {cases} ELSE {default_ppm} END
+"""

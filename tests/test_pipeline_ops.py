@@ -1,0 +1,133 @@
+"""Unit tests for the round-2 training-data-pipeline additions:
+connected-components clustering, decontamination, stratified sampling,
+and the incremental segment-merge postings round-trip.
+
+(Oracle parity for all four is covered by tests/test_entry_parity.py /
+the driver gate; these tests check the semantics independently —
+union-find cross-check, hand graphs, and build-vs-incremental equality.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.components import connected_components, dedup_clusters
+from searchengine_spark.operators.dedup import decontaminate, minhash_lsh_pairs
+from searchengine_spark.operators.sampling import stratified_sample
+from searchengine_spark.sources.tables import load_table
+
+SF_SMALL = os.environ.get("PARITY_SMALL_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_components_hand_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_components_chain_converges(spark):
+    # a path graph is the worst case for min-label propagation (diameter
+    # rounds); make sure the loop actually reaches the fixpoint
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = connected_components(nodes, edges).collect()
+    assert all(r["component_id"] == 0 for r in got)
+
+
+def _union_find(n_ids, pairs):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_dedup_clusters_vs_union_find(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n_perms=16, rows_per_band=8).collect()
+    ]
+    expected = _union_find(ids, pairs)
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_clusters(docs, n_perms=16, rows_per_band=8).collect()
+    }
+    assert got == expected
+    # sanity: the LSH pairs on this corpus actually produce non-trivial
+    # clusters (otherwise the test proves nothing)
+    assert any(v != k for k, v in got.items())
+
+
+def test_decontaminate_counts(spark):
+    # doc 3 is the benchmark slice (3 % 17 == 3); doc 21 (21 % 17 == 4)
+    # contains both of its 3-grams, doc 22 none (and so is absent)
+    rows = [
+        (3, "alpha beta gamma delta"),
+        (21, "zz alpha beta gamma delta yy"),
+        (22, "unrelated words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_hit_shingles"]
+        for r in decontaminate(docs, n=3, bench_mod=17, bench_rem=3).collect()
+    }
+    assert got == {21: 2}
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    rates = {"en": 300_000}
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, rates, 700_000).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), rates, 700_000).collect()
+    )
+    assert a == b and len(a) > 0
+    # the kept set is a subset of the corpus and the en rate is below the
+    # default rate → en keep fraction should be lower
+    kept = stratified_sample(docs, rates, 700_000)
+    frac = {
+        r["lang"]: r["k"] / r["n"]
+        for r in docs.join(kept.select("doc_id", F.lit(1).alias("_s")), "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("_s", F.lit(0))).alias("k"))
+        .collect()
+    }
+    assert frac["en"] < max(v for k, v in frac.items() if k != "en")
+
+
+def test_incremental_merge_equals_direct(spark):
+    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.operators.segments import incremental_build_postings
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    direct = (
+        exploded_tokens(docs)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    merged = incremental_build_postings(docs, shard_span=64).collect()
+    key = lambda r: (r["term"], r["doc_id"], r["tf"])
+    assert sorted(map(key, merged)) == sorted(map(key, direct))
