@@ -38,12 +38,25 @@ def connected_components(
     """(doc_id, component_id) for every node; component_id = min node id in
     the node's connected component. Isolated nodes form singleton
     components. ``edges`` may be directed pairs — they are symmetrized."""
+    # materialize the edge list ONCE — the loop below re-reads it every
+    # round, and without this the whole upstream pipeline (e.g. the MinHash
+    # banding that produced the pairs) would re-execute per round
     sym = edges.select(
         F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
     ).union(edges.select(F.col(b_col).alias("_a"), F.col(a_col).alias("_b")))
+    sym = sym.localCheckpoint(eager=True)
 
     labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_comp"))
     labels = labels.localCheckpoint(eager=True)
+
+    def label_sum(df: DataFrame) -> int:
+        # labels only ever decrease, so the (exact, overflow-safe) sum is a
+        # convergence probe that costs one narrow agg on checkpointed data —
+        # no extra join per round
+        row = df.agg(F.sum(F.col("_comp").cast("decimal(38,0)")).alias("s")).collect()[0]
+        return int(row["s"] or 0)
+
+    prev_sum = label_sum(labels)
     for _ in range(max_rounds):
         nb_min = (
             sym.join(labels.select(F.col("_id").alias("_b"), "_comp"), "_b")
@@ -54,17 +67,20 @@ def connected_components(
         new_labels = labels.join(nb_min, "_id", "left").select(
             "_id", F.least(F.col("_comp"), F.coalesce("_nb", F.col("_comp"))).alias("_comp")
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(
-                labels.select("_id", F.col("_comp").alias("_prev")), "_id"
-            )
-            .filter(F.col("_comp") != F.col("_prev"))
-            .count()
+        # pointer jump (path halving): follow the label one hop — labels are
+        # always node ids with comp(j) <= j, so comp(comp(v)) <= comp(v) and
+        # chains collapse in O(log diameter) rounds instead of O(diameter)
+        hop = new_labels.select(F.col("_id").alias("_hid"), F.col("_comp").alias("_hcomp"))
+        new_labels = (
+            new_labels.join(hop, new_labels["_comp"] == hop["_hid"], "left")
+            .select("_id", F.least(F.col("_comp"), F.coalesce("_hcomp", F.col("_comp"))).alias("_comp"))
         )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("_id").alias(id_col), F.col("_comp").alias("component_id")
     )
@@ -78,11 +94,27 @@ def dedup_clusters(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, component_id) — near-duplicate clusters: connected
-    components over the MinHash-LSH candidate pairs (dedup.minhash_lsh_pairs,
-    the linear-cost scale path). component_id is the min doc_id of the
-    cluster, i.e. the deterministic canonical representative a dedup
-    pipeline would keep."""
-    from searchengine_spark.operators.dedup import minhash_lsh_pairs
+    components over the MinHash-LSH band graph. component_id is the min
+    doc_id of the cluster, i.e. the deterministic canonical representative
+    a dedup pipeline would keep.
 
-    edges = minhash_lsh_pairs(docs, n_perms, rows_per_band, id_col, text_col)
+    The edges are STAR edges — every doc links to the min doc_id of each
+    band bucket it falls in — NOT the all-candidate pairs: a duplicate-
+    dense bucket of m docs yields m-1 star edges where the pair join
+    yields m², and the connected components are provably identical (two
+    docs share a bucket ⇔ both link to its hub; connectivity through hubs
+    equals connectivity through pairs). This is what keeps clustering
+    linear on corpora that are mostly duplicates — the situation dedup
+    exists for. The DuckDB gate oracle walks the pair graph instead and
+    lands on the same components (same connectivity relation)."""
+    from searchengine_spark.operators.dedup import minhash_bands
+
+    bands = minhash_bands(docs, n_perms, rows_per_band, id_col, text_col)
+    hubs = bands.groupBy("band_id", "band_key").agg(F.min(id_col).alias("_hub"))
+    edges = (
+        bands.join(hubs, ["band_id", "band_key"])
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col(id_col).alias("doc_a"), F.col("_hub").alias("doc_b"))
+        .distinct()
+    )
     return connected_components(docs.select(id_col), edges, id_col=id_col)
