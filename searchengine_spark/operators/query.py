@@ -56,20 +56,27 @@ def _candidates(postings: DataFrame, lexicon: DataFrame, spark: SparkSession, te
 
 # ---------------------------------------------------------------- snippets
 
-_SNIPPET_SCHEMA = "doc_id long, term string, snippet_first string, has_any boolean, phrase_snippet string"
+_SNIPPET_SCHEMA = (
+    "doc_id long, term string, snippet_first string, has_any boolean, "
+    "phrase_snippet string, url string, title string"
+)
 
 
 def _snippets_udf(phrase: str | None):
-    """mapInPandas over (doc_id, term, content): compute the reference's
-    60-word centered snippets (Q5) for the (doc, term) pair; report the first
-    snippet, emptiness (Q11), and — in phrase mode — the re-bolded phrase
-    snippet (SearchService.handlePhraseResults :135-163) or null if no
-    snippet contains the boundary-exact phrase."""
+    """mapInPandas over (doc_id, term, content, url, title): compute the
+    reference's 60-word centered snippets (Q5) for the (doc, term) pair;
+    report the first snippet, emptiness (Q11), and — in phrase mode — the
+    re-bolded phrase snippet (SearchService.handlePhraseResults :135-163)
+    or null if no snippet contains the boundary-exact phrase. url/title
+    pass through so result assembly needs ONE pruned documents scan per
+    frontier round, not a second metadata fetch job."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, term, content in zip(pdf["doc_id"], pdf["term"], pdf["content"]):
+            for doc_id, term, content, url, title in zip(
+                pdf["doc_id"], pdf["term"], pdf["content"], pdf["url"], pdf["title"]
+            ):
                 snips = snippet_windows(term, content, 60)
                 first = snips[0] if snips else None
                 phrase_snip = None
@@ -83,9 +90,13 @@ def _snippets_udf(phrase: str | None):
                                 end = len(plain) - 1
                             phrase_snip = plain[:start] + "<b>" + phrase + "</b>" + plain[end:]
                             break
-                rows.append((doc_id, term, first, bool(snips), phrase_snip))
+                rows.append((doc_id, term, first, bool(snips), phrase_snip, url, title))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "term", "snippet_first", "has_any", "phrase_snippet"]
+                rows,
+                columns=[
+                    "doc_id", "term", "snippet_first", "has_any",
+                    "phrase_snippet", "url", "title",
+                ],
             )
 
     return fn
@@ -246,16 +257,18 @@ def search_compat(
                 pruned_docs = documents.filter(F.col("doc_id").isin(ids))
             else:  # pathological widening: avoid a giant IN expression
                 pruned_docs = documents.join(F.broadcast(pairs.select("doc_id")), "doc_id", "left_semi")
-            meta = {r["doc_id"]: r for r in pruned_docs.select("doc_id", "url", "title").collect()}
+            # ONE pruned scan + ONE job per round: snippets and url/title
+            # metadata come back together (the UDF passes url/title through)
             snips = (
-                pruned_docs.select("doc_id", "content")
+                pruned_docs.select("doc_id", "content", "url", "title")
                 .join(F.broadcast(pairs), "doc_id")
                 .mapInPandas(_snippets_udf(phrase), _SNIPPET_SCHEMA)
                 .collect()
             )
             smap = {r["doc_id"]: r for r in snips}
             for r in todo:
-                checked[r["doc_id"]] = (meta.get(r["doc_id"]), smap.get(r["doc_id"]))
+                s = smap.get(r["doc_id"])
+                checked[r["doc_id"]] = (s, s)
         survivors: list[tuple] = []
         for r in frontier:  # frontier is already in final (score, doc_id) order
             m, s = checked.get(r["doc_id"], (None, None))
