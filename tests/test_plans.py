@@ -131,3 +131,45 @@ def test_serve_wand_prunes_buckets(spark):
     pf = plan.split("PartitionFilters")[1].split("\n")[0]
     assert "bucket" in pf
     assert "TakeOrderedAndProject" in plan
+
+
+def test_candidates_pushes_term_filter(spark, tmp_path):
+    """query._candidates must land the query-term predicate in the postings
+    scan's PushedFilters — a broadcast join key alone never reaches the
+    reader, and losing the filter re-costs every compat/BM25 query a full
+    postings decode (measured 3.4x at 1.6M docs)."""
+    from searchengine_spark.operators.query import _candidates
+    from searchengine_spark.plans.build_index import build_index, load_index
+    from searchengine_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, 200, seed=11)
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, corpus, idx_dir, with_pagerank=False)
+    idx = load_index(spark, idx_dir)
+    plan = plan_of(_candidates(idx["postings"], idx["lexicon"], spark, ["spark", "hash"]))
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "term" in pushed and "In(" in pushed
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set joins broadcast — training-doc shingles
+    must never shuffle for the overlap check."""
+    from searchengine_spark.operators import dedup
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(dedup.decontaminate(docs, n=3))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_scan_only(spark):
+    """Deterministic sampling is a pure row-local filter: no exchange, no
+    join, no Python crossing."""
+    from searchengine_spark.operators.sampling import stratified_sample
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(stratified_sample(docs, {"en": 300_000}, 700_000))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
