@@ -141,6 +141,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": lambda spark, sf: _media_features(spark, sf, "image"),
         "audio_features": lambda spark, sf: _media_features(spark, sf, "audio"),
         "video_frame_sample": lambda spark, sf: _video_frames(spark, sf),
+        # --- crawl-side plumbing (S2/F12 analogs) ---
+        # distributed fetch with host-partitioned politeness; deterministic
+        # fake transport (sandbox has no network), oracle-recomputed content
+        "fetch_pages": lambda spark, sf: _fetch_pages(spark, sf),
+        # HTML tag strip (SearchService.java:276) over in-query-synthesized
+        # HTML wrapping of each doc
+        "strip_html": lambda spark, sf: textstats.strip_html(_docs(spark, sf)),
         # --- text analysis ---
         "token_stats": lambda spark, sf: textstats.token_stats(_docs(spark, sf)),
         "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
@@ -228,6 +235,14 @@ def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_build_postings(_docs(spark, sf_dir), shard_span=64)
 
 
+def _fetch_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.fetch import fetch_pages, synth_urls
+
+    return fetch_pages(
+        synth_urls(_docs(spark, sf_dir), n_hosts=7), deterministic_fake=True
+    )
+
+
 def _search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.results import search_results
 
@@ -291,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "image_features": oracles.image_features_sql(),
         "audio_features": oracles.audio_features_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(every_n_seconds=5),
+        "fetch_pages": oracles.fetch_pages_sql(n_hosts=7),
+        "strip_html": oracles.strip_html_sql(),
         "token_stats": oracles.token_stats_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),

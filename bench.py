@@ -51,6 +51,8 @@ HEADLINE = [
     "dedup_clusters",
     "decontaminate",
     "stratified_sample",
+    "fetch_pages",
+    "strip_html",
     "token_stats",
     "quality_score",
     "lang_id",

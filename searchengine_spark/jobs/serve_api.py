@@ -1,0 +1,173 @@
+"""REST serving twin of the reference's search API (S10).
+
+The reference exposes ``GET /api/search?query=`` returning
+``{"results": [{term,url,title,snippet,id}...], "total": n}`` with
+CORS enabled (controller/SearchController.java:17-21 routes into
+SearchService.processSearchQuery; config/WebConfig.java:10-15 opens CORS).
+This module is the PySpark-native twin: a stdlib ``ThreadingHTTPServer``
+front end over the index-served query paths — no web framework needed, and
+the long-lived ``SparkSession`` plays the role the reference's Spring
+container + Mongo connection pool play.
+
+Query routing mirrors SearchService.processSearchQuery:
+
+- quoted query (``isPhraseSearch``, SearchService.java:93-95) → phrase
+  path: positional adjacency over the stored postings
+  (serve.phrase_match — correct-by-positions, unlike the reference's
+  snippet-scan, quirk Q10) filters candidates, THEN BM25 ranks the
+  survivors (filter-then-rank, the reference's flow at :99-133);
+- plain query → term path: index-served BM25 top-k with url/title/snippet
+  assembly (results.search_results = convertDocumentsToResults shape).
+
+Result rows carry exactly the reference's five fields
+(SearchService.java:391-423): ``term, url, title, snippet, id``
+(id = doc_id — our analog of the Mongo ObjectId).
+
+Scale: the HTTP layer is driver-side only; every request runs the same
+partition-pruned broadcast-join plans the gated queries run, so a serving
+deployment is one long-lived Spark application per replica with the index
+on shared storage — the reference's "Spring app over a shared MongoDB"
+topology, re-expressed.
+
+Run:
+    spark-submit --py-files sespark.zip searchengine_spark/jobs/serve_api.py \\
+        --sf-dir /root/testdata/sf0.001 [--port 8080]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+MAX_K = 100
+
+
+class SearchAPI:
+    """Query engine behind the HTTP handler: gate index + documents table,
+    loaded once (build-or-load) at construction — requests never rebuild."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        from searchengine_spark.plans.gate_index import gate_index
+        from searchengine_spark.sources.tables import load_table
+
+        self.spark = spark
+        self.idx = gate_index(spark, sf_dir)
+        self.documents = load_table(spark, sf_dir, "documents")
+
+    @staticmethod
+    def parse_query(raw: str) -> tuple[list[str], bool]:
+        """(terms, is_phrase). Phrase = wrapped in double quotes
+        (SearchService.java:93-95); terms via the simple gate tokenizer."""
+        raw = raw.strip()
+        is_phrase = len(raw) >= 2 and raw.startswith('"') and raw.endswith('"')
+        if is_phrase:
+            raw = raw[1:-1]
+        terms = [t for t in re.split(r"[^a-z0-9]+", raw.lower()) if t]
+        return terms, is_phrase
+
+    def search(self, raw_query: str, k: int = 10) -> list[dict]:
+        """Ranked result dicts in the reference's response-row shape."""
+        from searchengine_spark.operators import serve
+        from searchengine_spark.operators.results import search_results
+
+        terms, is_phrase = self.parse_query(raw_query)
+        if not terms:
+            return []
+        doc_filter = None
+        if is_phrase and len(terms) >= 2:
+            doc_filter = serve.phrase_match(self.spark, self.idx, terms)
+        res = search_results(
+            self.spark, self.idx, self.documents, terms, k=k, doc_filter=doc_filter
+        )
+        return [
+            {
+                "term": r["term"],
+                "url": r["url"],
+                "title": r["title"],
+                "snippet": r["snippet"],
+                "id": r["doc_id"],
+            }
+            for r in res.orderBy("rank").collect()
+        ]
+
+    def start(self, port: int = 0) -> ThreadingHTTPServer:
+        """Bind and serve on a daemon thread; returns the server (port via
+        ``server.server_address[1]``, stop via ``server.shutdown()``)."""
+        server = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(self))
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server
+
+
+def _make_handler(api: SearchAPI):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args) -> None:  # quiet under pytest
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            # WebConfig.java:10-15 — CORS open for the frontend
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/api/search":
+                self._send(404, {"error": "not found"})
+                return
+            qs = urllib.parse.parse_qs(parsed.query)
+            query = qs.get("query", [""])[0]
+            try:
+                k = min(MAX_K, max(1, int(qs.get("k", ["10"])[0])))
+            except ValueError:
+                self._send(400, {"error": "bad k"})
+                return
+            try:
+                results = api.search(query, k=k)
+            except Exception as exc:  # surface, don't kill the server
+                self._send(500, {"error": str(exc)})
+                return
+            # SearchResponse shape (SearchService.java:87-90)
+            self._send(200, {"results": results, "total": len(results)})
+
+    return Handler
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from searchengine_spark.session import get_spark
+
+    # serving session: AQE off (same rationale as run_queries — adaptive
+    # re-planning buys nothing on k-row plans and costs driver round-trips)
+    spark = get_spark(
+        master=args.master,
+        app_name="serve_api",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    api = SearchAPI(spark, args.sf_dir)
+    server = api.start(port=args.port)
+    print(f"listening on http://127.0.0.1:{server.server_address[1]}/api/search")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

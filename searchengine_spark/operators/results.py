@@ -82,6 +82,7 @@ def search_results(
     documents: DataFrame,
     query_terms: list[str],
     k: int = 10,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Index-served BM25 top-k assembled into the reference's response shape:
     ``(rank, doc_id, term, url, title, snippet, score_micros)``.
@@ -89,12 +90,26 @@ def search_results(
     Plan: bm25_topk (pruned postings scan + broadcast lexicon + bounded
     top-k) → broadcast the <=k winners against documents for url/title/text
     (one equi-join, hit side broadcast) → snippet expression over k rows.
+
+    ``doc_filter`` (a ``doc_id`` DataFrame) restricts candidates BEFORE the
+    top-k bound — the REST phrase path passes the positional phrase-match
+    doc set here, mirroring the reference's filter-then-rank phrase flow
+    (SearchService.handlePhraseSearch, SearchService.java:99-133) but
+    filtering on true positional adjacency instead of snippet scans.
     """
     from pyspark.sql import Window
 
     from searchengine_spark.operators import serve
 
-    top = serve.bm25_topk(spark, idx, query_terms, k=k)
+    if doc_filter is None:
+        top = serve.bm25_topk(spark, idx, query_terms, k=k)
+    else:
+        top = (
+            serve.bm25_scores(spark, idx, query_terms)
+            .join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+            .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+            .limit(k)
+        )
     rows = serve._qlex(spark, idx, query_terms)
     if not rows:
         return spark.createDataFrame(

@@ -72,14 +72,17 @@ def lexicon_stats(spark: SparkSession, idx: dict) -> DataFrame:
     )
 
 
-def bm25_topk(
-    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+def bm25_scores(
+    spark: SparkSession, idx: dict, query_terms: list[str]
 ) -> DataFrame:
-    """BM25 top-k served from the index: (doc_id, score_micros).
+    """Un-limited BM25 candidate scores served from the index:
+    (doc_id, score_micros) for every doc matching ≥1 query term.
 
     Plan: pruned postings scan → broadcast join of the |q|-row lexicon →
-    per-doc bigint aggregate → TakeOrderedAndProject. Zero corpus scans,
-    zero per-query driver aggregates."""
+    per-doc bigint aggregate. Zero corpus scans, zero per-query driver
+    aggregates. ``bm25_topk`` adds the bounded top-k; callers that filter
+    candidates first (e.g. the REST phrase path) consume this directly so
+    the limit applies AFTER their filter."""
     rows = _qlex(spark, idx, query_terms)
     if not rows:
         return spark.createDataFrame([], _EMPTY_TOPK)
@@ -95,6 +98,16 @@ def bm25_topk(
         .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
         .groupBy("doc_id")
         .agg(F.sum("c_micros").alias("score_micros"))
+    )
+
+
+def bm25_topk(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 top-k served from the index: (doc_id, score_micros) — the
+    bounded-heap (TakeOrderedAndProject) tail over ``bm25_scores``."""
+    return (
+        bm25_scores(spark, idx, query_terms)
         .orderBy(F.desc("score_micros"), F.asc("doc_id"))
         .limit(k)
     )

@@ -109,3 +109,30 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.md5(norm).alias("normalized_md5"),
         F.md5(tokset).alias("token_set_md5"),
     )
+
+
+def strip_html(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, stripped_md5, n_tag_chars) — the F12 tag-strip operator
+    (``regexp_replace(html, '<[^>]*>', '')``, SearchService.java:276)
+    gated over a deterministically HTML-wrapped rendering of each doc.
+
+    The corpus is plain text (no tags to strip — the reason F12 was N/A in
+    round 1), so the gate synthesizes the HTML in-query: wrap the doc in
+    ``<html><body><p id="{doc_id}">..</p></body></html>`` and turn every
+    space into a ``</p> <p>`` paragraph break. Stripping must return the
+    original text exactly (tag removal leaves the inter-tag space), which
+    the md5 certifies; ``n_tag_chars`` = how many characters the strip
+    removed. Pure built-ins — one map over the scan, no shuffle."""
+    html = F.concat(
+        F.lit('<html><body><p id="'),
+        F.col(id_col).cast("string"),
+        F.lit('">'),
+        F.regexp_replace(F.col(text_col), " ", "</p> <p>"),
+        F.lit("</p></body></html>"),
+    )
+    stripped = F.regexp_replace(html, "<[^>]*>", "")
+    return docs.select(
+        F.col(id_col),
+        F.md5(stripped).alias("stripped_md5"),
+        (F.length(html) - F.length(stripped)).cast("long").alias("n_tag_chars"),
+    )

@@ -1238,3 +1238,41 @@ SELECT doc_id, lang FROM documents
 WHERE CAST(('0x' || substr(md5('{salt}' || doc_id), 1, 15)) AS BIGINT) % 1000000
       < CASE lang {cases} ELSE {default_ppm} END
 """
+
+
+def strip_html_sql() -> str:
+    """Twin of textstats.strip_html: the same synthesized HTML wrapping and
+    the same ``<[^>]*>`` strip (regexp_replace needs the 'g' flag — DuckDB
+    defaults to first-match, Spark to global)."""
+    return """
+WITH h AS (
+  SELECT doc_id,
+         '<html><body><p id="' || doc_id::VARCHAR || '">'
+           || replace(text, ' ', '</p> <p>') || '</p></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(html, '<[^>]*>', '', 'g')) AS stripped_md5,
+       CAST(length(html) - length(regexp_replace(html, '<[^>]*>', '', 'g'))
+            AS BIGINT) AS n_tag_chars
+FROM h
+"""
+
+
+def fetch_pages_sql(n_hosts: int = 7) -> str:
+    """Twin of fetch.fetch_pages(deterministic_fake=True) over
+    fetch.synth_urls: fake content = md5(url) wrapped in the html shell,
+    sha256 over the same string (DuckDB sha256/md5 take VARCHAR and return
+    lowercase hex — same as hashlib hexdigest)."""
+    return f"""
+WITH u AS (
+  SELECT 'http://host' || (doc_id % {n_hosts})::VARCHAR || '.example/'
+           || doc_id::VARCHAR AS url
+  FROM documents
+)
+SELECT url,
+       200 AS status,
+       '<html><body>' || md5(url) || '</body></html>' AS content,
+       sha256('<html><body>' || md5(url) || '</body></html>') AS content_sha256
+FROM u
+"""

@@ -131,3 +131,39 @@ def test_incremental_merge_equals_direct(spark):
     merged = incremental_build_postings(docs, shard_span=64).collect()
     key = lambda r: (r["term"], r["doc_id"], r["tf"])
     assert sorted(map(key, merged)) == sorted(map(key, direct))
+
+
+def test_fetch_pages_fake_transport(spark):
+    import hashlib
+
+    from searchengine_spark.operators.fetch import fetch_pages, synth_urls
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    urls = synth_urls(docs, n_hosts=7)
+    got = fetch_pages(urls, deterministic_fake=True).collect()
+    assert len(got) == docs.count()
+    for r in got[:20]:
+        digest = hashlib.md5(r["url"].encode()).hexdigest()
+        assert r["status"] == 200
+        assert r["content"] == f"<html><body>{digest}</body></html>"
+        assert r["content_sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+    # partitioning-independent output (politeness repartition is internal)
+    again = sorted(
+        (r["url"], r["content_sha256"])
+        for r in fetch_pages(urls.repartition(3), deterministic_fake=True).collect()
+    )
+    assert again == sorted((r["url"], r["content_sha256"]) for r in got)
+
+
+def test_strip_html_roundtrip(spark):
+    from searchengine_spark.operators.textstats import strip_html
+
+    rows = [(1, "alpha beta gamma"), (2, "x"), (3, "a  b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_html(docs).collect()}
+    import hashlib
+
+    for doc_id, text in rows:
+        # stripping the synthesized wrapping must return the original text
+        assert got[doc_id]["stripped_md5"] == hashlib.md5(text.encode()).hexdigest()
+        assert got[doc_id]["n_tag_chars"] > 0

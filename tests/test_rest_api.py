@@ -1,0 +1,84 @@
+"""REST serving twin (S10): spin the stdlib HTTP server over the gate index
+and check the wire responses against the direct DataFrame paths — the same
+reference surface SearchController.java:17-21 exposes."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+SF_SMALL = os.environ.get("PARITY_SMALL_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def api_server(spark):
+    from searchengine_spark.jobs.serve_api import SearchAPI
+
+    api = SearchAPI(spark, SF_SMALL)
+    server = api.start(port=0)
+    yield api, f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _get(base: str, path: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(base + path, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_term_query_matches_dataframe_path(spark, api_server):
+    from searchengine_spark.operators.results import search_results
+
+    api, base = api_server
+    status, body = _get(base, "/api/search?query=" + urllib.parse.quote("hash join"))
+    assert status == 200
+    assert body["total"] == len(body["results"]) > 0
+    expected = search_results(
+        spark, api.idx, api.documents, ["hash", "join"], k=10
+    ).orderBy("rank").collect()
+    assert len(expected) == body["total"]
+    for got, exp in zip(body["results"], expected):
+        assert got == {
+            "term": exp["term"],
+            "url": exp["url"],
+            "title": exp["title"],
+            "snippet": exp["snippet"],
+            "id": exp["doc_id"],
+        }
+    # response rows carry exactly the reference's five fields
+    assert set(body["results"][0]) == {"term", "url", "title", "snippet", "id"}
+
+
+def test_phrase_query_filters_then_ranks(spark, api_server):
+    from searchengine_spark.operators import serve
+
+    api, base = api_server
+    q = urllib.parse.quote('"hash join"')
+    status, body = _get(base, f"/api/search?query={q}&k=25")
+    assert status == 200 and body["total"] > 0
+    phrase_docs = {
+        r["doc_id"] for r in serve.phrase_match(spark, api.idx, ["hash", "join"]).collect()
+    }
+    got_ids = [r["id"] for r in body["results"]]
+    assert set(got_ids) <= phrase_docs
+    # phrase path is a FILTER on the term path's candidates: stricter or equal
+    status2, unquoted = _get(base, f"/api/search?query=hash+join&k=25")
+    assert status2 == 200
+    assert body["total"] <= unquoted["total"]
+
+
+def test_no_hit_and_errors(api_server):
+    _, base = api_server
+    status, body = _get(base, "/api/search?query=zzzqqqxxyy")
+    assert status == 200 and body == {"results": [], "total": 0}
+    status, _ = _get(base, "/api/other?query=x")
+    assert status == 404
+    status, _ = _get(base, "/api/search?query=x&k=notanint")
+    assert status == 400
