@@ -150,6 +150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": lambda spark, sf: textstats.strip_html(_docs(spark, sf)),
         # --- text analysis ---
         "token_stats": lambda spark, sf: textstats.token_stats(_docs(spark, sf)),
+        # Gopher-family repetition signals (dup/top bigram fractions)
+        "repetition_stats": lambda spark, sf: textstats.repetition_stats(_docs(spark, sf)),
+        # PII detect+redact over deterministically seasoned docs
+        "pii_scrub": lambda spark, sf: textstats.pii_scrub(_docs(spark, sf)),
         "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
         "lang_id": lambda spark, sf: textstats.lang_id(_docs(spark, sf)),
         "doc_fingerprints": lambda spark, sf: textstats.doc_fingerprints(_docs(spark, sf)),
@@ -309,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "fetch_pages": oracles.fetch_pages_sql(n_hosts=7),
         "strip_html": oracles.strip_html_sql(),
         "token_stats": oracles.token_stats_sql(),
+        "repetition_stats": oracles.repetition_stats_sql(),
+        "pii_scrub": oracles.pii_scrub_sql(),
         "quality_score": oracles.quality_score_sql(),
         "lang_id": oracles.lang_id_sql(),
         "doc_fingerprints": oracles.doc_fingerprints_sql(),

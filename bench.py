@@ -53,6 +53,8 @@ HEADLINE = [
     "stratified_sample",
     "fetch_pages",
     "strip_html",
+    "repetition_stats",
+    "pii_scrub",
     "token_stats",
     "quality_score",
     "lang_id",

@@ -136,3 +136,111 @@ def strip_html(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.md5(stripped).alias("stripped_md5"),
         (F.length(html) - F.length(stripped)).cast("long").alias("n_tag_chars"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, n_distinct_bigrams, dup_bigram_frac_micros,
+    top_bigram, top_bigram_n, top_bigram_frac_micros) — per-document
+    repetition signals in the Gopher-rules family (Rae et al. 2021 §A1.1:
+    "fraction of duplicate n-grams" / "fraction of characters in the most
+    common n-gram"), the cheap boilerplate detector a training-data
+    pipeline runs before dedup.
+
+    Plan: bigrams are built array-side behind the same Generate barrier
+    ``dedup._token_ngrams`` uses (Catalyst inlines Project aliases into
+    higher-order-function lambdas, so the token array must become a real
+    attribute first), then ONE word-count-shaped shuffle — groupBy
+    (doc, bigram) with map-side combine — and a second map-side-combined
+    groupBy(doc) that folds total/distinct/argmax in one pass (argmax with
+    deterministic ties via ``min(struct(-n, bigram))``). Both shuffles are
+    keyed on near-unique keys: no skew, linear at any corpus size. Docs
+    with <2 tokens carry no bigrams and are excluded (same both sides)."""
+    toks_arr = _tokens(text_col)
+    # Generate barrier: evaluate the split+filter exactly once per row
+    toks = docs.select(F.col(id_col), F.explode(F.array(toks_arr)).alias("_t"))
+    t = F.col("_t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    exploded = toks.where(F.size(t) >= 2).select(
+        F.col(id_col), F.explode(grams).alias("bigram")
+    )
+    counts = exploded.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("bigram"))).alias("_top"),
+    )
+    frac = lambda num: F.round(
+        F.lit(1e6) * num.cast("double") / F.col("n_bigrams").cast("double")
+    ).cast("long")
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        "n_distinct_bigrams",
+        frac(F.col("n_bigrams") - F.col("n_distinct_bigrams")).alias(
+            "dup_bigram_frac_micros"
+        ),
+        F.col("_top.bigram").alias("top_bigram"),
+        (-F.col("_top.neg_n")).cast("long").alias("top_bigram_n"),
+        frac(-F.col("_top.neg_n")).alias("top_bigram_frac_micros"),
+    )
+
+
+# PII patterns — written in the common Java-regex ∩ RE2 dialect so Spark and
+# the DuckDB oracle compile the identical pattern (no backrefs, no lookaround)
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, redacted_md5, n_chars_delta) —
+    PII detection + redaction, the scrub pass every LLM training-data
+    pipeline runs (emails / IPv4 / phone patterns → ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` placeholders, counts kept for audit).
+
+    The synthetic corpus contains no PII, so — like ``strip_html`` — the
+    gate seasons each doc in-query with a deterministic contact line derived
+    from ``doc_id`` (one email, one IP, one phone per doc); the DuckDB
+    oracle synthesizes the identical line, so detection AND redaction are
+    both certified by ``redacted_md5``. Redactions apply in a fixed order
+    (email → ip → phone) on both sides. Pure built-ins: one map over the
+    scan, no shuffle, whole-stage codegen."""
+    did = F.col(id_col).cast("string")
+    seasoned = F.concat(
+        F.col(text_col),
+        F.lit(" Contact user"),
+        did,
+        F.lit("@mail.example (ip 10."),
+        (F.col(id_col) % 250).cast("string"),
+        F.lit(".0."),
+        (F.col(id_col) % 100).cast("string"),
+        F.lit(", tel +1-555-"),
+        (F.lit(1000) + F.col(id_col) % 9000).cast("string"),
+        F.lit(")"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seasoned, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(seasoned, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(seasoned, F.lit(PII_IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(seasoned, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        (F.length(seasoned) - F.length(redacted)).cast("long").alias("n_chars_delta"),
+    )

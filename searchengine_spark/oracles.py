@@ -1276,3 +1276,77 @@ SELECT url,
        sha256('<html><body>' || md5(url) || '</body></html>') AS content_sha256
 FROM u
 """
+
+
+def repetition_stats_sql() -> str:
+    """Twin of textstats.repetition_stats: bigram repetition signals per doc
+    (generate_series is end-inclusive == Spark sequence; fraction exprs keep
+    Spark's literal order 1e6*num/den so the doubles are IEEE-identical)."""
+    return """
+WITH toksarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM toksarr WHERE len(w) >= 2
+),
+counts AS (
+  SELECT doc_id, bigram, count(*) AS n FROM grams GROUP BY doc_id, bigram
+),
+ranked AS (
+  SELECT doc_id, bigram, n,
+         sum(n) OVER (PARTITION BY doc_id) AS total,
+         count(*) OVER (PARTITION BY doc_id) AS n_distinct,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram ASC) AS rn
+  FROM counts
+)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS n_bigrams,
+       CAST(n_distinct AS BIGINT) AS n_distinct_bigrams,
+       CAST(round(1e6 * CAST(total - n_distinct AS DOUBLE) / CAST(total AS DOUBLE))
+            AS BIGINT) AS dup_bigram_frac_micros,
+       bigram AS top_bigram,
+       CAST(n AS BIGINT) AS top_bigram_n,
+       CAST(round(1e6 * CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+            AS BIGINT) AS top_bigram_frac_micros
+FROM ranked WHERE rn = 1
+"""
+
+
+def pii_scrub_sql() -> str:
+    """Twin of textstats.pii_scrub: identical seasoning line, identical
+    Java∩RE2 patterns, identical email→ip→phone redaction order (DuckDB
+    regexp_replace needs the 'g' flag to match Spark's global default)."""
+    email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    phone = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' Contact user' || doc_id::VARCHAR || '@mail.example (ip 10.'
+              || (doc_id % 250)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR
+              || ', tel +1-555-' || (1000 + doc_id % 9000)::VARCHAR || ')'
+           AS seasoned
+  FROM documents
+),
+r AS (
+  SELECT doc_id, seasoned,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(seasoned, '{email}', '<EMAIL>', 'g'),
+             '{ipv4}', '<IP>', 'g'),
+           '{phone}', '<PHONE>', 'g') AS redacted
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(seasoned, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(seasoned, '{ipv4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(seasoned, '{phone}')) AS BIGINT) AS n_phones,
+       md5(redacted) AS redacted_md5,
+       CAST(length(seasoned) - length(redacted) AS BIGINT) AS n_chars_delta
+FROM r
+"""

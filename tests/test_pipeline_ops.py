@@ -167,3 +167,53 @@ def test_strip_html_roundtrip(spark):
         # stripping the synthesized wrapping must return the original text
         assert got[doc_id]["stripped_md5"] == hashlib.md5(text.encode()).hexdigest()
         assert got[doc_id]["n_tag_chars"] > 0
+
+
+def test_repetition_stats_known_values(spark):
+    from searchengine_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y x z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: bigrams {a b:3, b a:2, b c:1} -> total 6, distinct 3
+    r1 = got[1]
+    assert (r1["n_bigrams"], r1["n_distinct_bigrams"]) == (6, 3)
+    assert r1["dup_bigram_frac_micros"] == 500000
+    assert (r1["top_bigram"], r1["top_bigram_n"], r1["top_bigram_frac_micros"]) == (
+        "a b", 3, 500000,
+    )
+    # doc 2: all counts tie at 1 -> alphabetically-first bigram wins
+    assert got[2]["top_bigram"] == "x y"
+    assert got[2]["dup_bigram_frac_micros"] == 0
+    # doc 3: <2 tokens -> no bigrams, excluded
+    assert 3 not in got
+
+
+def test_pii_scrub_matches_python_re(spark):
+    import hashlib
+    import re as _re
+
+    from searchengine_spark.operators.textstats import (
+        PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE, pii_scrub,
+    )
+
+    rows = [(7, "hello world"), (123, "already has a@b.io and 1.2.3.4 inside")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    for doc_id, text in rows:
+        seasoned = (
+            f"{text} Contact user{doc_id}@mail.example (ip 10.{doc_id % 250}"
+            f".0.{doc_id % 100}, tel +1-555-{1000 + doc_id % 9000})"
+        )
+        redacted = _re.sub(PII_EMAIL_RE, "<EMAIL>", seasoned)
+        redacted = _re.sub(PII_IPV4_RE, "<IP>", redacted)
+        redacted = _re.sub(PII_PHONE_RE, "<PHONE>", redacted)
+        r = got[doc_id]
+        assert r["n_emails"] == len(_re.findall(PII_EMAIL_RE, seasoned))
+        assert r["n_ipv4"] == len(_re.findall(PII_IPV4_RE, seasoned))
+        assert r["n_phones"] == len(_re.findall(PII_PHONE_RE, seasoned))
+        assert r["redacted_md5"] == hashlib.md5(redacted.encode()).hexdigest()
+        assert r["n_chars_delta"] == len(seasoned) - len(redacted)
+    assert got[123]["n_emails"] == 2 and got[123]["n_ipv4"] == 2
