@@ -31,6 +31,7 @@ PHRASE = ["hash", "join"]
 # returns them unchanged) so the DuckDB oracle needs no stemmer
 COMPAT_QUERY = "hash join window"
 COMPAT_TERMS = ["hash", "join", "window"]
+FUZZY_WORD = "spack"  # ED-1 from "spark" (and "stack"): exercises substitution
 TOPK = 10
 
 
@@ -93,8 +94,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time over the <=k winners, bolding/ellipses per the reference
         "search_results": lambda spark, sf: _search_results(spark, sf),
         "pagerank_integer": lambda spark, sf: _pagerank_integer(spark, sf),
+        # HITS hubs/authorities (exact-integer twin, same edge graph as PR)
+        "hits_scores": lambda spark, sf: _hits_scores(spark, sf),
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
+        ),
+        # did-you-mean: SymSpell deletion-key join over the lexicon; the
+        # oracle brute-forces levenshtein over the vocabulary
+        "fuzzy_suggest": lambda spark, sf: serve.fuzzy_suggest(
+            spark, gate_index(spark, sf), FUZZY_WORD, k=5
+        ),
+        # LM-perplexity-proxy quality signal, served from postings+lexicon
+        "unigram_logprob": lambda spark, sf: serve.unigram_logprob(
+            spark, gate_index(spark, sf)
         ),
         # --- dedup family (training-data pipeline) ---
         "dedup_exact": lambda spark, sf: dedup.exact_dedup_groups(_docs(spark, sf)),
@@ -176,6 +188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": relational.top_bigrams,
         "user_daily_activity": relational.user_daily_activity,
         "events_hopping_window": relational.events_hopping_window,
+        # collocation mining: bigram PMI (association), next to top_bigrams
+        # (frequency)
+        "pmi_top_pairs": lambda spark, sf: textstats.pmi_top_pairs(
+            _docs(spark, sf), k=20, min_count=5
+        ),
     }
 
 
@@ -261,6 +278,18 @@ def _pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(_docs(spark, sf_dir), iterations=5)
 
 
+def _hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import hits_integer
+
+    return hits_integer(_docs(spark, sf_dir), iterations=5)
+
+
+def _hits_scores_sql() -> str:
+    from searchengine_spark.operators.graph_demo import hits_integer_sql
+
+    return hits_integer_sql(iterations=5)
+
+
 def _pagerank_integer_sql() -> str:
     from searchengine_spark.operators.graph_demo import pagerank_integer_sql
 
@@ -285,6 +314,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
+        "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
+        "unigram_logprob": oracles.unigram_logprob_sql(),
+        "hits_scores": _hits_scores_sql(),
+        "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),

@@ -68,6 +68,92 @@ def pagerank_integer(
     return ranks.select("doc_id", F.col("r").alias("rank_scaled"))
 
 
+def hits_integer(
+    docs: DataFrame, iterations: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, auth, hub) after ``iterations`` Kleinberg HITS steps over the
+    synthetic edge graph, in exact (unnormalized) integer arithmetic.
+
+    Sequential update per iteration — a_i(v) = sum of h_{i-1}(u) over in-edges
+    u->v, then h_i(v) = sum of a_i(w) over out-edges v->w — so hub scores see
+    the fresh authorities, as in the published algorithm. Skipping the
+    per-iteration normalization keeps every value a bigint (degrees are
+    bounded by the two hash maps, so growth is <= ~8x/iteration): ranks are
+    identical to the normalized variant and sums stay exact in both engines.
+    Each iteration is two edge-joins + two aggregates; the loop
+    localCheckpoints to cut the lineage, same as :func:`pagerank_integer`."""
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    edges = synthetic_edges(docs, id_col)
+    h = nodes.withColumn("h", F.lit(1).cast("long"))
+    a = nodes.withColumn("a", F.lit(1).cast("long"))
+    for _ in range(iterations):
+        in_sum = (
+            edges.join(h, edges.src == h.doc_id)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+        )
+        a = nodes.join(in_sum, nodes.doc_id == in_sum.dst, "left").select(
+            "doc_id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("a")
+        )
+        a = a.localCheckpoint(eager=True)
+        out_sum = (
+            edges.join(a, edges.dst == a.doc_id)
+            .groupBy("src")
+            .agg(F.sum("a").alias("s"))
+        )
+        h = nodes.join(out_sum, nodes.doc_id == out_sum.src, "left").select(
+            "doc_id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("h")
+        )
+        h = h.localCheckpoint(eager=True)
+    return a.join(h, "doc_id").select(
+        "doc_id", F.col("a").alias("auth"), F.col("h").alias("hub")
+    )
+
+
+_EDGES_SQL = """
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 31 + 7) % n.n AS dst FROM documents, n
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+  ) WHERE src <> dst
+)"""
+
+
+def hits_integer_sql(iterations: int = 5) -> str:
+    """DuckDB twin: the fixed iteration count unrolls into a CTE chain
+    (a1 <- h0, h1 <- a1, a2 <- h1, ...) — plain left-join aggregates, no
+    recursion needed."""
+    ctes = [f"WITH {_EDGES_SQL},", "h0 AS (SELECT doc_id, 1::BIGINT AS h FROM nodes)"]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT nd.doc_id, coalesce(s.v, 0)::BIGINT AS a
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(p.h)::BIGINT AS v
+    FROM edges e JOIN h{i - 1} p ON p.doc_id = e.src GROUP BY 1
+  ) s USING (doc_id)
+)"""
+        )
+        ctes.append(
+            f"""h{i} AS (
+  SELECT nd.doc_id, coalesce(s.v, 0)::BIGINT AS h
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src AS doc_id, sum(p.a)::BIGINT AS v
+    FROM edges e JOIN a{i} p ON p.doc_id = e.dst GROUP BY 1
+  ) s USING (doc_id)
+)"""
+        )
+    with_block = ctes[0] + "\n" + ",\n".join(ctes[1:])
+    return (
+        with_block
+        + f"\nSELECT a{iterations}.doc_id, a{iterations}.a AS auth, h{iterations}.h AS hub"
+        + f"\nFROM a{iterations} JOIN h{iterations} USING (doc_id)"
+    )
+
+
 def pagerank_integer_sql(iterations: int = 5) -> str:
     """DuckDB recursive-CTE twin (multiple working-table references are a
     DuckDB extension; this is the oracle, not a portability claim)."""

@@ -234,6 +234,92 @@ def prefix_suggest(
     )
 
 
+def _deletion_keys() -> F.Column:
+    """SymSpell key set for the ``term`` column: the term itself plus every
+    1-character deletion. Two words are Levenshtein<=1 neighbors only if
+    their key sets intersect (delete-match covers equal/insert/delete/
+    substitute), so an equi-join on keys replaces the O(|V|) per-query
+    edit-distance scan."""
+    dels = F.expr(
+        "transform(sequence(1, length(term)), "
+        "i -> concat(substring(term, 1, i-1), substring(term, i+1, length(term))))"
+    )
+    return F.array_union(F.array(F.col("term")), dels)
+
+
+def fuzzy_suggest(spark: SparkSession, idx: dict, word: str, k: int = 5) -> DataFrame:
+    """Did-you-mean: top-k lexicon terms within Levenshtein distance 1 of
+    ``word``, ranked (distance asc, corpus frequency desc, term asc).
+
+    The reference's suggestion path is exact-prefix only (the
+    SearchService suggestion lookups); this extends it with the
+    standard SymSpell deletion-neighborhood design: candidates come from an
+    equi-join between the query's deletion keys (|word|+1 strings, a
+    broadcast ``isin``) and the lexicon's deletion keys. At scale the
+    exploded (key, term) table is materialized once next to the lexicon and
+    bucket-joined — per query the work is |word|+1 key lookups, never a
+    vocabulary scan. Deletion intersection admits transposition false
+    positives (ED=2), so candidates pass a final ``levenshtein() <= 1``
+    verify — the output is exact Levenshtein semantics, generated the
+    scalable way."""
+    w = word.lower()
+    qkeys = [w] + [w[:i] + w[i + 1 :] for i in range(len(w))]
+    cand = (
+        idx["lexicon"]
+        .select("term", "cf", F.explode(_deletion_keys()).alias("key"))
+        .filter(F.col("key").isin(qkeys))
+        .groupBy("term")
+        .agg(F.max("cf").alias("n"))
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("term"), F.lit(w)).cast("int"))
+        .filter(F.col("dist") <= 1)
+        .select("term", "dist", "n")
+        .orderBy(F.asc("dist"), F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def unigram_logprob(spark: SparkSession, idx: dict) -> DataFrame:
+    """Per-document mean unigram surprisal (the in-sandbox analog of the
+    CCNet/KenLM perplexity quality filter): for each document,
+    ``mean_nll_micros = (sum over terms of round(tf * ln(total_tokens/cf)
+    * 1e6)) div doc_len``.
+
+    Served entirely from the index: postings (term, doc_id, tf, dl) join the
+    lexicon's corpus frequencies — both sides are bucketed by term hash, so
+    at scale this is a co-partitioned join with no corpus scan; the total
+    token count is the manifest's ``sum_dl`` scalar (every kept token adds 1
+    to exactly one tf). Contributions round to bigint micros before the
+    per-doc sum, so the result is exact and partition-count-invariant."""
+    total = F.lit(float(idx["sum_dl"]))
+    contrib = (
+        idx["postings"]
+        .select("term", "doc_id", "tf", "dl")
+        .join(idx["lexicon"].select("term", "cf"), "term")
+        .select(
+            "doc_id",
+            "dl",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(total / F.col("cf").cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("c_micros"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id", "dl")
+        .agg(F.sum("c_micros").alias("s"))
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            F.expr("s div dl").alias("mean_nll_micros"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- compat gate
 
 _COMPAT_FIXTURES: dict = {}

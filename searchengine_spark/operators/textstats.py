@@ -244,3 +244,58 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(redacted).alias("redacted_md5"),
         (F.length(seasoned) - F.length(redacted)).cast("long").alias("n_chars_delta"),
     )
+
+
+def pmi_top_pairs(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: bigrams scored
+    ``pmi = ln((c_xy * n1 * n1) / (n2 * c_x * c_y))`` where n1/n2 are the
+    corpus unigram/bigram totals — the standard collocation-detection pass
+    (Church & Hanks 1990) a corpus-analytics user runs next to raw bigram
+    counts (``top_bigrams`` ranks by frequency; PMI ranks by association).
+
+    Shape at scale: one tokenize pass feeds both the unigram aggregate and
+    the position-adjacency bigram aggregate (two map-side-combined groupBys);
+    the min_count filter shrinks the bigram table BEFORE its two term-keyed
+    joins against the unigram counts, and both join sides are term-keyed
+    aggregates (AQE broadcasts the small side at small scale, shuffle-hash
+    joins co-keyed tables at web scale — never a corpus-sized side). Scores
+    are bigint micros; the two scalar totals are exact integers so both
+    engines see identical doubles.
+    """
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    toks = exploded_tokens(docs, with_pos=True)
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    a = toks.select("doc_id", "pos", F.col("term").alias("t0"))
+    b = toks.select(
+        F.col("doc_id").alias("_d"), (F.col("pos") - 1).alias("_p"), F.col("term").alias("t1")
+    )
+    bi = (
+        a.join(b, (a.doc_id == b._d) & (a.pos == b._p))
+        .groupBy("t0", "t1")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    totals = bi.agg(F.sum("cxy").alias("n2")).collect()[0]
+    n2 = F.lit(float(totals["n2"] or 0))
+    n1 = F.lit(float(toks.count()))
+    ua = uni.select(F.col("term").alias("t0"), F.col("c1").alias("cx"))
+    ub = uni.select(F.col("term").alias("t1"), F.col("c1").alias("cy"))
+    scored = (
+        bi.filter(F.col("cxy") >= min_count)
+        .join(ua, "t0")
+        .join(ub, "t1")
+        .select(
+            F.concat_ws(" ", "t0", "t1").alias("bigram"),
+            F.col("cxy").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("cxy").cast("double") * n1 * n1)
+                    / (n2 * F.col("cx").cast("double") * F.col("cy").cast("double"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("pmi_micros"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micros"), F.asc("bigram")).limit(k)

@@ -1350,3 +1350,66 @@ SELECT doc_id,
        CAST(length(seasoned) - length(redacted) AS BIGINT) AS n_chars_delta
 FROM r
 """
+
+
+def fuzzy_suggest_sql(word: str, k: int = 5) -> str:
+    """Brute-force twin of serve.fuzzy_suggest: the oracle scans the whole
+    vocabulary with levenshtein() (O(|V|) — fine for an oracle), while the
+    Spark side must produce the identical set via the SymSpell deletion-key
+    join. A signature/key bug on the scalable path fails the hash."""
+    w = word.lower().replace("'", "''")
+    return f"""
+WITH {_TOKENS_CTE},
+lex AS (SELECT term, count(*)::BIGINT AS n FROM terms GROUP BY 1)
+SELECT term, levenshtein(term, '{w}')::INT AS dist, n
+FROM lex
+WHERE levenshtein(term, '{w}') <= 1
+ORDER BY dist ASC, n DESC, term ASC
+LIMIT {k}
+"""
+
+
+def unigram_logprob_sql() -> str:
+    return f"""
+WITH {_TOKENS_CTE},
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dls),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+contrib AS (
+  SELECT post.doc_id, dls.dl,
+         CAST(round(post.tf::DOUBLE * ln(tot.t / cf.cf::DOUBLE) * 1e6) AS BIGINT) AS c
+  FROM post JOIN cf USING (term) JOIN dls USING (doc_id) CROSS JOIN tot
+)
+SELECT doc_id, dl, (sum(c) // dl)::BIGINT AS mean_nll_micros
+FROM contrib GROUP BY doc_id, dl
+"""
+
+
+def pmi_top_pairs_sql(k: int = 20, min_count: int = 5) -> str:
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos FROM toksarr
+),
+tok AS (SELECT doc_id, term, pos FROM pos WHERE term <> ''),
+uni AS (SELECT term, count(*)::BIGINT AS c1 FROM tok GROUP BY 1),
+bi AS (
+  SELECT a.term AS t0, b.term AS t1, count(*)::BIGINT AS cxy
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+n1 AS (SELECT count(*)::DOUBLE AS v FROM tok),
+n2 AS (SELECT sum(cxy)::DOUBLE AS v FROM bi)
+SELECT t0 || ' ' || t1 AS bigram, cxy AS n,
+       CAST(round(ln((cxy::DOUBLE * n1.v * n1.v)
+                     / (n2.v * ua.c1::DOUBLE * ub.c1::DOUBLE)) * 1e6) AS BIGINT)
+         AS pmi_micros
+FROM bi
+JOIN uni ua ON ua.term = bi.t0
+JOIN uni ub ON ub.term = bi.t1
+CROSS JOIN n1 CROSS JOIN n2
+WHERE cxy >= {min_count}
+ORDER BY pmi_micros DESC, bigram ASC
+LIMIT {k}
+"""

@@ -217,3 +217,83 @@ def test_pii_scrub_matches_python_re(spark):
         assert r["redacted_md5"] == hashlib.md5(redacted.encode()).hexdigest()
         assert r["n_chars_delta"] == len(seasoned) - len(redacted)
     assert got[123]["n_emails"] == 2 and got[123]["n_ipv4"] == 2
+
+
+def test_fuzzy_suggest_edit_classes(spark):
+    """The SymSpell deletion-key join must surface every Levenshtein<=1
+    edit class: exact (dist 0), insertion into the query (ag->agg),
+    deletion from the query (ag->a), and substitution (spack->spark, the
+    D1(q) \\cap D1(t) case) — and nothing at distance 2."""
+    from searchengine_spark.operators.serve import fuzzy_suggest
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_SMALL)
+
+    def got(word):
+        return [
+            (r["term"], r["dist"])
+            for r in fuzzy_suggest(spark, idx, word, k=10).collect()
+        ]
+
+    assert got("spack") == [("spark", 1)]  # substitution; 'stack' absent
+    assert set(got("ag")) == {("a", 1), ("agg", 1)}  # delete + insert
+    ordered = got("sort")
+    assert ordered[0] == ("sort", 0)  # exact match ranks first
+    assert all(d <= 1 for _, d in ordered)
+    assert got("zzzzzz") == []  # no neighbors -> empty, no crash
+
+
+def test_unigram_logprob_hand_corpus(spark):
+    """mean_nll_micros on a 2-doc corpus checked against hand arithmetic:
+    contributions round to micros per (doc, term) BEFORE the sum, then
+    integer-divide by doc_len."""
+    import math
+
+    from searchengine_spark.operators import serve
+
+    # corpus: doc0 = "x x y", doc1 = "y z"  -> total tokens = 5
+    # cf: x=2, y=2, z=1
+    post = spark.createDataFrame(
+        [(0, "x", 2, 3), (0, "y", 1, 3), (1, "y", 1, 2), (1, "z", 1, 2)],
+        "doc_id long, term string, tf long, dl long",
+    )
+    lex = spark.createDataFrame(
+        [("x", 2), ("y", 2), ("z", 1)], "term string, cf long"
+    )
+    idx = {"postings": post, "lexicon": lex, "sum_dl": 5}
+    got = {
+        r["doc_id"]: r["mean_nll_micros"]
+        for r in serve.unigram_logprob(spark, idx).collect()
+    }
+    c = lambda tf, cf: round(tf * math.log(5.0 / cf) * 1e6)
+    assert got[0] == (c(2, 2) + c(1, 2)) // 3
+    assert got[1] == (c(1, 2) + c(1, 1)) // 2
+
+
+def test_hits_sequential_update_hand_graph():
+    """hits_integer's per-iteration arithmetic replicated in pure Python on
+    the synthetic edge rule (n=7): authorities see fresh hubs, hubs see
+    fresh authorities, nothing normalizes."""
+    n = 7
+    edges = set()
+    for s in range(n):
+        for d in ((s * 31 + 7) % n, (s * 17 + 3) % n):
+            if d != s:
+                edges.add((s, d))
+    h = {v: 1 for v in range(n)}
+    for _ in range(5):
+        a = {v: sum(h[s] for s, d in edges if d == v) for v in range(n)}
+        h = {v: sum(a[d] for s, d in edges if s == v) for v in range(n)}
+    # mirror in SQL via the oracle against a 7-doc documents view
+    import duckdb
+
+    from searchengine_spark.operators.graph_demo import hits_integer_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT unnest(range(7)) AS doc_id, '' AS text"
+    )
+    rows = con.execute(hits_integer_sql(iterations=5)).fetchall()
+    assert {(r[0], r[1], r[2]) for r in rows} == {
+        (v, a[v], h[v]) for v in range(n)
+    }
