@@ -58,6 +58,10 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "lang_id",
+    "fuzzy_suggest",
+    "unigram_logprob",
+    "pmi_top_pairs",
+    "hits_scores",
     "q1_pricing_summary",
     "q3_top_orders",
     "events_sessionize",
