@@ -32,6 +32,12 @@ PHRASE = ["hash", "join"]
 COMPAT_QUERY = "hash join window"
 COMPAT_TERMS = ["hash", "join", "window"]
 FUZZY_WORD = "spack"  # ED-1 from "spark" (and "stack"): exercises substitution
+# batch-evaluation gate: three queries (incl. overlapping terms) in one pass
+BATCH_QUERIES = {
+    "q_bm25": BM25_TERMS,
+    "q_tfidf": TFIDF_TERMS,
+    "q_mixed": ["spark", "stream"],
+}
 TOPK = 10
 
 
@@ -70,6 +76,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "tfidf_topk": lambda spark, sf: serve.tfidf_topk(
             spark, gate_index(spark, sf), TFIDF_TERMS, k=TOPK
+        ),
+        # batch evaluation: the whole query set scored in ONE pruned index
+        # pass (two-phase salted grouped top-k)
+        "bm25_batch_topk": lambda spark, sf: serve.bm25_batch_topk(
+            spark, gate_index(spark, sf), BATCH_QUERIES, k=TOPK
         ),
         "term_search_all": lambda spark, sf: serve.term_search_all(
             spark, gate_index(spark, sf), ALL_TERMS
@@ -305,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         # compressed index is hash-gated, not just property-tested
         "bm25_topk_wand": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
+        "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),

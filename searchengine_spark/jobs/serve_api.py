@@ -97,6 +97,25 @@ class SearchAPI:
             for r in res.orderBy("rank").collect()
         ]
 
+    def suggest_query(self, raw_query: str) -> str | None:
+        """Did-you-mean for a zero-result query: each term is replaced by
+        its best Levenshtein<=1 lexicon neighbor (serve.fuzzy_suggest — the
+        SymSpell deletion-key join, so this is |terms| key lookups, not a
+        vocabulary scan). Returns the corrected query string, or None when
+        no term improves (every term already exists or has no neighbor)."""
+        from searchengine_spark.operators import serve
+
+        terms, _ = self.parse_query(raw_query)
+        out, changed = [], False
+        for t in terms:
+            cands = serve.fuzzy_suggest(self.spark, self.idx, t, k=1).collect()
+            if cands and cands[0]["dist"] > 0:
+                out.append(cands[0]["term"])
+                changed = True
+            else:
+                out.append(t)
+        return " ".join(out) if changed and out else None
+
     def start(self, port: int = 0) -> ThreadingHTTPServer:
         """Bind and serve on a daemon thread; returns the server (port via
         ``server.server_address[1]``, stop via ``server.shutdown()``)."""
@@ -137,8 +156,17 @@ def _make_handler(api: SearchAPI):
             except Exception as exc:  # surface, don't kill the server
                 self._send(500, {"error": str(exc)})
                 return
-            # SearchResponse shape (SearchService.java:87-90)
-            self._send(200, {"results": results, "total": len(results)})
+            # SearchResponse shape (SearchService.java:87-90), extended
+            # with a did_you_mean correction when nothing matched
+            payload = {"results": results, "total": len(results)}
+            if not results:
+                try:
+                    dym = api.suggest_query(query)
+                except Exception:
+                    dym = None
+                if dym:
+                    payload["did_you_mean"] = dym
+            self._send(200, payload)
 
     return Handler
 

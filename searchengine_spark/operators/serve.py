@@ -113,6 +113,75 @@ def bm25_topk(
     )
 
 
+def bm25_batch_topk(
+    spark: SparkSession,
+    idx: dict,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    salts: int = 8,
+) -> DataFrame:
+    """Batch query evaluation: BM25 top-k for a whole query SET in one
+    index pass — (query_id, rank, doc_id, score_micros).
+
+    The reference replays its query set one request at a time
+    (SearchService handles a single query per call); at cluster scale the
+    right shape for offline evaluation / relevance sweeps is to score all
+    queries in one job: ONE pruned postings scan over the union of the
+    queries' terms, a broadcast (query_id, term) map fanning each posting
+    to the queries that want it, and one (query_id, doc_id) aggregate.
+    Per-posting cost is unchanged; the scan and shuffle amortize across
+    |Q| queries.
+
+    The grouped top-k is two-phase so no single partition ever holds a hot
+    query's full candidate set (the round-1 unpartitioned-window lesson):
+    rank within (query_id, doc_id mod salts) slots first — a partial,
+    map-sided cut to <= salts*k rows per query — then rank the survivors
+    per query_id. Scores are the same bigint-micros contract as
+    :func:`bm25_scores`, so the batch output row for a query equals the
+    single-query ``bm25_topk`` output."""
+    from pyspark.sql import Window
+
+    qmap = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    ]
+    rows = _qlex(spark, idx, [t for _, t in qmap])
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score_micros long"
+        )
+    post = _pruned_postings(idx, rows)
+    qdf = spark.createDataFrame(qmap, "query_id string, term string")
+    avgdl = F.lit(idx["avgdl"])
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = F.col("idf_bm25") * (tf * (BM25_K1 + 1.0)) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    )
+    scored = (
+        post.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "query_id", "doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+    )
+    order = [F.desc("score_micros"), F.asc("doc_id")]
+    partial = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(salts))
+    ).orderBy(*order)
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_pr", F.row_number().over(partial))
+        .filter(F.col("_pr") <= k)
+        .withColumn("rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micros")
+    )
+
+
 def tfidf_topk(
     spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
 ) -> DataFrame:

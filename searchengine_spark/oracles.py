@@ -1413,3 +1413,55 @@ WHERE cxy >= {min_count}
 ORDER BY pmi_micros DESC, bigram ASC
 LIMIT {k}
 """
+
+
+def bm25_batch_topk_sql(
+    queries: dict[str, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Per-query replica of bm25_topk_sql over a (query_id, term) VALUES map
+    — the single-query scoring expression verbatim, grouped by query_id,
+    top-k'd with a per-query row_number window."""
+    pairs = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+qmap(query_id, term) AS (VALUES {pairs}),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM qmap)
+),
+scored AS (
+  SELECT qmap.query_id, post.doc_id,
+         CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM post
+  JOIN qmap ON post.term = qmap.term
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+),
+agg AS (
+  SELECT query_id, doc_id, sum(c_micros)::BIGINT AS score_micros
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_micros DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, score_micros
+  FROM agg
+)
+SELECT query_id, rank, doc_id, score_micros FROM ranked WHERE rank <= {k}
+"""

@@ -297,3 +297,26 @@ def test_hits_sequential_update_hand_graph():
     assert {(r[0], r[1], r[2]) for r in rows} == {
         (v, a[v], h[v]) for v in range(n)
     }
+
+
+def test_bm25_batch_equals_single(spark):
+    """Each query's rows in the batch output must equal its single-query
+    bm25_topk output (same scores, same order) — the batch fan-out and the
+    two-phase salted top-k must not change any per-query result."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_SMALL)
+    queries = {"qa": ["spark", "hash", "join"], "qb": ["merge", "sort"], "qc": ["zz"]}
+    batch = serve.bm25_batch_topk(spark, idx, queries, k=7).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    assert "qc" not in by_qid  # no-hit query contributes no rows
+    for qid, terms in [("qa", queries["qa"]), ("qb", queries["qb"])]:
+        single = serve.bm25_topk(spark, idx, terms, k=7).collect()
+        got = sorted(by_qid[qid], key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["score_micros"]) for r in got] == [
+            (r["doc_id"], r["score_micros"]) for r in single
+        ]
+        assert [r["rank"] for r in got] == list(range(1, len(single) + 1))

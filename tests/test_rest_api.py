@@ -82,3 +82,20 @@ def test_no_hit_and_errors(api_server):
     assert status == 404
     status, _ = _get(base, "/api/search?query=x&k=notanint")
     assert status == 400
+
+
+def test_did_you_mean_on_zero_results(api_server):
+    """A zero-result query whose terms have Levenshtein-1 lexicon neighbors
+    gets a did_you_mean correction; an uncorrectable one stays bare."""
+    _, base = api_server
+    status, body = _get(base, "/api/search?query=" + urllib.parse.quote("spack"))
+    assert status == 200 and body["total"] == 0
+    assert body["did_you_mean"] == "spark"
+    # multi-term: every term corrects independently ("hsh"/"jin" are ED-1
+    # of hash/join; a transposition like "jion" is ED-2 and must NOT fix)
+    status, body = _get(base, "/api/search?query=" + urllib.parse.quote("hsh jin"))
+    assert status == 200 and body["total"] == 0
+    assert body["did_you_mean"] == "hash join"
+    # hit queries never carry the field
+    status, body = _get(base, "/api/search?query=hash")
+    assert "did_you_mean" not in body and body["total"] > 0
