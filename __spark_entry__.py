@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII detect+redact over deterministically seasoned docs
         "pii_scrub": lambda spark, sf: textstats.pii_scrub(_docs(spark, sf)),
         "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
+        # fixed-size overlapping token-window chunking (pre-packing step)
+        "doc_chunks": lambda spark, sf: textstats.doc_chunks(
+            _docs(spark, sf), chunk_size=64, stride=48
+        ),
         "lang_id": lambda spark, sf: textstats.lang_id(_docs(spark, sf)),
         "doc_fingerprints": lambda spark, sf: textstats.doc_fingerprints(_docs(spark, sf)),
         # --- relational coverage (joins/aggs/windows/rollup/events) ---
@@ -361,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracles.repetition_stats_sql(),
         "pii_scrub": oracles.pii_scrub_sql(),
         "quality_score": oracles.quality_score_sql(),
+        "doc_chunks": oracles.doc_chunks_sql(chunk_size=64, stride=48),
         "lang_id": oracles.lang_id_sql(),
         "doc_fingerprints": oracles.doc_fingerprints_sql(),
         "q1_pricing_summary": oracles.q1_pricing_sql(),

@@ -36,6 +36,7 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
 HEADLINE = [
     "bm25_topk",
     "bm25_topk_wand",
+    "bm25_batch_topk",
     "compat_topk",
     "search_results",
     "tfidf_topk",
@@ -60,6 +61,7 @@ HEADLINE = [
     "lang_id",
     "fuzzy_suggest",
     "unigram_logprob",
+    "doc_chunks",
     "pmi_top_pairs",
     "hits_scores",
     "q1_pricing_summary",

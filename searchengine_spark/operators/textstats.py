@@ -299,3 +299,45 @@ def pmi_top_pairs(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFrame
         )
     )
     return scored.orderBy(F.desc("pmi_micros"), F.asc("bigram")).limit(k)
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, start_pos, n_tokens, chunk_md5) — fixed-size
+    overlapping token windows, the chunking pass a training pipeline runs
+    before tokenizer packing / embedding (chunk_size tokens every stride,
+    so consecutive chunks overlap by chunk_size - stride).
+
+    Chunk starts are ``0, stride, ..., floor((dl-1)/stride)*stride`` — a
+    pure function of the doc's token count, so chunk ids are stable across
+    partition counts and reruns (resumable exports, same contract as
+    stratified_sample). The token array materializes once per doc BEHIND
+    the explode (Generate) barrier, then each chunk is a slice — zero
+    shuffle, whole-stage codegen, output size bounded by ~dl/stride rows
+    per doc. chunk_md5 certifies the chunk CONTENT, not just its bounds."""
+    arr = _tokens(text_col)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), arr.alias("arr"))
+        .withColumn("dl", F.size("arr"))
+        .filter(F.col("dl") > 0)
+    )
+    exploded = base.select(
+        "doc_id",
+        "arr",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("dl") - 1) / stride).cast("int"))
+        ).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("arr"), F.col("chunk_id") * stride + 1, chunk_size)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id").cast("long") * stride).alias("start_pos"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

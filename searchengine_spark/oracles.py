@@ -1465,3 +1465,28 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score_micros FROM ranked WHERE rank <= {k}
 """
+
+
+def doc_chunks_sql(chunk_size: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+nz AS (SELECT doc_id, arr, len(arr) AS dl FROM toks WHERE len(arr) > 0),
+ch AS (
+  SELECT doc_id, arr,
+         unnest(range(0, (dl - 1) // {stride} + 1)) AS chunk_id
+  FROM nz
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       (chunk_id * {stride})::BIGINT AS start_pos,
+       len(arr[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_size}])::BIGINT
+         AS n_tokens,
+       md5(array_to_string(
+             arr[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_size}], ' '))
+         AS chunk_md5
+FROM ch
+"""

@@ -173,3 +173,53 @@ def test_stratified_sample_is_scan_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_batch_topk_two_phase_windows(spark):
+    """bm25_batch_topk must (a) broadcast the lexicon and query map, (b)
+    run the partial rank keyed by (query_id, salt) BEFORE the per-query
+    rank — never a single window over an unreduced candidate set — and
+    (c) keep the postings side a pruned scan (no sort-merge join)."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    df = serve.bm25_batch_topk(
+        spark, idx, {"qa": ["spark", "hash"], "qb": ["merge"]}, k=5
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # two Window nodes: the salted partial cut feeds the final per-query rank
+    assert plan.count("Window") >= 2
+    assert "pmod" in plan  # the salt key is present in the partial window
+    # the partial filter sits between the windows, cutting rows before the
+    # final per-query exchange
+    assert "_pr" in plan
+
+
+def test_fuzzy_suggest_is_lexicon_only(spark):
+    """fuzzy_suggest must touch ONLY the lexicon (never postings/segments/
+    corpus) and cut candidates with the key filter before any aggregation."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.fuzzy_suggest(spark, idx, "spack", k=5))
+    assert "lexicon" in plan
+    assert "postings" not in plan and "segments" not in plan
+    assert "documents.parquet" not in plan
+    assert "TakeOrderedAndProject" in plan  # bounded top-k, no global sort
+
+
+def test_unigram_logprob_no_window_no_corpus(spark):
+    """The quality signal is postings ⋈ lexicon + one aggregate: no corpus
+    scan, no window, no driver-side collect in the plan."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.unigram_logprob(spark, idx))
+    assert "documents.parquet" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
