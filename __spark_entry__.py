@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": lambda spark, sf: serve.unigram_logprob(
             spark, gate_index(spark, sf)
         ),
+        # corpus-wide grouped top-k: every doc's top tf-idf keywords
+        "doc_keywords": lambda spark, sf: serve.doc_keywords(
+            spark, gate_index(spark, sf), k=3
+        ),
         # --- dedup family (training-data pipeline) ---
         "dedup_exact": lambda spark, sf: dedup.exact_dedup_groups(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: _ngram_jaccard_capped(spark, sf),
@@ -332,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
         "unigram_logprob": oracles.unigram_logprob_sql(),
+        "doc_keywords": oracles.doc_keywords_sql(k=3),
         "hits_scores": _hits_scores_sql(),
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),

@@ -62,6 +62,7 @@ HEADLINE = [
     "fuzzy_suggest",
     "unigram_logprob",
     "doc_chunks",
+    "doc_keywords",
     "pmi_top_pairs",
     "hits_scores",
     "q1_pricing_summary",

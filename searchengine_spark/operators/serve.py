@@ -389,6 +389,42 @@ def unigram_logprob(spark: SparkSession, idx: dict) -> DataFrame:
     )
 
 
+def doc_keywords(spark: SparkSession, idx: dict, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms of EVERY document by
+    reference-style tf-idf — (doc_id, rank, term, tfidf_micros).
+
+    This is the corpus-wide grouped top-k (tag clouds, related-terms
+    features, doc summarization inputs). Unlike the per-query serving
+    paths it deliberately touches the whole index once: postings join the
+    lexicon idf — on disk both sides are bucketed by the same term hash,
+    so at scale this is a co-partitioned join (the unigram_logprob shape)
+    — then one window per doc_id. The window group is bounded by the
+    document's distinct-term count (never a hot key: a document has
+    bounded length, unlike a query term), so no salting is needed; the
+    shuffle is one exchange of (doc, term, score) rows."""
+    contrib = (F.col("tf").cast("double") / F.col("dl").cast("double")) * F.col(
+        "idf_compat"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micros"), F.asc("term")
+    )
+    return (
+        idx["postings"]
+        .select("term", "doc_id", "tf", "dl")
+        .join(idx["lexicon"].select("term", "idf_compat"), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(contrib * 1e6).cast("long").alias("tfidf_micros"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf_micros")
+    )
+
+
 # ---------------------------------------------------------------- compat gate
 
 _COMPAT_FIXTURES: dict = {}

@@ -1490,3 +1490,29 @@ SELECT doc_id, chunk_id::INT AS chunk_id,
          AS chunk_md5
 FROM ch
 """
+
+
+def doc_keywords_sql(k: int = 3) -> str:
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+lex AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1),
+idf AS (SELECT lex.term, ln(n.n_docs / (lex.df + 1.0)) AS idf_compat FROM lex, n),
+scored AS (
+  SELECT post.doc_id, post.term,
+         CAST(round((post.tf::DOUBLE / dls.dl::DOUBLE) * idf.idf_compat * 1e6)
+              AS BIGINT) AS tfidf_micros
+  FROM post
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf_micros DESC, term ASC) AS INT)
+           AS rank,
+         term, tfidf_micros
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf_micros FROM ranked WHERE rank <= {k}
+"""
