@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": lambda spark, sf: serve.phrase_match(
             spark, gate_index(spark, sf), PHRASE
         ),
+        # proximity (within-k positions) — the sloppy-phrase generalization
+        "proximity_match": lambda spark, sf: serve.proximity_match(
+            spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
+        ),
         "term_search_any": lambda spark, sf: serve.term_search_any(
             spark, gate_index(spark, sf), ALL_TERMS
         ),
@@ -182,6 +186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII detect+redact over deterministically seasoned docs
         "pii_scrub": lambda spark, sf: textstats.pii_scrub(_docs(spark, sf)),
         "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
+        # crawl analytics: per-host rollup over the synthetic URL space
+        "host_stats": lambda spark, sf: _host_stats(spark, sf),
+        # bigram-model next-word autocomplete
+        "next_word_suggest": lambda spark, sf: relational.next_word_suggest(
+            spark, sf, "hash", k=5
+        ),
         # fixed-size overlapping token-window chunking (pre-packing step)
         "doc_chunks": lambda spark, sf: textstats.doc_chunks(
             _docs(spark, sf), chunk_size=64, stride=48
@@ -275,6 +285,12 @@ def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_build_postings(_docs(spark, sf_dir), shard_span=64)
 
 
+def _host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.fetch import host_stats
+
+    return host_stats(_docs(spark, sf_dir), n_hosts=7)
+
+
 def _fetch_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.fetch import fetch_pages, synth_urls
 
@@ -343,6 +359,9 @@ def oracle_sql() -> dict[str, str]:
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
+        "proximity_match": oracles.proximity_match_sql(PHRASE[0], PHRASE[1], slop=3),
+        "host_stats": oracles.host_stats_sql(n_hosts=7),
+        "next_word_suggest": oracles.next_word_suggest_sql("hash", k=5),
         "dedup_exact": oracles.exact_dedup_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(
             n=3,

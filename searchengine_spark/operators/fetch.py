@@ -114,3 +114,29 @@ def synth_urls(docs: DataFrame, n_hosts: int = 7, id_col: str = "doc_id") -> Dat
             F.col(id_col).cast("string"),
         ).alias("url")
     )
+
+
+def host_stats(docs: DataFrame, n_hosts: int = 7, id_col: str = "doc_id") -> DataFrame:
+    """Per-host crawl rollup over the synthetic URL space: (host, n_pages,
+    total_text_chars, n_langs, n_sources) — the aggregation a crawler uses
+    to budget politeness delays and per-domain quotas. One
+    map-side-combined groupBy on the host key (bounded cardinality =
+    number of hosts); distinct counts stay inside the same aggregate."""
+    host = F.concat(
+        F.lit("host"), F.pmod(F.col(id_col), F.lit(n_hosts)).cast("string")
+    )
+    return (
+        docs.select(
+            host.alias("host"),
+            F.length(F.col("text")).alias("_chars"),
+            "lang",
+            "source",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("_chars").cast("long").alias("total_text_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )

@@ -341,3 +341,25 @@ def events_hopping_window(
             "n",
         )
     )
+
+
+def next_word_suggest(spark: SparkSession, sf_dir: str, word: str, k: int = 5) -> DataFrame:
+    """Bigram-model autocomplete: the top-k words FOLLOWING ``word`` in the
+    corpus, by occurrence — the next-word analog of the prefix suggester.
+    The word filter is pushed below the position-adjacency self-join, so
+    the joined left side is only the query word's occurrences."""
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = exploded_tokens(docs, with_pos=True)
+    a = toks.filter(F.col("term") == word).select("doc_id", "pos")
+    b = toks.select(
+        F.col("doc_id").alias("_d"), (F.col("pos") - 1).alias("_p"), F.col("term").alias("t1")
+    )
+    return (
+        a.join(b, (a.doc_id == b._d) & (a.pos == b._p))
+        .groupBy(F.col("t1").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )

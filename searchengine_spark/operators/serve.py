@@ -389,6 +389,40 @@ def unigram_logprob(spark: SparkSession, idx: dict) -> DataFrame:
     )
 
 
+def proximity_match(
+    spark: SparkSession, idx: dict, term_a: str, term_b: str, slop: int = 3
+) -> DataFrame:
+    """Proximity search: (doc_id, min_dist) for docs where ``term_a`` and
+    ``term_b`` occur within ``slop`` raw-split positions — the generalized
+    form of adjacency phrase match (slop >= 1 contains every phrase hit).
+
+    Served from the stored positional postings: two bucket-pruned one-term
+    scans equi-join on doc_id, then the min pairwise |pa - pb| folds
+    array-side (nested transform over the two position lists — bounded by
+    the per-doc term frequencies, no explode, no extra shuffle beyond the
+    doc_id join of two already-tiny filtered sides)."""
+    rows = _qlex(spark, idx, [term_a, term_b])
+    present = {r["term"] for r in rows}
+    if term_a not in present or term_b not in present or term_a == term_b:
+        return spark.createDataFrame([], "doc_id long, min_dist long")
+    post = _pruned_postings(idx, rows)
+    pa = post.filter(F.col("term") == term_a).select("doc_id", F.col("positions").alias("pa"))
+    pb = post.filter(F.col("term") == term_b).select("doc_id", F.col("positions").alias("pb"))
+    min_dist = F.array_min(
+        F.flatten(
+            F.transform(
+                F.col("pa"),
+                lambda x: F.transform(F.col("pb"), lambda y: F.abs(x - y)),
+            )
+        )
+    ).cast("long")
+    return (
+        pa.join(pb, "doc_id")
+        .select("doc_id", min_dist.alias("min_dist"))
+        .filter(F.col("min_dist") <= slop)
+    )
+
+
 def doc_keywords(spark: SparkSession, idx: dict, k: int = 3) -> DataFrame:
     """Per-document keyword extraction: the top-k terms of EVERY document by
     reference-style tf-idf — (doc_id, rank, term, tfidf_micros).

@@ -1516,3 +1516,56 @@ ranked AS (
 )
 SELECT doc_id, rank, term, tfidf_micros FROM ranked WHERE rank <= {k}
 """
+
+
+def host_stats_sql(n_hosts: int = 7) -> str:
+    return f"""
+SELECT 'host' || (doc_id % {n_hosts})::VARCHAR AS host,
+       count(*)::BIGINT AS n_pages,
+       sum(length(text))::BIGINT AS total_text_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources
+FROM documents GROUP BY 1
+"""
+
+
+def proximity_match_sql(term_a: str, term_b: str, slop: int = 3) -> str:
+    """Docs where term_a and term_b occur within ``slop`` raw-split
+    positions; min_dist computed over all position pairs (the same
+    all-pairs-within-doc contract as the Spark nested-transform)."""
+    a = term_a.replace("'", "''")
+    b = term_b.replace("'", "''")
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toksarr
+),
+pa AS (SELECT doc_id, list(pos) AS ps FROM pos WHERE term = '{a}' GROUP BY 1),
+pb AS (SELECT doc_id, list(pos) AS ps FROM pos WHERE term = '{b}' GROUP BY 1)
+SELECT pa.doc_id,
+       list_min(flatten(list_transform(pa.ps,
+                x -> list_transform(pb.ps, y -> abs(x - y)))))::BIGINT AS min_dist
+FROM pa JOIN pb USING (doc_id)
+WHERE list_min(flatten(list_transform(pa.ps,
+          x -> list_transform(pb.ps, y -> abs(x - y))))) <= {slop}
+"""
+
+
+def next_word_suggest_sql(word: str, k: int = 5) -> str:
+    w = word.replace("'", "''")
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos FROM toksarr
+)
+SELECT b.term AS term, count(*)::BIGINT AS n
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{w}' AND b.term <> ''
+GROUP BY 1 ORDER BY n DESC, term ASC LIMIT {k}
+"""

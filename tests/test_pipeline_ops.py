@@ -320,3 +320,23 @@ def test_bm25_batch_equals_single(spark):
             (r["doc_id"], r["score_micros"]) for r in single
         ]
         assert [r["rank"] for r in got] == list(range(1, len(single) + 1))
+
+
+def test_proximity_contains_phrase_hits(spark):
+    """Every adjacency phrase hit is a proximity hit with min_dist == 1, and
+    slop=1 proximity is exactly the unordered-adjacency relaxation of the
+    ordered phrase match."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_SMALL)
+    phrase = {r["doc_id"] for r in serve.phrase_match(spark, idx, ["hash", "join"]).collect()}
+    prox = {
+        r["doc_id"]: r["min_dist"]
+        for r in serve.proximity_match(spark, idx, "hash", "join", slop=3).collect()
+    }
+    assert phrase and phrase <= set(prox)
+    assert all(prox[d] == 1 for d in phrase)  # adjacent -> distance exactly 1
+    # same-term / missing-term degenerate cases return empty, not error
+    assert serve.proximity_match(spark, idx, "hash", "hash", slop=3).count() == 0
+    assert serve.proximity_match(spark, idx, "hash", "zzzz", slop=3).count() == 0
