@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
         # crawl analytics: per-host rollup over the synthetic URL space
         "host_stats": lambda spark, sf: _host_stats(spark, sf),
+        # incremental recrawl: snapshot diff (added/removed/changed/same)
+        "crawl_delta": lambda spark, sf: _crawl_delta(spark, sf),
         # bigram-model next-word autocomplete
         "next_word_suggest": lambda spark, sf: relational.next_word_suggest(
             spark, sf, "hash", k=5
@@ -285,6 +287,29 @@ def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_build_postings(_docs(spark, sf_dir), shard_span=64)
 
 
+def _crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot B is synthesized in-query from the documents table (the
+    strip_html/pii_scrub seasoning pattern): doc_id%10==3 removed,
+    doc_id%10==5 text-appended (changed), doc_id%10==7 re-added under a
+    shifted id (added); the oracle builds the identical snapshot."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.ingest import crawl_delta
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    new = old.filter(did % 10 != 3).withColumn(
+        "text",
+        F.when(did % 10 == 5, F.concat(F.col("text"), F.lit(" updated"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = old.filter(did % 10 == 7).select(
+        (did + 1_000_000_000).alias("doc_id"), "text"
+    )
+    return crawl_delta(old, new.unionByName(added))
+
+
 def _host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.fetch import host_stats
 
@@ -361,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "proximity_match": oracles.proximity_match_sql(PHRASE[0], PHRASE[1], slop=3),
         "host_stats": oracles.host_stats_sql(n_hosts=7),
+        "crawl_delta": oracles.crawl_delta_sql(),
         "next_word_suggest": oracles.next_word_suggest_sql("hash", k=5),
         "dedup_exact": oracles.exact_dedup_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(

@@ -238,3 +238,29 @@ def apply_exclusions(corpus: DataFrame, rules: list[dict]) -> DataFrame:
         & (deny.lang.isNull() | (corpus.lang == deny.lang))
     )
     return corpus.join(F.broadcast(deny), cond, "left_anti")
+
+
+def crawl_delta(
+    old: DataFrame, new: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Snapshot diff between two crawl generations: (doc_id, status) with
+    status in {added, removed, changed, same} — the incremental-recrawl
+    primitive behind the already-indexed skip (F10): only 'added'/'changed'
+    rows re-enter the tokenize/index pipeline, 'removed' rows queue for
+    deletion from the index.
+
+    Shape: each side reduces to (doc_id, content md5) — a slim projection,
+    the same no-content-shuffle rule the ingest dedup follows — then ONE
+    full-outer equi-join on doc_id decides the status. At 10^12 files both
+    sides bucket by doc_id on disk, making the join co-partitioned; content
+    never crosses the wire, only 16-byte digests."""
+    o = old.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_om"))
+    n = new.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_nm"))
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_om").isNull(), F.lit("added"))
+        .when(F.col("_nm").isNull(), F.lit("removed"))
+        .when(F.col("_om") == F.col("_nm"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

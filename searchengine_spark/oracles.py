@@ -1569,3 +1569,26 @@ FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = '{w}' AND b.term <> ''
 GROUP BY 1 ORDER BY n DESC, term ASC LIMIT {k}
 """
+
+
+def crawl_delta_sql() -> str:
+    """Twin of the crawl_delta gate: snapshot B synthesized with the same
+    doc_id%10 rules (3 removed, 5 changed, 7 re-added under +1e9)."""
+    return """
+WITH old AS (SELECT doc_id, text FROM documents),
+neu AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 5 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 7
+),
+o AS (SELECT doc_id, md5(text) AS m FROM old),
+n AS (SELECT doc_id, md5(text) AS m FROM neu)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.m = n.m THEN 'same'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
