@@ -50,3 +50,20 @@ def exploded_tokens(
     else:
         out = df.select(id_col, F.explode(toks).alias("term"))
     return out.filter(F.col("term") != "")
+
+
+def adjacent_token_pairs(toks: DataFrame) -> DataFrame:
+    """(doc_id, pos, t0, t1) — position-adjacent token pairs from an
+    ``exploded_tokens(..., with_pos=True)`` frame: t1 directly follows t0 in
+    the RAW split array (an empty token between two words breaks adjacency,
+    same as the DuckDB twins). Shared by top_bigrams / pmi_top_pairs /
+    next_word_suggest so the adjacency convention lives in one place."""
+    a = toks.select("doc_id", "pos", F.col("term").alias("t0"))
+    b = toks.select(
+        F.col("doc_id").alias("_d"),
+        (F.col("pos") - 1).alias("_p"),
+        F.col("term").alias("t1"),
+    )
+    return a.join(b, (a.doc_id == b._d) & (a.pos == b._p)).select(
+        "doc_id", "pos", "t0", "t1"
+    )

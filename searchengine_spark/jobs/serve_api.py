@@ -98,23 +98,29 @@ class SearchAPI:
         ]
 
     def suggest_query(self, raw_query: str) -> str | None:
-        """Did-you-mean for a zero-result query: each term is replaced by
-        its best Levenshtein<=1 lexicon neighbor (serve.fuzzy_suggest — the
-        SymSpell deletion-key join, so this is |terms| key lookups, not a
-        vocabulary scan). Returns the corrected query string, or None when
-        no term improves (every term already exists or has no neighbor)."""
+        """Did-you-mean for a zero-result query: every term's best
+        Levenshtein<=1 lexicon neighbor in ONE job
+        (serve.fuzzy_suggest_multi — all terms' SymSpell deletion keys in a
+        single broadcast map joined against the lexicon keys). Returns the
+        corrected query string, or None when no term improves (every term
+        already exists at dist 0 or has no neighbor)."""
         from searchengine_spark.operators import serve
 
         terms, _ = self.parse_query(raw_query)
+        if not terms:
+            return None
+        best = {
+            r["word"]: (r["term"], r["dist"])
+            for r in serve.fuzzy_suggest_multi(
+                self.spark, self.idx, terms, k=1
+            ).collect()
+        }
         out, changed = [], False
         for t in terms:
-            cands = serve.fuzzy_suggest(self.spark, self.idx, t, k=1).collect()
-            if cands and cands[0]["dist"] > 0:
-                out.append(cands[0]["term"])
-                changed = True
-            else:
-                out.append(t)
-        return " ".join(out) if changed and out else None
+            term, dist = best.get(t, (t, 0))
+            out.append(term if dist > 0 else t)
+            changed = changed or dist > 0
+        return " ".join(out) if changed else None
 
     def start(self, port: int = 0) -> ThreadingHTTPServer:
         """Bind and serve on a daemon thread; returns the server (port via

@@ -126,7 +126,13 @@ def hits_integer_sql(iterations: int = 5) -> str:
     """DuckDB twin: the fixed iteration count unrolls into a CTE chain
     (a1 <- h0, h1 <- a1, a2 <- h1, ...) — plain left-join aggregates, no
     recursion needed."""
-    ctes = [f"WITH {_EDGES_SQL},", "h0 AS (SELECT doc_id, 1::BIGINT AS h FROM nodes)"]
+    ctes = [
+        f"WITH {_EDGES_SQL},",
+        "h0 AS (SELECT doc_id, 1::BIGINT AS h FROM nodes)",
+        # a0 mirrors hits_integer's initial authority seed so the twin pair
+        # agrees at iterations=0 as well
+        "a0 AS (SELECT doc_id, 1::BIGINT AS a FROM nodes)",
+    ]
     for i in range(1, iterations + 1):
         ctes.append(
             f"""a{i} AS (
@@ -156,18 +162,11 @@ def hits_integer_sql(iterations: int = 5) -> str:
 
 def pagerank_integer_sql(iterations: int = 5) -> str:
     """DuckDB recursive-CTE twin (multiple working-table references are a
-    DuckDB extension; this is the oracle, not a portability claim)."""
+    DuckDB extension; this is the oracle, not a portability claim). Shares
+    the edge-derivation CTEs (_EDGES_SQL) with the HITS twin so the rule
+    exists once."""
     return f"""
-WITH RECURSIVE
-n AS (SELECT count(*)::BIGINT AS n FROM documents),
-nodes AS (SELECT doc_id FROM documents),
-edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT doc_id AS src, (doc_id * 31 + 7) % n.n AS dst FROM documents, n
-    UNION ALL
-    SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
-  ) WHERE src <> dst
-),
+WITH RECURSIVE {_EDGES_SQL},
 outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1),
 pr(it, doc_id, r) AS (
   SELECT 0, doc_id, ({SCALE} // n.n)::BIGINT FROM nodes, n

@@ -290,15 +290,12 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str, bucket_width: int = 1
 def top_bigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Top-k token bigrams by occurrence (ties by bigram asc) — n-gram
     statistics over the corpus (position-adjacent pairs, empties skipped)."""
-    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.functions.tokenize import adjacent_token_pairs, exploded_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = exploded_tokens(docs, with_pos=True)
-    a = toks.select("doc_id", "pos", F.col("term").alias("t0"))
-    b = toks.select(F.col("doc_id").alias("_d"), (F.col("pos") - 1).alias("_p"), F.col("term").alias("t1"))
+    pairs = adjacent_token_pairs(exploded_tokens(docs, with_pos=True))
     return (
-        a.join(b, (a.doc_id == b._d) & (a.pos == b._p))
-        .select(F.concat_ws(" ", "t0", "t1").alias("bigram"))
+        pairs.select(F.concat_ws(" ", "t0", "t1").alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .orderBy(F.desc("occurrences"), F.asc("bigram"))
@@ -348,16 +345,12 @@ def next_word_suggest(spark: SparkSession, sf_dir: str, word: str, k: int = 5) -
     corpus, by occurrence — the next-word analog of the prefix suggester.
     The word filter is pushed below the position-adjacency self-join, so
     the joined left side is only the query word's occurrences."""
-    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.functions.tokenize import adjacent_token_pairs, exploded_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = exploded_tokens(docs, with_pos=True)
-    a = toks.filter(F.col("term") == word).select("doc_id", "pos")
-    b = toks.select(
-        F.col("doc_id").alias("_d"), (F.col("pos") - 1).alias("_p"), F.col("term").alias("t1")
-    )
+    pairs = adjacent_token_pairs(exploded_tokens(docs, with_pos=True))
     return (
-        a.join(b, (a.doc_id == b._d) & (a.pos == b._p))
+        pairs.filter(F.col("t0") == word)
         .groupBy(F.col("t1").alias("term"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))

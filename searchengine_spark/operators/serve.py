@@ -72,6 +72,18 @@ def lexicon_stats(spark: SparkSession, idx: dict) -> DataFrame:
     )
 
 
+def _bm25_contrib(avgdl: float) -> F.Column:
+    """The per-posting BM25 contribution expression. ONE definition shared
+    by the single-query and batch paths: the float op ORDER is load-bearing
+    (micros parity with the DuckDB oracle and batch==single equality), so
+    it must never exist in two copies."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    return F.col("idf_bm25") * (tf * (BM25_K1 + 1.0)) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(avgdl))
+    )
+
+
 def bm25_scores(
     spark: SparkSession, idx: dict, query_terms: list[str]
 ) -> DataFrame:
@@ -87,12 +99,7 @@ def bm25_scores(
     if not rows:
         return spark.createDataFrame([], _EMPTY_TOPK)
     post = _pruned_postings(idx, rows)
-    avgdl = F.lit(idx["avgdl"])
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    contrib = F.col("idf_bm25") * (tf * (BM25_K1 + 1.0)) / (
-        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-    )
+    contrib = _bm25_contrib(idx["avgdl"])
     return (
         post.join(F.broadcast(_lex_df(spark, rows)), "term")
         .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
@@ -153,12 +160,7 @@ def bm25_batch_topk(
         )
     post = _pruned_postings(idx, rows)
     qdf = spark.createDataFrame(qmap, "query_id string, term string")
-    avgdl = F.lit(idx["avgdl"])
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    contrib = F.col("idf_bm25") * (tf * (BM25_K1 + 1.0)) / (
-        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-    )
+    contrib = _bm25_contrib(idx["avgdl"])
     scored = (
         post.join(F.broadcast(_lex_df(spark, rows)), "term")
         .join(F.broadcast(qdf), "term")
@@ -349,6 +351,40 @@ def fuzzy_suggest(spark: SparkSession, idx: dict, word: str, k: int = 5) -> Data
     )
 
 
+def fuzzy_suggest_multi(
+    spark: SparkSession, idx: dict, words: list[str], k: int = 1
+) -> DataFrame:
+    """fuzzy_suggest for a word SET in one job: (word, term, dist, n) — the
+    top-k Levenshtein<=1 neighbors per input word, ranked like
+    :func:`fuzzy_suggest`. All words' deletion keys go into ONE broadcast
+    (key, word) map joined against the exploded lexicon keys, so correcting
+    an m-term query costs one pass, not m sequential jobs."""
+    from pyspark.sql import Window
+
+    pairs = []
+    for w in dict.fromkeys(x.lower() for x in words):
+        for key in dict.fromkeys([w] + [w[:i] + w[i + 1 :] for i in range(len(w))]):
+            pairs.append((key, w))
+    if not pairs:
+        return spark.createDataFrame([], "word string, term string, dist int, n long")
+    kdf = spark.createDataFrame(pairs, "key string, word string")
+    cand = (
+        idx["lexicon"]
+        .select("term", "cf", F.explode(_deletion_keys()).alias("key"))
+        .join(F.broadcast(kdf), "key")
+        .groupBy("word", "term")
+        .agg(F.max("cf").alias("n"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("word")).cast("int"))
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("word").orderBy(F.asc("dist"), F.desc("n"), F.asc("term"))
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("word", "term", "dist", "n")
+    )
+
+
 def unigram_logprob(spark: SparkSession, idx: dict) -> DataFrame:
     """Per-document mean unigram surprisal (the in-sandbox analog of the
     CCNet/KenLM perplexity quality filter): for each document,
@@ -403,8 +439,11 @@ def proximity_match(
     doc_id join of two already-tiny filtered sides)."""
     rows = _qlex(spark, idx, [term_a, term_b])
     present = {r["term"] for r in rows}
-    if term_a not in present or term_b not in present or term_a == term_b:
+    if term_a not in present or term_b not in present:
         return spark.createDataFrame([], "doc_id long, min_dist long")
+    # term_a == term_b degenerates to "every doc containing the term"
+    # (each occurrence pairs with itself, min_dist 0) — the same answer the
+    # SQL twin gives, so the pair stays symmetric even at the edge
     post = _pruned_postings(idx, rows)
     pa = post.filter(F.col("term") == term_a).select("doc_id", F.col("positions").alias("pa"))
     pb = post.filter(F.col("term") == term_b).select("doc_id", F.col("positions").alias("pb"))

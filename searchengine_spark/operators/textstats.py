@@ -258,39 +258,41 @@ def pmi_top_pairs(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFrame
     the min_count filter shrinks the bigram table BEFORE its two term-keyed
     joins against the unigram counts, and both join sides are term-keyed
     aggregates (AQE broadcasts the small side at small scale, shuffle-hash
-    joins co-keyed tables at web scale — never a corpus-sized side). Scores
-    are bigint micros; the two scalar totals are exact integers so both
-    engines see identical doubles.
+    joins co-keyed tables at web scale — never a corpus-sized side). The
+    n1/n2 totals are 1-row aggregates cross-joined back in the SAME plan
+    (no eager driver jobs); both are exact integers, so the doubles match
+    the oracle's. Scores are bigint micros.
     """
-    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.functions.tokenize import adjacent_token_pairs, exploded_tokens
 
     toks = exploded_tokens(docs, with_pos=True)
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
-    a = toks.select("doc_id", "pos", F.col("term").alias("t0"))
-    b = toks.select(
-        F.col("doc_id").alias("_d"), (F.col("pos") - 1).alias("_p"), F.col("term").alias("t1")
-    )
     bi = (
-        a.join(b, (a.doc_id == b._d) & (a.pos == b._p))
+        adjacent_token_pairs(toks)
         .groupBy("t0", "t1")
         .agg(F.count(F.lit(1)).alias("cxy"))
     )
-    totals = bi.agg(F.sum("cxy").alias("n2")).collect()[0]
-    n2 = F.lit(float(totals["n2"] or 0))
-    n1 = F.lit(float(toks.count()))
+    n1df = toks.agg(F.count(F.lit(1)).cast("double").alias("_n1"))
+    n2df = bi.agg(F.coalesce(F.sum("cxy"), F.lit(0)).cast("double").alias("_n2"))
     ua = uni.select(F.col("term").alias("t0"), F.col("c1").alias("cx"))
     ub = uni.select(F.col("term").alias("t1"), F.col("c1").alias("cy"))
     scored = (
         bi.filter(F.col("cxy") >= min_count)
         .join(ua, "t0")
         .join(ub, "t1")
+        .crossJoin(F.broadcast(n1df))
+        .crossJoin(F.broadcast(n2df))
         .select(
             F.concat_ws(" ", "t0", "t1").alias("bigram"),
             F.col("cxy").alias("n"),
             F.round(
                 F.log(
-                    (F.col("cxy").cast("double") * n1 * n1)
-                    / (n2 * F.col("cx").cast("double") * F.col("cy").cast("double"))
+                    (F.col("cxy").cast("double") * F.col("_n1") * F.col("_n1"))
+                    / (
+                        F.col("_n2")
+                        * F.col("cx").cast("double")
+                        * F.col("cy").cast("double")
+                    )
                 )
                 * F.lit(1e6)
             )

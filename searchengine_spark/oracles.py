@@ -1421,11 +1421,17 @@ def bm25_batch_topk_sql(
     """Per-query replica of bm25_topk_sql over a (query_id, term) VALUES map
     — the single-query scoring expression verbatim, grouped by query_id,
     top-k'd with a per-query row_number window."""
+    esc = lambda s: s.replace("'", "''")
     pairs = ", ".join(
-        f"('{qid}', '{t}')"
+        f"('{esc(qid)}', '{esc(t)}')"
         for qid, terms in sorted(queries.items())
         for t in dict.fromkeys(terms)
     )
+    if not pairs:  # empty query set: the Spark side returns an empty frame
+        return (
+            "SELECT '' AS query_id, 0::INT AS rank, 0::BIGINT AS doc_id,"
+            " 0::BIGINT AS score_micros WHERE FALSE"
+        )
     return f"""
 WITH {_TOKENS_CTE},
 n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),

@@ -337,6 +337,9 @@ def test_proximity_contains_phrase_hits(spark):
     }
     assert phrase and phrase <= set(prox)
     assert all(prox[d] == 1 for d in phrase)  # adjacent -> distance exactly 1
-    # same-term / missing-term degenerate cases return empty, not error
-    assert serve.proximity_match(spark, idx, "hash", "hash", slop=3).count() == 0
+    # equal terms degenerate to "every doc with the term" at min_dist 0
+    # (each occurrence pairs with itself) — the same answer the SQL twin
+    # gives; a missing term returns empty, not an error
+    same = serve.proximity_match(spark, idx, "hash", "hash", slop=3).collect()
+    assert same and all(r["min_dist"] == 0 for r in same)
     assert serve.proximity_match(spark, idx, "hash", "zzzz", slop=3).count() == 0
