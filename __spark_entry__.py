@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": lambda spark, sf: textstats.doc_chunks(
             _docs(spark, sf), chunk_size=64, stride=48
         ),
+        # the END-TO-END training-data prep pipeline in one composed job:
+        # quality -> exact dedup -> decontaminate -> sample -> chunk (the
+        # oracle embeds each stage's gate SQL verbatim)
+        "training_chunks": lambda spark, sf: _training_chunks(spark, sf),
         "lang_id": lambda spark, sf: textstats.lang_id(_docs(spark, sf)),
         "doc_fingerprints": lambda spark, sf: textstats.doc_fingerprints(_docs(spark, sf)),
         # --- relational coverage (joins/aggs/windows/rollup/events) ---
@@ -285,6 +289,14 @@ def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.segments import incremental_build_postings
 
     return incremental_build_postings(_docs(spark, sf_dir), shard_span=64)
+
+
+def _training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.plans.prepare import prepare_training_chunks
+
+    return prepare_training_chunks(
+        _docs(spark, sf_dir), SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM
+    )
 
 
 def _crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,6 +428,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.pii_scrub_sql(),
         "quality_score": oracles.quality_score_sql(),
         "doc_chunks": oracles.doc_chunks_sql(chunk_size=64, stride=48),
+        "training_chunks": oracles.training_chunks_sql(
+            SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM
+        ),
         "lang_id": oracles.lang_id_sql(),
         "doc_fingerprints": oracles.doc_fingerprints_sql(),
         "q1_pricing_summary": oracles.q1_pricing_sql(),

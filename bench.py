@@ -63,6 +63,7 @@ HEADLINE = [
     "unigram_logprob",
     "doc_chunks",
     "doc_keywords",
+    "training_chunks",
     "pmi_top_pairs",
     "hits_scores",
     "q1_pricing_summary",

@@ -267,10 +267,14 @@ def pmi_top_pairs(docs: DataFrame, k: int = 20, min_count: int = 5) -> DataFrame
 
     toks = exploded_tokens(docs, with_pos=True)
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    # the bigram aggregate has two consumers (the n2 total and the scored
+    # join) — persist it so the adjacency self-join runs once; the cache is
+    # the aggregate (distinct bigrams), not the corpus, and spills to disk
     bi = (
         adjacent_token_pairs(toks)
         .groupBy("t0", "t1")
         .agg(F.count(F.lit(1)).alias("cxy"))
+        .persist()
     )
     n1df = toks.agg(F.count(F.lit(1)).cast("double").alias("_n1"))
     n2df = bi.agg(F.coalesce(F.sum("cxy"), F.lit(0)).cast("double").alias("_n2"))

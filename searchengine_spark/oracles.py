@@ -1598,3 +1598,41 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
+
+
+def training_chunks_sql(
+    rates_ppm: dict[str, int],
+    default_ppm: int,
+    ngram: int = 5,
+    bench_mod: int = 17,
+    bench_rem: int = 3,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> str:
+    """Twin of plans/prepare.py::prepare_training_chunks, built by embedding
+    the per-stage gate SQL VERBATIM as subqueries (quality_score_sql,
+    exact_dedup_sql, decontaminate_sql, stratified_sample_sql,
+    doc_chunks_sql) — the pipeline oracle cannot drift from the stage
+    oracles because it IS them. Chunk-then-filter here equals the Spark
+    side's filter-then-chunk because chunks are per-doc."""
+    return f"""
+WITH
+q AS (SELECT doc_id FROM ({quality_score_sql()}) WHERE quality_ok),
+canon AS (SELECT canonical_doc_id AS doc_id FROM ({exact_dedup_sql()})),
+contaminated AS (
+  SELECT doc_id FROM ({decontaminate_sql(ngram, bench_mod, bench_rem)})
+),
+sampled AS (
+  SELECT doc_id FROM ({stratified_sample_sql(rates_ppm, default_ppm)})
+),
+keep AS (
+  SELECT q.doc_id FROM q
+  JOIN canon USING (doc_id)
+  JOIN sampled USING (doc_id)
+  WHERE q.doc_id % {bench_mod} <> {bench_rem}
+    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+ch AS (SELECT * FROM ({doc_chunks_sql(chunk_size, stride)}))
+SELECT ch.doc_id, ch.chunk_id, ch.start_pos, ch.n_tokens, ch.chunk_md5
+FROM ch JOIN keep USING (doc_id)
+"""
