@@ -343,3 +343,32 @@ def test_proximity_contains_phrase_hits(spark):
     same = serve.proximity_match(spark, idx, "hash", "hash", slop=3).collect()
     assert same and all(r["min_dist"] == 0 for r in same)
     assert serve.proximity_match(spark, idx, "hash", "zzzz", slop=3).count() == 0
+
+
+def test_prepare_pipeline_survivor_properties(spark):
+    """Every doc surviving into training chunks must satisfy all five stage
+    predicates: quality_ok, canonical under exact dedup, outside the
+    benchmark slice, zero benchmark-shingle overlap, kept by the sample."""
+    from searchengine_spark.operators.dedup import decontaminate, exact_dedup_groups
+    from searchengine_spark.operators.sampling import stratified_sample
+    from searchengine_spark.operators.textstats import quality_score
+    from searchengine_spark.plans.prepare import prepare_training_chunks
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rates, default = {"en": 300_000}, 700_000
+    chunks = prepare_training_chunks(docs, rates, default).collect()
+    assert chunks
+    survivors = {r["doc_id"] for r in chunks}
+    ok = {r["doc_id"] for r in quality_score(docs).filter("quality_ok").collect()}
+    canon = {r["canonical_doc_id"] for r in exact_dedup_groups(docs).collect()}
+    contaminated = {r["doc_id"] for r in decontaminate(docs, n=5).collect()}
+    sampled = {r["doc_id"] for r in stratified_sample(docs, rates, default).collect()}
+    assert survivors <= ok and survivors <= canon and survivors <= sampled
+    assert not (survivors & contaminated)
+    assert all(d % 17 != 3 for d in survivors)
+    # and chunking is content-complete: chunk ids per doc are 0..n dense
+    per_doc: dict[int, list[int]] = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
