@@ -372,3 +372,56 @@ def test_prepare_pipeline_survivor_properties(spark):
     for r in chunks:
         per_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
     assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _deletion_set(w: str) -> set[str]:
+    return {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}
+
+
+def _corpus_vocab() -> list[str]:
+    import duckdb
+
+    return [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))"
+            f" AS t FROM '{SF_SMALL}/documents.parquet'"
+        )
+        .fetchall()
+        if r[0]
+    ]
+
+
+def test_symspell_key_property():
+    """The property serve.fuzzy_suggest's equi-join relies on, checked
+    against the real vocabulary for arbitrary query words: the deletion-key
+    intersection NEVER misses a Levenshtein<=1 neighbor (so the final
+    levenshtein verify makes the output exactly ED<=1) — including the
+    length-1 edge where a word's deletion set contains the empty string."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = _corpus_vocab()
+    assert vocab
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=10))
+    def check(q):
+        qkeys = _deletion_set(q)
+        candidates = {t for t in vocab if _deletion_set(t) & qkeys}
+        expected = {t for t in vocab if _levenshtein(q, t) <= 1}
+        assert expected <= candidates  # the join never loses a true neighbor
+        assert {t for t in candidates if _levenshtein(q, t) <= 1} == expected
+
+    check()
