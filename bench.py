@@ -411,7 +411,12 @@ def run_scaling() -> None:
         )
     # headline = the first (lowest-core) 4x pair: it is the pair the host can
     # actually deliver (higher pairs run into VM overcommit, see ceilings)
-    head = next((p for p in pairs if p["ratio"] == 4), pairs[0])
+    head = next((p for p in pairs if p["ratio"] == 4), pairs[0] if pairs else None)
+    if head is None:  # single --levels value: per-level data only, no pair
+        print(json.dumps({"metric": "index-build (single level)", "value": None,
+                          "unit": "efficiency", "docs": docs, "levels": levels,
+                          "results": results}))
+        return
     out = {
         "metric": "index-build scaling local[N] -> local[4N] (proxy for N -> 4N executors)",
         "value": head["efficiency"],

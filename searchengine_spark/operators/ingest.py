@@ -170,12 +170,17 @@ def assign_doc_ids(
         )
     )
     w = Window.partitionBy("_bucket").orderBy(*SORT_KEY)
-    return (
+    out = (
         bucketed.withColumn("_rn", F.row_number().over(w))
         .join(offset_df, "_bucket")
         .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
         .drop("_bucket", "_rn", "_offset")
     )
+    # the cache serves exactly two consumers (the counts agg above and the
+    # returned plan); callers release it after materializing — otherwise
+    # every build in a long-lived session pins another slim-table copy
+    out._sespark_persisted = bucketed
+    return out
 
 
 def build_documents(corpus: DataFrame, n_partitions: int | None = None) -> DataFrame:
@@ -196,7 +201,9 @@ def build_documents(corpus: DataFrame, n_partitions: int | None = None) -> DataF
     ids = assign_doc_ids(
         dedup(slim), n_partitions, sample_from=corpus.select(*SORT_KEY)
     )
-    return ids.join(corpus.select(*SORT_KEY, "lang", "content"), list(SORT_KEY))
+    out = ids.join(corpus.select(*SORT_KEY, "lang", "content"), list(SORT_KEY))
+    out._sespark_persisted = getattr(ids, "_sespark_persisted", None)
+    return out
 
 
 def verify_sha256_invariant(corpus: DataFrame, documents: DataFrame) -> int:

@@ -131,14 +131,37 @@ def frame_sample_plan(
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for pipeline tests."""
-    rows = []
-    for i in range(n):
-        blob = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
-        kind = ["image", "audio", "video"][i % 3]
-        meta = {"duration_sec": str(10 + i % 50)} if kind == "video" else {}
-        rows.append((i, kind, f"application/x-fake-{kind}", bytearray(blob), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    """Deterministic synthetic media table for pipeline tests — built
+    DISTRIBUTED (spark.range + JVM expressions), never as a driver-side
+    row list: the gates size this table to the corpus, and a list of
+    blob-carrying Python rows would pin O(corpus) driver memory. Values
+    are identical to the original driver-side construction (blob =
+    sha256("media{i}") digest repeated 4 + i%7 times; hex repetition ==
+    byte repetition)."""
+    i = F.col("media_id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (i % 3).cast("int") + 1,
+    )
+    blob = F.unhex(
+        F.expr(
+            "repeat(sha2(concat('media', cast(media_id as string)), 256), "
+            "cast(4 + media_id % 7 as int))"
+        )
+    )
+    meta = F.when(
+        kind == "video",
+        F.create_map(
+            F.lit("duration_sec"), (F.lit(10) + i % 50).cast("string")
+        ),
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        blob.alias("blob"),
+        meta.alias("meta"),
+    )
 
 
 AUDIO_FEATURES_SCHEMA = (

@@ -52,11 +52,12 @@ def _candidates(postings: DataFrame, lexicon: DataFrame, spark: SparkSession, te
     # decode+hash of non-matching rows BEFORE the join machinery — measured
     # 3.4x on the 1.6M-doc postings scan vs the bare broadcast join (a join
     # key is never pushed down; an explicit filter is)
+    # the isin filter already restricts both sides to exactly the query's
+    # distinct terms, so no separate q-terms join is needed: one broadcast
+    # of the |q|-row filtered lexicon is the whole join machinery
     uniq = list(dict.fromkeys(terms))
-    q = spark.createDataFrame([(t,) for t in uniq], "term string")
-    return postings.filter(F.col("term").isin(uniq)).join(F.broadcast(q), "term").join(
-        F.broadcast(lexicon.filter(F.col("term").isin(uniq)).join(F.broadcast(q), "term")),
-        "term",
+    return postings.filter(F.col("term").isin(uniq)).join(
+        F.broadcast(lexicon.filter(F.col("term").isin(uniq))), "term"
     )
 
 
@@ -271,7 +272,7 @@ def search_compat(
     # touches O(k) docs and one pruned scan per round.
     out_schema = "rank int, doc_id long, url string, title string, score double, snippet string"
     n = max(4 * k, 50)
-    checked: dict[int, tuple] = {}  # doc_id -> (meta Row | None, snippet Row | None)
+    checked: dict[int, object] = {}  # doc_id -> snippet Row (carries url/title) | None
     while True:
         frontier = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n).collect()
         todo = [r for r in frontier if r["doc_id"] not in checked]
@@ -294,12 +295,11 @@ def search_compat(
             )
             smap = {r["doc_id"]: r for r in snips}
             for r in todo:
-                s = smap.get(r["doc_id"])
-                checked[r["doc_id"]] = (s, s)
+                checked[r["doc_id"]] = smap.get(r["doc_id"])
         survivors: list[tuple] = []
         for r in frontier:  # frontier is already in final (score, doc_id) order
-            m, s = checked.get(r["doc_id"], (None, None))
-            if m is None or s is None:
+            s = checked.get(r["doc_id"])
+            if s is None:
                 continue
             if phrase is not None:
                 if s["phrase_snippet"] is None:
@@ -309,15 +309,15 @@ def search_compat(
                 if not s["has_any"]:  # Q11
                     continue
                 text = s["snippet_first"]
-            survivors.append((r, m, text))
+            survivors.append((r, s, text))
             if len(survivors) >= k:
                 break
         if len(survivors) >= k or len(frontier) < n:
             break  # top k found, or every candidate already checked
         n *= 4
     rows = [
-        (i + 1, int(r["doc_id"]), m["url"], m["title"], float(r["score"]), text)
-        for i, (r, m, text) in enumerate(survivors[:k])
+        (i + 1, int(r["doc_id"]), s["url"], s["title"], float(r["score"]), text)
+        for i, (r, s, text) in enumerate(survivors[:k])
     ]
     return spark.createDataFrame(rows, out_schema)
 

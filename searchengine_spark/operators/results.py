@@ -44,12 +44,17 @@ def _word_matches(word: Column, term: Column) -> Column:
     return F.array_contains(F.split(F.lower(word), TOKEN_SPLIT_RE), term)
 
 
-def snippet_expr(text: Column, term: Column, n_words: int = SNIPPET_WORDS) -> Column:
+def snippet_expr(words: Column, term: Column, n_words: int = SNIPPET_WORDS) -> Column:
     """60-word centered, bolded, ellipsized snippet as one Catalyst
     expression (null when the term never matches — callers on index-served
-    candidates never see that)."""
+    candidates never see that).
+
+    ``words`` must be a MATERIALIZED array attribute (not a Project alias
+    of ``split(text, ...)``): Catalyst inlines aliases into higher-order-
+    function lambdas, so an aliased split would re-run per word index —
+    O(words^2) per doc (the dedup._token_ngrams trap). search_results
+    materializes it through an ``explode(array(...))`` Generate barrier."""
     half = n_words // 2
-    words = F.split(text, r"\s+")
     n = F.size(words)
     # first matching word index (0-based): filter the position sequence
     pos = F.filter(
@@ -110,25 +115,39 @@ def search_results(
             .orderBy(F.desc("score_micros"), F.asc("doc_id"))
             .limit(k)
         )
+    empty_schema = (
+        "rank int, doc_id long, term string, url string, title string, "
+        "snippet string, score_micros long"
+    )
     rows = serve._qlex(spark, idx, query_terms)
     if not rows:
-        return spark.createDataFrame(
-            [],
-            "rank int, doc_id long, term string, url string, title string, "
-            "snippet string, score_micros long",
-        )
+        return spark.createDataFrame([], empty_schema)
+    # the <=k winners are collected so their doc_ids PUSH DOWN into both
+    # the postings scan and the documents scan (parquet row-group pruning
+    # on the doc_id-clustered files) — a broadcast-join key never reaches
+    # the reader, so without this every request decoded the whole corpus's
+    # text column just to probe a k-row hash table (the same rank-first
+    # overfetch rule search_compat uses)
+    top_rows = top.collect()
+    if not top_rows:
+        return spark.createDataFrame([], empty_schema)
+    ids = [int(r["doc_id"]) for r in top_rows]
+    top_df = spark.createDataFrame(
+        [(int(r["doc_id"]), int(r["score_micros"])) for r in top_rows],
+        "doc_id long, score_micros long",
+    )
     # last matched term per winning doc (Q12 pinned order): tiny pruned
     # postings pass restricted to the k winners
     post = serve._pruned_postings(idx, rows)
     last_term = (
-        post.join(F.broadcast(top.select("doc_id")), "doc_id", "left_semi")
+        post.filter(F.col("doc_id").isin(ids))
         .groupBy("doc_id")
         .agg(F.max("term").alias("term"))
     )
     # url/title derived exactly as the compat fixture does (documents.parquet
     # has no url/title columns): url = doc://{source}/{doc_id}, title = first
     # 48 chars — the convertDocumentsToResults field mapping
-    docs_side = documents.select(
+    docs_side = documents.filter(F.col("doc_id").isin(ids)).select(
         "doc_id",
         F.concat(
             F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")
@@ -136,11 +155,22 @@ def search_results(
         F.substring("text", 1, 48).alias("title"),
         F.col("text").alias("_text"),
     )
-    out = (
-        docs_side.join(F.broadcast(top.join(last_term, "doc_id")), "doc_id")
-        .withColumn("snippet", snippet_expr(F.col("_text"), F.col("term")))
-        .filter(F.col("snippet").isNotNull())  # Q11: empty-snippet hits dropped
+    joined = docs_side.join(F.broadcast(top_df), "doc_id").join(
+        F.broadcast(last_term), "doc_id"
     )
+    # Generate barrier: the word array becomes a real attribute, evaluated
+    # once per row, before the per-word snippet lambdas touch it
+    barrier = joined.select(
+        "doc_id",
+        "term",
+        "url",
+        "title",
+        "score_micros",
+        F.explode(F.array(F.split(F.col("_text"), r"\s+"))).alias("_words"),
+    )
+    out = barrier.withColumn(
+        "snippet", snippet_expr(F.col("_words"), F.col("term"))
+    ).filter(F.col("snippet").isNotNull())  # Q11: empty-snippet hits dropped
     w = Window.partitionBy(F.col("doc_id") % 1).orderBy(
         F.desc("score_micros"), F.asc("doc_id")
     )

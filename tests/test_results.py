@@ -21,8 +21,13 @@ def _snip(spark, text: str, term: str, n_words: int = 60) -> str | None:
     from searchengine_spark.operators.results import snippet_expr
 
     df = spark.createDataFrame([(text, term)], "text string, term string")
-    return df.select(
-        snippet_expr(F.col("text"), F.col("term"), n_words).alias("s")
+    # mirror production: the word array reaches snippet_expr as a real
+    # attribute behind a Generate barrier, never as a Project alias
+    words = df.select(
+        "term", F.explode(F.array(F.split(F.col("text"), r"\s+"))).alias("w")
+    )
+    return words.select(
+        snippet_expr(F.col("w"), F.col("term"), n_words).alias("s")
     ).collect()[0]["s"]
 
 
