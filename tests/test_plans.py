@@ -223,3 +223,20 @@ def test_unigram_logprob_no_window_no_corpus(spark):
     assert "documents.parquet" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_search_results_pushes_winner_ids_into_scans(spark):
+    """Result assembly must never scan the corpus: the <=k winner doc_ids
+    are collected and pushed into the documents scan (PushedFilters In),
+    and the word array reaches the snippet lambdas behind a Generate."""
+    from searchengine_spark.operators.results import search_results
+    from searchengine_spark.plans.gate_index import gate_index
+    from searchengine_spark.sources.tables import load_table
+
+    idx = gate_index(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    df = search_results(spark, idx, docs, ["spark", "hash"], k=5)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0] if "PushedFilters" in plan else ""
+    assert "In(doc_id" in pushed or "doc_id IN" in pushed
+    assert "Generate" in plan  # the snippet word-array barrier
