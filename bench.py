@@ -231,6 +231,32 @@ def run_queries() -> tuple[dict, dict, float, float, float]:
         "p50_sec": round(lat[len(lat) // 2], 3),
         "p95_sec": round(lat[max(0, int(len(lat) * 0.95) - 1)], 3),
     }
+    # REST twin end-to-end (S10): HTTP round-trip over the same session —
+    # wire parse + search_results assembly + JSON encode. Guarded: a
+    # serving hiccup must never fail the whole bench.
+    try:
+        import json as _json
+        import urllib.request
+
+        from searchengine_spark.jobs.serve_api import SearchAPI
+
+        api = SearchAPI(spark, SF_DIR)
+        server = api.start(port=0)
+        port = server.server_address[1]
+        url = f"http://127.0.0.1:{port}/api/search?query=spark%20hash"
+        urllib.request.urlopen(url, timeout=60).read()  # warm the route
+        rlat = []
+        for _ in range(7):
+            t0 = time.monotonic()
+            body = _json.loads(urllib.request.urlopen(url, timeout=60).read())
+            rlat.append(time.monotonic() - t0)
+            assert body["total"] >= 0
+        rlat.sort()
+        latency["rest_p50_sec"] = round(rlat[len(rlat) // 2], 3)
+        latency["rest_p95_sec"] = round(rlat[max(0, int(len(rlat) * 0.95) - 1)], 3)
+        server.shutdown()
+    except Exception:
+        pass
     return timings, latency, gate_index_sec, compat_fixture_sec, warmup_sec
 
 
