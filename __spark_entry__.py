@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": lambda spark, sf: _host_stats(spark, sf),
         # incremental recrawl: snapshot diff (added/removed/changed/same)
         "crawl_delta": lambda spark, sf: _crawl_delta(spark, sf),
+        # the crawler's outer loop: BFS frontier expansion with a visited
+        # set over the synthetic link graph (depth = min hops from seeds)
+        "crawl_frontier_bfs": lambda spark, sf: _frontier_bfs(spark, sf),
         # bigram-model next-word autocomplete
         "next_word_suggest": lambda spark, sf: relational.next_word_suggest(
             spark, sf, "hash", k=5
@@ -322,6 +325,22 @@ def _crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_delta(old, new.unionByName(added))
 
 
+def _frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.fetch import frontier_bfs
+    from searchengine_spark.operators.graph_demo import synthetic_edges
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select("doc_id")
+    return frontier_bfs(
+        nodes,
+        synthetic_edges(docs),
+        nodes.filter(F.col("doc_id") < 5),
+        max_depth=4,
+    )
+
+
 def _host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.fetch import host_stats
 
@@ -399,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_match": oracles.proximity_match_sql(PHRASE[0], PHRASE[1], slop=3),
         "host_stats": oracles.host_stats_sql(n_hosts=7),
         "crawl_delta": oracles.crawl_delta_sql(),
+        "crawl_frontier_bfs": oracles.frontier_bfs_sql(seed_below=5, max_depth=4),
         "next_word_suggest": oracles.next_word_suggest_sql("hash", k=5),
         "dedup_exact": oracles.exact_dedup_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(

@@ -140,3 +140,42 @@ def host_stats(docs: DataFrame, n_hosts: int = 7, id_col: str = "doc_id") -> Dat
             F.countDistinct("source").cast("long").alias("n_sources"),
         )
     )
+
+
+def frontier_bfs(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, depth) — breadth-first frontier expansion from ``seeds``
+    over a link graph: the crawler's outer loop (fetch a level, extract
+    links, drop already-visited, enqueue the rest), expressed as the
+    iterative DataFrame set-expansion it is. depth = minimum hops from any
+    seed, guaranteed by level order; unreachable nodes are absent.
+
+    Each level is one join (edges x frontier) + a distinct + an anti-join
+    against the visited set — all keyed shuffles, linear in the frontier's
+    out-edges; ``localCheckpoint`` cuts the growing lineage per level like
+    every iterative loop here. The visited set is a DataFrame, never
+    driver state, so frontier size is unbounded by driver memory."""
+    frontier = seeds.select(F.col(id_col).alias("doc_id")).distinct()
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    out = frontier.withColumn("depth", F.lit(0).cast("int"))
+    e = edges.select(F.col("src").alias("doc_id"), "dst")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, "doc_id")
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt.withColumn("depth", F.lit(d).cast("int")))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out.join(nodes.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi")

@@ -1636,3 +1636,22 @@ ch AS (SELECT * FROM ({doc_chunks_sql(chunk_size, stride)}))
 SELECT ch.doc_id, ch.chunk_id, ch.start_pos, ch.n_tokens, ch.chunk_md5
 FROM ch JOIN keep USING (doc_id)
 """
+
+
+def frontier_bfs_sql(seed_below: int = 5, max_depth: int = 4) -> str:
+    """Twin of fetch.frontier_bfs over the synthetic edge graph: min-depth
+    reachability via a depth-bounded recursive CTE (shares _EDGES_SQL with
+    the PageRank/HITS twins)."""
+    from searchengine_spark.operators.graph_demo import _EDGES_SQL
+
+    return f"""
+WITH RECURSIVE {_EDGES_SQL},
+bfs(doc_id, depth) AS (
+  SELECT doc_id, 0 FROM nodes WHERE doc_id < {seed_below}
+  UNION ALL
+  SELECT e.dst, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src = b.doc_id
+  WHERE b.depth < {max_depth}
+)
+SELECT doc_id, min(depth)::INT AS depth FROM bfs GROUP BY 1
+"""
