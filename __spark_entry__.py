@@ -114,6 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
         ),
+        # wildcard (prefix*) search: dictionary prefix scan -> bounded term
+        # expansion -> one pruned postings pass (Lucene's automaton plan)
+        "wildcard_search": lambda spark, sf: serve.wildcard_search(
+            spark, gate_index(spark, sf), "s"
+        ),
         # did-you-mean: SymSpell deletion-key join over the lexicon; the
         # oracle brute-forces levenshtein over the vocabulary
         "fuzzy_suggest": lambda spark, sf: serve.fuzzy_suggest(
@@ -137,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), n_perms=16, rows_per_band=8
         ),
         "simhash": lambda spark, sf: dedup.simhash(_docs(spark, sf), n_bits=32),
+        # SimHash pair enumeration: banded band-bucket join, EXACT for
+        # max_hamming < n_bands (pigeonhole) — oracle is the brute-force twin
+        "simhash_hamming_pairs": lambda spark, sf: dedup.simhash_hamming_pairs(
+            _docs(spark, sf), n_bits=32, n_bands=4, max_hamming=3
+        ),
         # near-dup clustering: connected components (min-label fixpoint)
         # over the MinHash-LSH candidate graph
         "dedup_clusters": lambda spark, sf: _dedup_clusters(spark, sf),
@@ -200,6 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-size overlapping token-window chunking (pre-packing step)
         "doc_chunks": lambda spark, sf: textstats.doc_chunks(
             _docs(spark, sf), chunk_size=64, stride=48
+        ),
+        # concat-then-split sequence packing into fixed token budgets via a
+        # two-phase distributed prefix sum (per-language streams)
+        "pack_chunks": lambda spark, sf: textstats.pack_chunks(
+            _docs(spark, sf), budget=512, chunk_size=64, stride=48, bucket_span=1024
         ),
         # the END-TO-END training-data prep pipeline in one composed job:
         # quality -> exact dedup -> decontaminate -> sample -> chunk (the
@@ -406,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
+        "wildcard_search": oracles.wildcard_search_sql("s"),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "doc_keywords": oracles.doc_keywords_sql(k=3),
@@ -430,6 +446,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oracles.minhash_sql(n_perms=16),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(n_perms=16, rows_per_band=8),
         "simhash": oracles.simhash_sql(n_bits=32),
+        "simhash_hamming_pairs": oracles.simhash_hamming_pairs_sql(
+            n_bits=32, max_hamming=3
+        ),
         "dedup_clusters": oracles.dedup_clusters_sql(n_perms=16, rows_per_band=8),
         "decontaminate": oracles.decontaminate_sql(n=5),
         "stratified_sample": oracles.stratified_sample_sql(
@@ -448,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.pii_scrub_sql(),
         "quality_score": oracles.quality_score_sql(),
         "doc_chunks": oracles.doc_chunks_sql(chunk_size=64, stride=48),
+        "pack_chunks": oracles.pack_chunks_sql(budget=512, chunk_size=64, stride=48),
         "training_chunks": oracles.training_chunks_sql(
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM
         ),

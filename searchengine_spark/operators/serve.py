@@ -305,6 +305,33 @@ def prefix_suggest(
     )
 
 
+def wildcard_search(spark: SparkSession, idx: dict, prefix: str) -> DataFrame:
+    """Wildcard (``prefix*``) term search: dictionary prefix scan → bounded
+    term expansion → ONE pruned postings pass.
+
+    The classic wildcard plan (Lucene's automaton-on-dictionary, here the
+    prefix special case): the lexicon scan prunes on parquet term min/max
+    (StartsWith pushdown) and returns the matching terms with their postings
+    buckets — a |matching-terms| driver round-trip, the same bounded step as
+    ``_qlex``. The expanded (bucket, term) set then drives the identical
+    partition-pruned postings lookup exact queries use, so the corpus never
+    rescans. Union-of-terms semantics grouped per doc:
+    (doc_id, n_terms, total_tf)."""
+    rows = (
+        idx["lexicon"].filter(F.col("term").startswith(prefix)).select("term", "bucket").collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, n_terms long, total_tf long")
+    return (
+        _pruned_postings(idx, rows)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+    )
+
+
 def _deletion_keys() -> F.Column:
     """SymSpell key set for the ``term`` column: the term itself plus every
     1-character deletion. Two words are Levenshtein<=1 neighbors only if

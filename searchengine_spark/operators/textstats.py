@@ -313,6 +313,7 @@ def doc_chunks(
     stride: int = 48,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, chunk_id, start_pos, n_tokens, chunk_md5) — fixed-size
     overlapping token windows, the chunking pass a training pipeline runs
@@ -327,13 +328,15 @@ def doc_chunks(
     shuffle, whole-stage codegen, output size bounded by ~dl/stride rows
     per doc. chunk_md5 certifies the chunk CONTENT, not just its bounds."""
     arr = _tokens(text_col)
+    extra = [F.col(c) for c in carry]
     base = (
-        docs.select(F.col(id_col).alias("doc_id"), arr.alias("arr"))
+        docs.select(F.col(id_col).alias("doc_id"), *extra, arr.alias("arr"))
         .withColumn("dl", F.size("arr"))
         .filter(F.col("dl") > 0)
     )
     exploded = base.select(
         "doc_id",
+        *carry,
         "arr",
         F.explode(
             F.sequence(F.lit(0), F.floor((F.col("dl") - 1) / stride).cast("int"))
@@ -342,8 +345,78 @@ def doc_chunks(
     chunk = F.slice(F.col("arr"), F.col("chunk_id") * stride + 1, chunk_size)
     return exploded.select(
         "doc_id",
+        *carry,
         F.col("chunk_id").cast("int").alias("chunk_id"),
         (F.col("chunk_id").cast("long") * stride).alias("start_pos"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int = 512,
+    chunk_size: int = 64,
+    stride: int = 48,
+    bucket_span: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Concatenate-then-split sequence packing — the step between chunking
+    and training-example export: each chunk's tokens land at ``start_off``
+    in the per-language concatenated token stream (ordered by
+    (doc_id, chunk_id)), and training bin ``bin_id = start_off div budget``
+    with in-bin offset ``bin_off`` — exactly how GPT-style pretraining packs
+    documents into fixed-length context windows, domain-separated per
+    language stream.
+
+    The per-language running offset is a DISTRIBUTED PREFIX SUM in two
+    bounded phases (never one global window): chunks bucket by
+    ``doc_id div bucket_span`` (doc_ids are dense global ranks, so buckets
+    are ordered and balanced by construction); phase 1 aggregates per
+    (lang, bucket) token totals — a tiny ~|docs|/bucket_span-row frame whose
+    per-lang cumulative window is negligible at any scale — and phase 2
+    broadcast-joins the bucket base offsets back and adds a within-bucket
+    running sum whose window partitions are bounded by bucket_span docs.
+    Output: (lang, doc_id, chunk_id, n_tokens, start_off, bin_id, bin_off).
+    """
+    from pyspark.sql import Window
+
+    chunks = doc_chunks(
+        docs, chunk_size, stride, id_col=id_col, text_col=text_col, carry=(lang_col,)
+    )
+    c = chunks.select(
+        F.col(lang_col).alias("lang"),
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.expr(f"doc_id div {bucket_span}").alias("bucket"),
+    )
+    totals = c.groupBy("lang", "bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    cum = Window.partitionBy("lang").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(cum), F.lit(0)).alias("bucket_off"),
+    )
+    within = Window.partitionBy("lang", "bucket").orderBy("doc_id", "chunk_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = c.join(F.broadcast(offsets), ["lang", "bucket"]).withColumn(
+        "start_off",
+        (F.col("bucket_off") + F.coalesce(F.sum("n_tokens").over(within), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    return packed.select(
+        "lang",
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off div {budget}").alias("bin_id"),
+        (F.col("start_off") % budget).cast("long").alias("bin_off"),
     )

@@ -290,9 +290,10 @@ FROM bands a JOIN bands b
 """
 
 
-def simhash_sql(n_bits: int = 32) -> str:
-    return f"""
-WITH toksarr AS (
+def _simhash_cte(n_bits: int = 32) -> str:
+    """CTE chain ending in ``sigs(doc_id, simhash)`` — shared by the
+    signature gate and the Hamming-pairs gate."""
+    return f"""toksarr AS (
   SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS t FROM documents
 ),
 terms AS (SELECT doc_id, unnest(t) AS term FROM toksarr),
@@ -306,10 +307,31 @@ bits AS (
          sum(CASE WHEN (h >> r.range) & 1 = 1 THEN tf ELSE -tf END) AS s
   FROM tf CROSS JOIN range({n_bits}) r
   GROUP BY 1, 2
-)
-SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
-FROM bits GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def simhash_sql(n_bits: int = 32) -> str:
+    return f"""
+WITH {_simhash_cte(n_bits)}
+SELECT doc_id, simhash FROM sigs
+"""
+
+
+def simhash_hamming_pairs_sql(n_bits: int = 32, max_hamming: int = 3) -> str:
+    """Brute-force quadratic twin of dedup.simhash_hamming_pairs — the banded
+    Spark plan is exact for max_hamming < n_bands, so the all-pairs scan is a
+    valid oracle at gate scale."""
+    return f"""
+WITH {_simhash_cte(n_bits)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
@@ -1042,6 +1064,15 @@ GROUP BY term ORDER BY n DESC, term ASC LIMIT {k}
 """
 
 
+def wildcard_search_sql(prefix: str) -> str:
+    """Union-of-terms wildcard (`prefix*`) twin of serve.wildcard_search."""
+    return f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS total_tf
+FROM post WHERE term LIKE '{prefix}%' GROUP BY doc_id
+"""
+
+
 def events_hopping_window_sql(window_min: int = 60, slide_min: int = 15) -> str:
     return f"""
 WITH hops AS (
@@ -1495,6 +1526,44 @@ SELECT doc_id, chunk_id::INT AS chunk_id,
              arr[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_size}], ' '))
          AS chunk_md5
 FROM ch
+"""
+
+
+def pack_chunks_sql(budget: int = 512, chunk_size: int = 64, stride: int = 48) -> str:
+    """Single-window twin of textstats.pack_chunks: the two-phase distributed
+    prefix sum equals one per-lang cumulative window because bucket =
+    doc_id div span preserves the (doc_id, chunk_id) order."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+nz AS (SELECT doc_id, lang, arr, len(arr) AS dl FROM toks WHERE len(arr) > 0),
+ch AS (
+  SELECT doc_id, lang, arr,
+         unnest(range(0, (dl - 1) // {stride} + 1)) AS chunk_id
+  FROM nz
+),
+chunks AS (
+  SELECT lang, doc_id, chunk_id::INT AS chunk_id,
+         len(arr[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_size}])::BIGINT
+           AS n_tokens
+  FROM ch
+),
+pre AS (
+  SELECT lang, doc_id, chunk_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_off
+  FROM chunks
+)
+SELECT lang, doc_id, chunk_id, n_tokens, start_off,
+       (start_off // {budget})::BIGINT AS bin_id,
+       (start_off % {budget})::BIGINT AS bin_off
+FROM pre
 """
 
 

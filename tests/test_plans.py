@@ -240,3 +240,37 @@ def test_search_results_pushes_winner_ids_into_scans(spark):
     pushed = plan.split("PushedFilters")[1].split("\n")[0] if "PushedFilters" in plan else ""
     assert "In(doc_id" in pushed or "doc_id IN" in pushed
     assert "Generate" in plan  # the snippet word-array barrier
+
+
+def test_wildcard_search_prunes_postings(spark):
+    """Wildcard search = dictionary prefix expansion + ONE pruned postings
+    pass: the postings scan carries the bucket+term pushdown (never a full
+    postings sweep), and the corpus is never touched."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.wildcard_search(spark, idx, "s"))
+    assert "documents.parquet" not in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0] if "PushedFilters" in plan else ""
+    assert "In(term" in pushed or "In(bucket" in pushed
+    assert "SortMergeJoin" not in plan  # no join at all: filter + one agg
+
+
+def test_pack_chunks_two_phase_prefix_sum(spark):
+    """Sequence packing must be the two-phase distributed prefix sum: the
+    bucket-offset side joins back BROADCAST (tiny frame), and no window runs
+    partitioned by lang alone on the full chunk stream (bounded partitions
+    only: (lang, bucket))."""
+    from searchengine_spark.operators import textstats
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(textstats.pack_chunks(docs, budget=512, bucket_span=1024))
+    assert "BroadcastHashJoin" in plan
+    # the only windows in the plan are keyed by (lang, bucket) — the big
+    # stream never collapses to one partition per language
+    for seg in plan.split("Window")[1:]:
+        spec = seg.split("\n")[0]
+        if "partition" in spec.lower() or "windowspecdefinition" in spec.lower():
+            assert "bucket" in spec or "lang" not in spec
