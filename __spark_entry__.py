@@ -39,6 +39,8 @@ BATCH_QUERIES = {
     "q_mixed": ["spark", "stream"],
 }
 TOPK = 10
+# boolean-algebra gate: parens + implicit/explicit AND + OR + NOT
+BOOL_QUERY = "(spark AND stream) OR (hash AND NOT join)"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -98,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_search_except": lambda spark, sf: serve.term_search_except(
             spark, gate_index(spark, sf), ALL_TERMS[:2], [ALL_TERMS[2]]
         ),
+        # full boolean algebra (parser + set-algebra planner) over the index
+        "boolean_query": lambda spark, sf: _boolean_query(spark, sf),
         # the reference's own ranking formula (Ranker.java:74-97: weighted
         # tfidf/pagerank/title/header-cap), gated end-to-end incl. url/title
         # result assembly
@@ -155,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda spark, sf: dedup.decontaminate(_docs(spark, sf), n=5),
         # deterministic per-language Bernoulli sample (md5-position)
         "stratified_sample": lambda spark, sf: _stratified_sample(spark, sf),
+        # alpha=0.5 temperature rebalancing: output shares ∝ sqrt(count)
+        "temperature_mix": lambda spark, sf: _temperature_mix(spark, sf),
         # incremental build: two half-corpus segment sets merged, decoded
         # back to postings — codec + merge_segments gated in one hash row
         "incremental_merge_postings": lambda spark, sf: _incremental_postings(spark, sf),
@@ -303,6 +309,24 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM)
 
 
+def _boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.boolquery import boolean_query
+
+    return boolean_query(spark, gate_index(spark, sf_dir), BOOL_QUERY)
+
+
+def _boolean_query_sql() -> str:
+    from searchengine_spark.operators.boolquery import boolean_query_sql
+
+    return boolean_query_sql(BOOL_QUERY)
+
+
+def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), target_frac_ppm=500_000)
+
+
 def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.segments import incremental_build_postings
 
@@ -415,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
+        "boolean_query": _boolean_query_sql(),
         "ann_ivf_topk": oracles.ann_ivf_sql(n_queries=8, k=5, centroid_stride=64, nprobe=2),
         # the approximate LSH path is deterministic (integer plane dots), so
         # even recall<1 output is hash-checkable — no more rows-only gate
@@ -454,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": oracles.stratified_sample_sql(
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM
         ),
+        "temperature_mix": oracles.temperature_mix_sql(target_frac_ppm=500_000),
         # the merged-and-decoded segments must equal the corpus tokenization
         "incremental_merge_postings": oracles.postings_sql(),
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),

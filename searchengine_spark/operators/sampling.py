@@ -49,3 +49,57 @@ def stratified_sample(
     return docs.filter(_hash_ppm(F.col(id_col), salt) < rate).select(
         id_col, stratum_col
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    target_frac_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Temperature-based language rebalancing (alpha = 0.5): sample so each
+    stratum's share of the output is proportional to sqrt(count) instead of
+    count — the multilingual-corpus mixing rule (upweight tail languages,
+    downweight the head) used by large-scale pretraining pipelines.
+
+    Per-stratum keep rate: with w_l = sqrt(c_l)/Σ sqrt(c) the target draw
+    share, rate_l = min(1, target_frac * w_l * total / c_l). sqrt is
+    IEEE-exact-rounded and every float op sits in one literal expression
+    tree mirrored by the DuckDB oracle, so the ppm rates — and therefore
+    the kept rows — are bit-identical across engines. Keep decisions reuse
+    the stratified_sample md5-position trick: pure row-local, stable across
+    partition counts and reruns.
+
+    Plan shape: one map-side-combined count per stratum (a |strata|-row
+    frame), rates derived in-plan and broadcast-joined back, then a
+    scan-and-filter — no shuffle of the corpus, no driver collect.
+    """
+    c = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = c.withColumn(
+        "sl", F.floor(F.sqrt(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+    )
+    tot = s.agg(
+        F.sum("c").cast("long").alias("total"), F.sum("sl").cast("long").alias("s_sum")
+    )
+    rate = s.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.least(
+            F.lit(PPM).cast("long"),
+            F.floor(
+                (
+                    F.lit(float(target_frac_ppm))
+                    * F.col("sl").cast("double")
+                    * F.col("total").cast("double")
+                )
+                / (F.col("s_sum").cast("double") * F.col("c").cast("double"))
+            ).cast("long"),
+        ).alias("keep_ppm"),
+    )
+    return (
+        docs.join(F.broadcast(rate), docs[stratum_col] == rate["stratum"])
+        .filter(_hash_ppm(F.col(id_col), salt) < F.col("keep_ppm"))
+        .select(id_col, stratum_col)
+    )

@@ -1255,6 +1255,29 @@ SELECT id AS doc_id, min(r)::BIGINT AS component_id FROM reach GROUP BY 1
 """
 
 
+def temperature_mix_sql(target_frac_ppm: int = 500_000, salt: str = "mix:") -> str:
+    """Twin of sampling.temperature_mix (alpha = 0.5 language rebalancing).
+    sqrt is IEEE-exact in both engines and the float expression tree is
+    mirrored literally, so the derived ppm rates are bit-identical."""
+    return f"""
+WITH c AS (SELECT lang AS stratum, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+s AS (SELECT stratum, c,
+             CAST(floor(sqrt(c::DOUBLE) * 1e6) AS BIGINT) AS sl FROM c),
+tot AS (SELECT sum(c)::BIGINT AS total, sum(sl)::BIGINT AS s_sum FROM s),
+r AS (
+  SELECT stratum,
+         least(1000000,
+               CAST(floor(({float(target_frac_ppm)} * sl::DOUBLE * total::DOUBLE)
+                          / (s_sum::DOUBLE * c::DOUBLE)) AS BIGINT)) AS keep_ppm
+  FROM s, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.stratum
+WHERE CAST(('0x' || substr(md5('{salt}' || d.doc_id), 1, 15)) AS BIGINT) % 1000000
+      < r.keep_ppm
+"""
+
+
 def stratified_sample_sql(
     rates_ppm: dict[str, int], default_ppm: int, salt: str = "sample:"
 ) -> str:
