@@ -102,6 +102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # full boolean algebra (parser + set-algebra planner) over the index
         "boolean_query": lambda spark, sf: _boolean_query(spark, sf),
+        # SERP sidebar: per-facet value histograms over the query's hit set
+        "facet_counts": lambda spark, sf: serve.facet_counts(
+            spark, gate_index(spark, sf), _docs(spark, sf), BM25_TERMS
+        ),
+        # result diversification: per-host cap then global top-k
+        "search_diversified": lambda spark, sf: serve.search_diversified(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK, per_host=2, n_hosts=7
+        ),
         # the reference's own ranking formula (Ranker.java:74-97: weighted
         # tfidf/pagerank/title/header-cap), gated end-to-end incl. url/title
         # result assembly
@@ -440,6 +448,10 @@ def oracle_sql() -> dict[str, str]:
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "boolean_query": _boolean_query_sql(),
+        "facet_counts": oracles.facet_counts_sql(BM25_TERMS),
+        "search_diversified": oracles.search_diversified_sql(
+            BM25_TERMS, k=TOPK, per_host=2, n_hosts=7
+        ),
         "ann_ivf_topk": oracles.ann_ivf_sql(n_queries=8, k=5, centroid_stride=64, nprobe=2),
         # the approximate LSH path is deterministic (integer plane dots), so
         # even recall<1 output is hash-checkable — no more rows-only gate

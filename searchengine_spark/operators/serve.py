@@ -305,6 +305,80 @@ def prefix_suggest(
     )
 
 
+def facet_counts(
+    spark: SparkSession,
+    idx: dict,
+    docs: DataFrame,
+    query_terms: list[str],
+    facets: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Faceted search: (facet, value, n_docs) histogram over the documents
+    matching ANY query term — the sidebar counts every search UI renders
+    next to results.
+
+    Plan: pruned postings scan → distinct candidate doc_ids → one doc-side
+    equi-join to fetch the facet columns → ``stack`` unpivots all facets in
+    a single projection → ONE map-side-combined aggregate. The unpivot
+    means |facets| histograms cost one shuffle, not |facets| passes."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], "facet string, value string, n_docs long")
+    cands = _pruned_postings(idx, rows).select("doc_id").distinct()
+    pairs = ", ".join(f"'{c}', {c}" for c in facets)
+    return (
+        docs.join(cands, "doc_id")
+        .select(F.expr(f"stack({len(facets)}, {pairs}) AS (facet, value)"))
+        .groupBy("facet", "value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def search_diversified(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    per_host: int = 2,
+    n_hosts: int = 7,
+    salts: int = 8,
+) -> DataFrame:
+    """Host-diversified top-k: at most ``per_host`` results from any one
+    host (the synthetic URL space's host key), then the global top-k —
+    result diversification as every production SERP applies it.
+
+    The per-host cap is the two-phase grouped top-k (the round-1
+    unpartitioned-window lesson): rank within (host, doc_id mod salts)
+    slots first — a partial cut to <= salts*per_host rows per host — then
+    rank the survivors per host, so no single partition ever holds a hot
+    host's full candidate set. Output: (rank, doc_id, host, score_micros).
+    """
+    from pyspark.sql import Window
+
+    scores = bm25_scores(spark, idx, query_terms).withColumn(
+        "host",
+        F.concat(F.lit("host"), F.pmod(F.col("doc_id"), F.lit(n_hosts)).cast("string")),
+    )
+    order = [F.desc("score_micros"), F.asc("doc_id")]
+    w_slot = Window.partitionBy("host", F.pmod(F.col("doc_id"), F.lit(salts))).orderBy(
+        *order
+    )
+    w_host = Window.partitionBy("host").orderBy(*order)
+    capped = (
+        scores.withColumn("sr", F.row_number().over(w_slot))
+        .filter(F.col("sr") <= per_host)
+        .withColumn("hr", F.row_number().over(w_host))
+        .filter(F.col("hr") <= per_host)
+    )
+    top = capped.orderBy(*order).limit(k)
+    w_all = Window.partitionBy(F.col("doc_id") % 1).orderBy(*order)
+    return top.select(
+        F.row_number().over(w_all).cast("int").alias("rank"),
+        "doc_id",
+        "host",
+        "score_micros",
+    )
+
+
 def wildcard_search(spark: SparkSession, idx: dict, prefix: str) -> DataFrame:
     """Wildcard (``prefix*``) term search: dictionary prefix scan → bounded
     term expansion → ONE pruned postings pass.

@@ -61,10 +61,10 @@ GROUP BY term, n.n_docs
 """
 
 
-def bm25_topk_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
-    return f"""
-WITH {_TOKENS_CTE},
-n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+def _bm25_scores_cte(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """CTE chain (appended after _TOKENS_CTE) ending in
+    ``scores(doc_id, score_micros)`` — shared by every BM25-scored oracle."""
+    return f"""n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
 avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
 q AS (SELECT term FROM {_terms_values(terms)}),
 lex AS (
@@ -86,9 +86,68 @@ scored AS (
   JOIN idf ON post.term = idf.term
   JOIN dls ON post.doc_id = dls.doc_id
   CROSS JOIN avg_dl
+),
+scores AS (
+  SELECT doc_id, sum(c_micros)::BIGINT AS score_micros
+  FROM scored GROUP BY doc_id
+)"""
+
+
+def bm25_topk_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms, k1, b)}
+SELECT doc_id, score_micros FROM scores
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def facet_counts_sql(terms: list[str], facets: tuple[str, ...] = ("lang", "source")) -> str:
+    """Twin of serve.facet_counts: per-facet value counts over the docs
+    matching ANY query term."""
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS facet, {c} AS value, count(*)::BIGINT AS n_docs "
+        f"FROM j GROUP BY 2"
+        for c in facets
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM post
+         WHERE term IN (SELECT term FROM {_terms_values(terms)})),
+j AS (SELECT d.* FROM documents d JOIN hits USING (doc_id))
+{branches}
+"""
+
+
+def search_diversified_sql(
+    terms: list[str],
+    k: int = 10,
+    per_host: int = 2,
+    n_hosts: int = 7,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of serve.search_diversified: per-host result cap then global
+    top-k over the BM25 candidate scores."""
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms, k1, b)},
+hosted AS (
+  SELECT doc_id, score_micros,
+         'host' || (doc_id % {n_hosts})::VARCHAR AS host
+  FROM scores
+),
+capped AS (
+  SELECT doc_id, score_micros, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY score_micros DESC, doc_id ASC) AS hr
+  FROM hosted
 )
-SELECT doc_id, sum(c_micros)::BIGINT AS score_micros
-FROM scored GROUP BY doc_id
+SELECT CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS INT)
+         AS rank,
+       doc_id, host, score_micros
+FROM capped WHERE hr <= {per_host}
 ORDER BY score_micros DESC, doc_id ASC
 LIMIT {k}
 """
