@@ -182,6 +182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(
             emb(spark, sf), n_queries=8, k=5, centroid_stride=64, nprobe=2
         ),
+        # product quantization + asymmetric distance: the memory-compression
+        # ANN family (billion-vector scans as m-code lookups)
+        "ann_pq_topk": lambda spark, sf: similarity.ann_pq_topk(
+            emb(spark, sf), n_queries=8, k=5, n_centroids=16, centroid_stride=16
+        ),
         # synthetic embeddings have no true near-identical pairs (max pair
         # cosine ~0.51), so the gate threshold 0.35 selects the top ~0.1%
         # most-similar pairs — same operator, non-empty check. Default mode
@@ -456,6 +461,9 @@ def oracle_sql() -> dict[str, str]:
         # the approximate LSH path is deterministic (integer plane dots), so
         # even recall<1 output is hash-checkable — no more rows-only gate
         "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
+        "ann_pq_topk": oracles.ann_pq_sql(
+            n_queries=8, k=5, n_centroids=16, centroid_stride=16
+        ),
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
         "wildcard_search": oracles.wildcard_search_sql("s"),

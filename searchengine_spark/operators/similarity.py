@@ -338,3 +338,142 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_micros")
     )
+
+
+def pq_codebook_np(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    centroid_stride: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, K, dim/m) int64 product-quantization codebook.
+
+    Sub-codebook s's centroid j is the s-th subvector of the vector with id
+    ``j * centroid_stride`` — the same seeded selection as ivf_assignments
+    (a pure function of the table, rank-stable across cluster sizes; a
+    k-means trainer can swap in without changing any consumer). The whole
+    codebook is K*dim ints — a driver-side constant, broadcast by closure.
+    """
+    limit = n_centroids * centroid_stride
+    rows = sorted(
+        embeddings.filter(
+            ((F.col(id_col) % centroid_stride) == 0) & (F.col(id_col) < limit)
+        )
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"only {len(rows)} centroid rows; need {n_centroids} ids that are "
+            f"multiples of {centroid_stride} below {limit}"
+        )
+    C = _quantize_np(np.array([r[vec_col] for r in rows]))  # (K, dim)
+    sub = dim // m
+    return C.reshape(n_centroids, m, sub).transpose(1, 0, 2).copy()
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code[m]) — each vector compressed to its per-subspace nearest
+    centroid indices (squared-L2 in exact int64 space, ties → smallest j,
+    matching the SQL twin's (d, j) ordering). This is the memory-compression
+    scale path: after encoding, the corpus is scanned as m small codes per
+    vector (64 ints → 8 codes here; 1 byte/code in a packed layout), never
+    raw vectors. One Arrow crossing, vectorized numpy throughout."""
+    m, _, sub = codebook.shape
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _quantize_np(np.stack(pdf[vec_col].to_numpy())).reshape(-1, m, sub)
+            codes = np.empty((V.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                d = ((V[:, s, None, :] - codebook[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d, axis=1)  # first min == smallest j
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(np.int64), "code": list(codes)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, code array<int>"
+    )
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    centroid_stride: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k with asymmetric distance
+    (ADC): (query_id, rank, neighbor_id, adc_dist), nearest first.
+
+    The third ANN family next to LSH and IVF — the one that makes
+    billion-vector scans fit in memory: each corpus vector is m sub-codes,
+    and a query's distance to ANY vector is m table lookups into its
+    (m × K) query-to-centroid distance table, never a d-dim computation.
+    Everything is exact int64 (quantized micros, squared-L2), ties break on
+    (distance, id), so the approximate output is deterministic and the
+    DuckDB oracle (oracles.ann_pq_sql) reproduces it bit-for-bit.
+
+    Physical shape: codebook + |Q| distance tables are driver constants;
+    ONE pass over the encoded corpus computes per-batch top-k per query via
+    numpy gathers; a final window merges <= k·n_batches rows. No joins, no
+    |Q|×N explosion."""
+    cb = pq_codebook_np(embeddings, n_centroids, centroid_stride, m, dim, id_col, vec_col)
+    sub = dim // m
+    q_rows = sorted(
+        embeddings.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect(),
+        key=lambda r: r[id_col],
+    )
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, adc_dist long"
+        )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = _quantize_np(np.array([r[vec_col] for r in q_rows])).reshape(-1, m, sub)
+    # T[q, s, j] = ||Q[q,s] - cb[s,j]||^2 — exact int64
+    T = ((Q[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+
+    codes = pq_encode(embeddings, cb, id_col, vec_col)
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            Cd = np.stack(pdf["code"].to_numpy()).astype(np.int64)  # (n, m)
+            adc = np.zeros((ids.size, q_ids.size), dtype=np.int64)
+            for s in range(m):
+                adc += T[:, s, Cd[:, s]].T  # gather: (|Q|, n) -> (n, |Q|)
+            out = []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                cand_ids, cand = ids[mask], adc[mask, j]
+                sel = np.lexsort((cand_ids, cand))[: min(k, cand.size)]
+                out.extend((int(qid), int(cand_ids[i]), int(cand[i])) for i in sel)
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "adc_dist"]
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "adc_dist": "int64"})
+
+    scored = codes.mapInPandas(fn, "query_id long, neighbor_id long, adc_dist long")
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )

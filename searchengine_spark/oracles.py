@@ -908,6 +908,58 @@ WHERE cosine_micros >= {threshold_micros}
 """
 
 
+def ann_pq_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    centroid_stride: int = 16,
+    m: int = 8,
+    dim: int = 64,
+) -> str:
+    """Twin of similarity.ann_pq_topk: product quantization with asymmetric
+    distance, all in exact int64 (quantized micros, squared-L2), ties on
+    (distance, index/id) — bit-identical to the numpy path."""
+    sub = dim // m
+    limit = n_centroids * centroid_stride
+    return f"""
+WITH qv AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+cent AS (
+  SELECT (vec_id // {centroid_stride})::INT AS j, v
+  FROM qv WHERE vec_id % {centroid_stride} = 0 AND vec_id < {limit}
+),
+subsp AS (SELECT r.range::INT AS s FROM range({m}) r),
+csub AS (SELECT j, s, v[s*{sub}+1 : s*{sub}+{sub}] AS cv FROM cent, subsp),
+vsub AS (SELECT vec_id, s, v[s*{sub}+1 : s*{sub}+{sub}] AS vv FROM qv, subsp),
+dist AS (
+  SELECT vsub.vec_id, vsub.s, csub.j,
+         CAST(list_sum(list_transform(list_zip(vv, cv),
+                                      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+  FROM vsub JOIN csub ON vsub.s = csub.s
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id, sum(qd.d)::BIGINT AS adc_dist
+  FROM codes c
+  JOIN dist qd ON qd.s = c.s AND qd.j = c.code
+  WHERE qd.vec_id < {n_queries} AND c.vec_id <> qd.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, adc_dist FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank,
+         neighbor_id, adc_dist
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
 def ann_ivf_sql(
     n_queries: int = 8, k: int = 5, centroid_stride: int = 64, nprobe: int = 2
 ) -> str:
