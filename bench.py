@@ -48,7 +48,15 @@ HEADLINE = [
     "simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
     "embedding_cosine_dups",
+    "simhash_hamming_pairs",
+    "wildcard_search",
+    "boolean_query",
+    "facet_counts",
+    "search_diversified",
+    "pack_chunks",
+    "temperature_mix",
     "dedup_clusters",
     "decontaminate",
     "stratified_sample",
