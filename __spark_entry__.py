@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": lambda spark, sf: serve.bm25_topk_wand(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # MaxScore dynamic pruning over the same segments, same oracle
+        "bm25_topk_maxscore": lambda spark, sf: serve.bm25_topk_maxscore(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
         "tfidf_topk": lambda spark, sf: serve.tfidf_topk(
             spark, gate_index(spark, sf), TFIDF_TERMS, k=TOPK
         ),
@@ -447,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         # WAND path answers the SAME oracle as the columnar path — the
         # compressed index is hash-gated, not just property-tested
         "bm25_topk_wand": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
+        "bm25_topk_maxscore": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),

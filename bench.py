@@ -36,6 +36,7 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
 HEADLINE = [
     "bm25_topk",
     "bm25_topk_wand",
+    "bm25_topk_maxscore",
     "bm25_batch_topk",
     "compat_topk",
     "search_results",

@@ -235,6 +235,85 @@ def _micros(x: float) -> int:
     return int(math.floor(x * 1e6 + 0.5))
 
 
+class _TermIter:
+    """Lazy cursor over one term's sorted block list — the shared postings
+    iterator of every dynamic-pruning executor (_wand_shard,
+    _maxscore_shard). Blocks stepped over by skip pointers are never
+    decoded."""
+
+    __slots__ = ("term", "blocks", "bi", "pi", "ids", "tfs", "dls", "ub",
+                 "idf", "avgdl", "micros")
+
+    def __init__(self, term: str, blocks: list[dict], idf: float, avgdl: float,
+                 micros: bool):
+        self.term = term
+        self.blocks = sorted(blocks, key=lambda b: b["block_id"])
+        self.bi = 0
+        self.idf = idf
+        self.avgdl = avgdl
+        self.micros = micros
+        self.ub = max(b["block_max_score"] for b in self.blocks)
+        if micros:
+            self.ub = _micros(self.ub)
+        self.ids = None  # current block decoded lazily
+
+    @property
+    def exhausted(self) -> bool:
+        return self.bi >= len(self.blocks)
+
+    def _ensure(self):
+        # decode the current block only when its postings are touched —
+        # blocks stepped over by skip pointers are never decoded
+        if self.ids is None and not self.exhausted:
+            self.ids, self.tfs, self.dls = codec.decode_block(self.blocks[self.bi])
+            self.pi = 0
+
+    def _next_block(self):
+        self.bi += 1
+        self.ids = None
+
+    @property
+    def cur(self) -> int:
+        if self.exhausted:
+            return 1 << 62
+        self._ensure()
+        return int(self.ids[self.pi])
+
+    def cur_block_max(self) -> float:
+        if self.exhausted:
+            return 0
+        bm = self.blocks[self.bi]["block_max_score"]
+        return _micros(bm) if self.micros else bm
+
+    def advance_to(self, target: int):
+        # block-level skip via skip_doc_id (no decode), then in-block gallop
+        while not self.exhausted and self.blocks[self.bi]["skip_doc_id"] < target:
+            self._next_block()
+        if self.exhausted:
+            return
+        self._ensure()
+        j = int(np.searchsorted(self.ids[self.pi :], target))
+        self.pi += j
+        if self.pi >= len(self.ids):
+            self._next_block()
+            self.advance_to(target)
+
+    def next_doc(self):
+        self._ensure()
+        self.pi += 1
+        if self.pi >= len(self.ids):
+            self._next_block()
+
+    def score_cur(self) -> float:
+        self._ensure()
+        tf = float(self.tfs[self.pi])
+        dl = float(self.dls[self.pi])
+        c = self.idf * (tf * (codec.BM25_K1 + 1.0)) / (
+            tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / self.avgdl)
+        )
+        return _micros(c) if self.micros else c
+
+
 def _wand_shard(
     term_blocks: dict[str, list[dict]],
     idfs: dict[str, float],
@@ -257,76 +336,9 @@ def _wand_shard(
     so a rounded block max is still a valid upper bound for rounded
     contributions; pruning stays exact.
     """
-
-    class TermIter:
-        __slots__ = ("term", "blocks", "bi", "pi", "ids", "tfs", "dls", "ub")
-
-        def __init__(self, term: str, blocks: list[dict]):
-            self.term = term
-            self.blocks = sorted(blocks, key=lambda b: b["block_id"])
-            self.bi = 0
-            self.ub = max(b["block_max_score"] for b in self.blocks)
-            if micros:
-                self.ub = _micros(self.ub)
-            self.ids = None  # current block decoded lazily
-
-        @property
-        def exhausted(self) -> bool:
-            return self.bi >= len(self.blocks)
-
-        def _ensure(self):
-            # decode the current block only when its postings are touched —
-            # blocks stepped over by skip pointers are never decoded
-            if self.ids is None and not self.exhausted:
-                self.ids, self.tfs, self.dls = codec.decode_block(self.blocks[self.bi])
-                self.pi = 0
-
-        def _next_block(self):
-            self.bi += 1
-            self.ids = None
-
-        @property
-        def cur(self) -> int:
-            if self.exhausted:
-                return 1 << 62
-            self._ensure()
-            return int(self.ids[self.pi])
-
-        def cur_block_max(self) -> float:
-            if self.exhausted:
-                return 0
-            bm = self.blocks[self.bi]["block_max_score"]
-            return _micros(bm) if micros else bm
-
-        def advance_to(self, target: int):
-            # block-level skip via skip_doc_id (no decode), then in-block gallop
-            while not self.exhausted and self.blocks[self.bi]["skip_doc_id"] < target:
-                self._next_block()
-            if self.exhausted:
-                return
-            self._ensure()
-            j = int(np.searchsorted(self.ids[self.pi :], target))
-            self.pi += j
-            if self.pi >= len(self.ids):
-                self._next_block()
-                self.advance_to(target)
-
-        def next_doc(self):
-            self._ensure()
-            self.pi += 1
-            if self.pi >= len(self.ids):
-                self._next_block()
-
-        def score_cur(self) -> float:
-            self._ensure()
-            tf = float(self.tfs[self.pi])
-            dl = float(self.dls[self.pi])
-            c = idfs[self.term] * (tf * (codec.BM25_K1 + 1.0)) / (
-                tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl)
-            )
-            return _micros(c) if micros else c
-
-    iters = [TermIter(t, bl) for t, bl in term_blocks.items() if bl]
+    iters = [
+        _TermIter(t, bl, idfs[t], avgdl, micros) for t, bl in term_blocks.items() if bl
+    ]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     results: dict[int, list[tuple[str, float]]] = {}
 
@@ -384,6 +396,109 @@ def _wand_shard(
             # advance all iterators before the pivot up to the pivot doc
             for it in live[:pivot_idx]:
                 it.advance_to(pivot_doc)
+
+    out = []
+    while heap:
+        s, nd = heapq.heappop(heap)
+        out.append((s, -nd, results[-nd]))
+    out.sort(key=lambda t: (-t[0], t[1]))
+    return out
+
+
+def _maxscore_shard(
+    term_blocks: dict[str, list[dict]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    threshold: float = float("-inf"),
+    micros: bool = False,
+) -> list[tuple[float, int, list[tuple[str, float]]]]:
+    """MaxScore (Turtle & Flood 1995) over one shard's block lists — the
+    second dynamic-pruning executor beside block-max WAND, sharing its
+    _TermIter cursors, heap semantics, and (with ``micros=True``) the exact
+    integer-micros contract, so both serve the same DuckDB oracle.
+
+    Terms sort by score upper bound descending and split at the current
+    heap threshold θ: the maximal SUFFIX whose UB sum ≤ θ is non-essential —
+    no document appearing only there can enter the top-k. Candidates are
+    drawn document-at-a-time from the essential prefix; non-essential lists
+    are probed by skip-pointer ``advance_to`` with early exit as soon as the
+    partial score plus the remaining UB suffix cannot beat θ. Same pruning
+    invariant as WAND (skip iff UB-bound ≤ θ), so results are identical."""
+    iters = [
+        _TermIter(t, bl, idfs[t], avgdl, micros) for t, bl in term_blocks.items() if bl
+    ]
+    iters.sort(key=lambda it: (-it.ub, it.term))  # UB desc, deterministic ties
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    results: dict[int, list[tuple[str, float]]] = {}
+    last = -1  # largest candidate evaluated so far — see monotonicity note
+
+    def theta() -> float:
+        if len(heap) < k:
+            return threshold
+        return max(heap[0][0], threshold)
+
+    while True:
+        live = [it for it in iters if not it.exhausted]  # keeps UB-desc order
+        if not live:
+            break
+        suffix = [0.0] * (len(live) + 1)
+        for i in range(len(live) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + live[i].ub
+        th = theta()
+        e = len(live)
+        while e > 0 and suffix[e - 1] <= th:
+            e -= 1
+        if e == 0:
+            break  # every remaining doc's total UB <= theta
+        ess = live[:e]
+        cand = min(it.cur for it in ess)
+        # Monotonicity guard: when an exhausted high-UB list shrinks the
+        # suffix sums, a previously non-essential list can be PROMOTED into
+        # the essential prefix while still positioned on a doc other lists
+        # have already passed — evaluating it would miss their
+        # contributions. Any doc <= last was skippable under the θ in force
+        # when it was passed, and θ only grows, so skipping it now is exact.
+        if cand <= last:
+            for it in ess:
+                if it.cur <= last:
+                    it.advance_to(last + 1)
+            continue
+        last = cand
+        contribs: list[tuple[str, float]] = []
+        score = 0.0
+        for it in ess:
+            if it.cur == cand:
+                c = it.score_cur()
+                contribs.append((it.term, c))
+                score += c
+        pruned_early = False
+        for j in range(e, len(live)):
+            if score + suffix[j] <= th:
+                pruned_early = True
+                break
+            it = live[j]
+            it.advance_to(cand)
+            if not it.exhausted and it.cur == cand:
+                c = it.score_cur()
+                contribs.append((it.term, c))
+                score += c
+        if not pruned_early and (score > th or len(heap) < k):
+            # deterministic re-sum in term order for oracle parity
+            contribs.sort()
+            score = 0.0
+            for _, c in contribs:
+                score += c
+            if len(heap) < k:
+                heapq.heappush(heap, (score, -cand))
+                results[cand] = contribs
+            elif (score, -cand) > heap[0]:
+                old = heapq.heappushpop(heap, (score, -cand))
+                results.pop(-old[1], None)
+                results[cand] = contribs
+        for it in ess:
+            if not it.exhausted and it.cur == cand:
+                it.next_doc()
 
     out = []
     while heap:
@@ -560,3 +675,47 @@ def wand_topk_micros(
     return per_shard.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)
 
 
+
+
+def maxscore_topk_micros(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    query_terms: list[str],
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """MaxScore dynamic pruning returning exact **bigint-micros** scores:
+    (doc_id, score_micros) — the second early-termination serve path beside
+    block-max WAND, identical plan shape (|q|-row lexicon lookup →
+    bucket-pruned segment scan → per-shard heap in applyInPandas → global
+    TakeOrderedAndProject merge) and the same DuckDB oracle as the columnar
+    BM25."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score_micros long")
+    idf_rows = (
+        lexicon.filter(F.col("term").isin(terms))
+        .select("term", "idf_bm25", F.pmod(F.hash("term"), F.lit(n_buckets)).alias("bucket"))
+        .collect()
+    )
+    idfs = {r["term"]: r["idf_bm25"] for r in idf_rows}
+    if not idfs:
+        return spark.createDataFrame([], "doc_id long, score_micros long")
+    buckets = sorted({int(r["bucket"]) for r in idf_rows})
+    pruned = segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_blocks: dict[str, list[dict]] = {}
+        for _, row in pdf.iterrows():
+            term_blocks.setdefault(row["term"], []).append(row.to_dict())
+        top = _maxscore_shard(term_blocks, idfs, avgdl, k, micros=True)
+        return pd.DataFrame(
+            [(int(d), int(s)) for s, d, _ in top], columns=["doc_id", "score_micros"]
+        ).astype({"doc_id": "int64", "score_micros": "int64"})
+
+    per_shard = pruned.groupBy("shard").applyInPandas(
+        run_shard, "doc_id long, score_micros long"
+    )
+    return per_shard.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)

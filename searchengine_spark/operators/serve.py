@@ -720,3 +720,16 @@ def bm25_topk_wand(
     return wand_topk_micros(
         spark, idx["segments"], idx["lexicon"], query_terms, idx["avgdl"], k=k
     )
+
+
+def bm25_topk_maxscore(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 top-k via MaxScore dynamic pruning over the compressed segments
+    — the second early-termination executor beside WAND, hash-identical to
+    ``bm25_topk`` (same DuckDB oracle, same integer-micros contract)."""
+    from searchengine_spark.operators.segments import maxscore_topk_micros
+
+    return maxscore_topk_micros(
+        spark, idx["segments"], idx["lexicon"], query_terms, idx["avgdl"], k=k
+    )

@@ -69,3 +69,70 @@ def test_wand_equals_bruteforce(term_postings, k):
     assert [(d, round(s, 9)) for s, d, _ in got] == [(d, round(s, 9)) for s, d in want]
     # scores bit-identical (same deterministic term-sorted summation)
     assert [s for s, _, _ in got] == [s for s, _ in want]
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3000),
+                st.integers(min_value=1, max_value=30),
+                st.integers(min_value=5, max_value=500),
+            ),
+            min_size=1,
+            max_size=300,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=80, deadline=None)
+def test_maxscore_equals_wand_and_bruteforce(term_postings, k):
+    """MaxScore == WAND == brute force, in both float and micros modes —
+    the two dynamic-pruning executors are interchangeable."""
+    from searchengine_spark.operators.segments import _maxscore_shard
+
+    idfs = {"alpha": 2.3, "beta": 0.7, "gamma": 4.1, "delta": 1.0}
+    avgdl = 80.0
+    term_blocks = {}
+    for term, posts in term_postings.items():
+        posts = sorted(posts)
+        ids = np.array([p[0] for p in posts], dtype=np.uint64)
+        tfs = np.array([p[1] for p in posts], dtype=np.uint64)
+        dls = np.array([p[2] for p in posts], dtype=np.uint64)
+        blocks = codec.encode_blocks(
+            ids, tfs, dls, [[] for _ in posts], idf=idfs[term], avgdl=avgdl, block_size=16
+        )
+        for b in blocks:
+            b["bucket"] = 0
+            b["shard"] = 0
+            b["term"] = term
+        term_blocks[term] = blocks
+
+    got = _maxscore_shard(term_blocks, idfs, avgdl, k)
+    want = brute_force(term_postings, idfs, avgdl, k)
+    assert [(d, s) for s, d, _ in got] == [(d, s) for s, d in want]
+    # micros mode agrees with WAND micros mode (fresh blocks — iterators
+    # mutate state, so each executor needs its own decode cursors)
+    def fresh():
+        tb = {}
+        for term, posts in term_postings.items():
+            posts = sorted(posts)
+            ids = np.array([p[0] for p in posts], dtype=np.uint64)
+            tfs = np.array([p[1] for p in posts], dtype=np.uint64)
+            dls = np.array([p[2] for p in posts], dtype=np.uint64)
+            blocks = codec.encode_blocks(
+                ids, tfs, dls, [[] for _ in posts], idf=idfs[term], avgdl=avgdl,
+                block_size=16,
+            )
+            for b in blocks:
+                b["bucket"] = 0; b["shard"] = 0; b["term"] = term
+            tb[term] = blocks
+        return tb
+
+    ms = _maxscore_shard(fresh(), idfs, avgdl, k, micros=True)
+    wd = _wand_shard(fresh(), idfs, avgdl, k, micros=True)
+    assert [(d, s) for s, d, _ in ms] == [(d, s) for s, d, _ in wd]
