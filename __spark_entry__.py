@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental build: two half-corpus segment sets merged, decoded
         # back to postings — codec + merge_segments gated in one hash row
         "incremental_merge_postings": lambda spark, sf: _incremental_postings(spark, sf),
+        # the index lifecycle end-to-end: crawl delta -> tombstone-delete ->
+        # delta encode -> merge == full rebuild of the new snapshot
+        "incremental_reindex": lambda spark, sf: _incremental_reindex(spark, sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda spark, sf: similarity.ann_bruteforce_topk(
             emb(spark, sf), n_queries=8, k=5
@@ -358,16 +361,14 @@ def _training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot B is synthesized in-query from the documents table (the
+def _snapshot_b(old: DataFrame) -> DataFrame:
+    """Snapshot B synthesized in-query from the documents table (the
     strip_html/pii_scrub seasoning pattern): doc_id%10==3 removed,
     doc_id%10==5 text-appended (changed), doc_id%10==7 re-added under a
-    shifted id (added); the oracle builds the identical snapshot."""
+    shifted id (added). The oracle builds the identical snapshot
+    (oracles._SNAPSHOT_B_CTE)."""
     from pyspark.sql import functions as F
 
-    from searchengine_spark.operators.ingest import crawl_delta
-
-    old = _docs(spark, sf_dir).select("doc_id", "text")
     did = F.col("doc_id")
     new = old.filter(did % 10 != 3).withColumn(
         "text",
@@ -378,7 +379,21 @@ def _crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     added = old.filter(did % 10 == 7).select(
         (did + 1_000_000_000).alias("doc_id"), "text"
     )
-    return crawl_delta(old, new.unionByName(added))
+    return new.unionByName(added)
+
+
+def _crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.ingest import crawl_delta
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    return crawl_delta(old, _snapshot_b(old))
+
+
+def _incremental_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.segments import incremental_reindex_postings
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    return incremental_reindex_postings(old, _snapshot_b(old), shard_span=64)
 
 
 def _frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": oracles.temperature_mix_sql(target_frac_ppm=500_000),
         # the merged-and-decoded segments must equal the corpus tokenization
         "incremental_merge_postings": oracles.postings_sql(),
+        "incremental_reindex": oracles.incremental_reindex_sql(),
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
         "image_features": oracles.image_features_sql(),
         "audio_features": oracles.audio_features_sql(),

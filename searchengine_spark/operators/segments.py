@@ -118,7 +118,7 @@ def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
     return _reencode(both)
 
 
-def _reencode(segments: DataFrame) -> DataFrame:
+def _reencode(segments: DataFrame, drop_ids: frozenset | None = None) -> DataFrame:
     def regroup(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, tfs, dls, pos = [], [], [], []
         for _, row in pdf.sort_values(["block_id", "skip_doc_id"]).iterrows():
@@ -131,6 +131,16 @@ def _reencode(segments: DataFrame) -> DataFrame:
         term = pdf["term"].iloc[0]
         shard = int(pdf["shard"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
+        if drop_ids:
+            kept = [j for j, i in enumerate(ids) if int(i) not in drop_ids]
+            if not kept:
+                return pd.DataFrame(
+                    columns=[c.split()[0] for c in SEGMENT_SCHEMA.split(", ")]
+                )
+            ids = [ids[j] for j in kept]
+            tfs = [tfs[j] for j in kept]
+            dls = [dls[j] for j in kept]
+            pos = [pos[j] for j in kept]
         order = np.argsort(np.asarray(ids))
         ids_a = np.asarray(ids, dtype=np.uint64)[order]
         tfs_a = np.asarray(tfs, dtype=np.uint64)[order]
@@ -180,6 +190,79 @@ def decode_postings(segments: DataFrame) -> DataFrame:
     return segments.mapInPandas(decode, "term string, doc_id long, tf long")
 
 
+def _segments_from_docs(docs: DataFrame, shard_span: int = 64) -> DataFrame:
+    """Tokenize → postings (+positions) → compressed segments for one doc
+    batch, with batch-local idf/avgdl statistics (they feed only the
+    block-max upper bounds — conservative after merge, exactly a real
+    rolling index whose early segments carry stale statistics)."""
+    from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
+    from searchengine_spark.operators.ir import idf_bm25_expr
+
+    toks = exploded_tokens(docs, with_pos=True)
+    dls = docs.select("doc_id", doc_len(F.col("text")).alias("doc_len"))
+    post = (
+        toks.groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_sort(F.collect_list("pos")).alias("positions"),
+        )
+        .join(dls, "doc_id")
+    )
+    stats = dls.agg(F.sum("doc_len").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
+    n = int(stats["c"] or 0)
+    avgdl = (float(stats["s"]) / n) if n else 1.0
+    lex = post.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
+        "term", idf_bm25_expr(n).alias("idf_bm25")
+    )
+    return encode_segments(post, lex, avgdl, shard_span=shard_span)
+
+
+def delete_docs(
+    segments: DataFrame, deleted: DataFrame, shard_span: int = 64
+) -> DataFrame:
+    """Delete documents from a compressed segment index — the tombstone
+    merge of an LSM/Lucene-style index lifecycle.
+
+    Only the doc-range shards that actually CONTAIN deleted ids are
+    rewritten (decode → drop → re-encode); every other shard's blocks pass
+    through untouched — at 10^12 files a recrawl delta touches a tiny
+    fraction of shards, so the rewrite cost is proportional to the delta,
+    not the index. The delete set ships to executors as a broadcast
+    tombstone set (bounded by the delta size, the standard live-docs
+    design); a full-corpus-scale purge would instead anti-join decoded
+    postings against the delete table and re-encode."""
+    ids = frozenset(r["doc_id"] for r in deleted.select("doc_id").distinct().collect())
+    if not ids:
+        return segments
+    shards = sorted({i // shard_span for i in ids})
+    affected = segments.filter(F.col("shard").isin(shards))
+    untouched = segments.filter(~F.col("shard").isin(shards))
+    return untouched.unionByName(_reencode(affected, drop_ids=ids))
+
+
+def incremental_reindex_postings(
+    old: DataFrame, new: DataFrame, shard_span: int = 64
+) -> DataFrame:
+    """Incremental reindex, gated at the postings level: diff two crawl
+    snapshots (``ingest.crawl_delta``), tombstone-delete the removed and
+    changed docs from snapshot A's compressed index, encode ONLY the added
+    and changed docs of snapshot B into a delta segment set, merge, and
+    decode back to (term, doc_id, tf) — which must equal a full rebuild of
+    snapshot B (the driver gate checks it against the DuckDB tokenization
+    of the synthesized snapshot). This is the index half of F10
+    (already-indexed skip) at corpus scale: re-tokenization cost is
+    proportional to the delta, index rewrite cost to the affected shards."""
+    from searchengine_spark.operators.ingest import crawl_delta
+
+    delta = crawl_delta(old, new)
+    stale = delta.filter(F.col("status").isin("removed", "changed")).select("doc_id")
+    fresh = delta.filter(F.col("status").isin("added", "changed")).select("doc_id")
+    seg_a = _segments_from_docs(old, shard_span)
+    seg_delta = _segments_from_docs(new.join(fresh, "doc_id", "left_semi"), shard_span)
+    pruned = delete_docs(seg_a, stale, shard_span)
+    return decode_postings(merge_segments(pruned, seg_delta))
+
+
 def incremental_build_postings(docs: DataFrame, shard_span: int = 64) -> DataFrame:
     """Incremental index build, gated at the postings level: split the
     corpus into two batches (doc_id parity — so every doc-range shard
@@ -195,34 +278,12 @@ def incremental_build_postings(docs: DataFrame, shard_span: int = 64) -> DataFra
     Batch-local idf/avgdl feed only the block-max score upper bounds
     (conservative after merge — _reencode keeps the max), exactly the
     situation of a real rolling index where early segments carry stale
-    statistics."""
-    from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
-    from searchengine_spark.operators.ir import idf_bm25_expr
-
-    def batch_segments(half: DataFrame) -> DataFrame:
-        toks = exploded_tokens(half, with_pos=True)
-        dls = half.select("doc_id", doc_len(F.col("text")).alias("doc_len"))
-        post = (
-            toks.groupBy("term", "doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("tf"),
-                F.array_sort(F.collect_list("pos")).alias("positions"),
-            )
-            .join(dls, "doc_id")
-        )
-        stats = dls.agg(
-            F.sum("doc_len").alias("s"), F.count(F.lit(1)).alias("c")
-        ).collect()[0]
-        n = int(stats["c"] or 0)
-        avgdl = (float(stats["s"]) / n) if n else 1.0
-        lex = post.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
-            "term", idf_bm25_expr(n).alias("idf_bm25")
-        )
-        return encode_segments(post, lex, avgdl, shard_span=shard_span)
-
+    statistics (shared helper: _segments_from_docs)."""
     even = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     odd = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
-    merged = merge_segments(batch_segments(even), batch_segments(odd))
+    merged = merge_segments(
+        _segments_from_docs(even, shard_span), _segments_from_docs(odd, shard_span)
+    )
     return decode_postings(merged)
 
 

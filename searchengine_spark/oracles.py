@@ -1780,18 +1780,25 @@ GROUP BY 1 ORDER BY n DESC, term ASC LIMIT {k}
 """
 
 
-def crawl_delta_sql() -> str:
-    """Twin of the crawl_delta gate: snapshot B synthesized with the same
-    doc_id%10 rules (3 removed, 5 changed, 7 re-added under +1e9)."""
-    return """
-WITH old AS (SELECT doc_id, text FROM documents),
-neu AS (
+# snapshot B of the recrawl gates, synthesized from `documents` with the
+# doc_id%10 rules (3 removed, 5 changed, 7 re-added under +1e9) — shared by
+# crawl_delta_sql and incremental_reindex_sql; the Spark side synthesizes
+# the identical frame (__spark_entry__._snapshot_b)
+_SNAPSHOT_B_CTE = """neu AS (
   SELECT doc_id,
          CASE WHEN doc_id % 10 = 5 THEN text || ' updated' ELSE text END AS text
   FROM documents WHERE doc_id % 10 <> 3
   UNION ALL
   SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 7
-),
+)"""
+
+
+def crawl_delta_sql() -> str:
+    """Twin of the crawl_delta gate: snapshot B synthesized with the same
+    doc_id%10 rules (3 removed, 5 changed, 7 re-added under +1e9)."""
+    return f"""
+WITH old AS (SELECT doc_id, text FROM documents),
+{_SNAPSHOT_B_CTE},
 o AS (SELECT doc_id, md5(text) AS m FROM old),
 n AS (SELECT doc_id, md5(text) AS m FROM neu)
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -1800,6 +1807,19 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
             WHEN o.m = n.m THEN 'same'
             ELSE 'changed' END AS status
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+def incremental_reindex_sql() -> str:
+    """Twin of the incremental_reindex gate: the postings of a FULL rebuild
+    of snapshot B — the incremental path (tombstone-delete + delta encode +
+    merge) must decode to exactly this."""
+    return f"""
+WITH {_SNAPSHOT_B_CTE},
+toks AS (SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t FROM neu),
+terms AS (SELECT doc_id, unnest(t) AS term FROM toks)
+SELECT term, doc_id, count(*)::BIGINT AS tf
+FROM terms WHERE term <> '' GROUP BY 1, 2
 """
 
 
