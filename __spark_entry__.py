@@ -41,6 +41,8 @@ BATCH_QUERIES = {
 TOPK = 10
 # boolean-algebra gate: parens + implicit/explicit AND + OR + NOT
 BOOL_QUERY = "(spark AND stream) OR (hash AND NOT join)"
+# synonym-group gate: two macro-terms over the corpus vocabulary
+SYNONYM_GROUPS = {"g_sortmerge": ["sort", "merge"], "g_streamwin": ["stream", "window"]}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -97,6 +99,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proximity (within-k positions) — the sloppy-phrase generalization
         "proximity_match": lambda spark, sf: serve.proximity_match(
             spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
+        ),
+        # directional variant: term_a BEFORE term_b within k positions
+        "proximity_ordered": lambda spark, sf: serve.ordered_proximity_match(
+            spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
+        ),
+        # synonym-group scoring (Lucene SynonymQuery semantics: macro-term
+        # tf sum, group df -> idf)
+        "synonym_topk": lambda spark, sf: serve.synonym_bm25_topk(
+            spark, gate_index(spark, sf), SYNONYM_GROUPS, k=TOPK
         ),
         "term_search_any": lambda spark, sf: serve.term_search_any(
             spark, gate_index(spark, sf), ALL_TERMS
@@ -497,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "proximity_match": oracles.proximity_match_sql(PHRASE[0], PHRASE[1], slop=3),
+        "proximity_ordered": oracles.ordered_proximity_sql(PHRASE[0], PHRASE[1], slop=3),
+        "synonym_topk": oracles.synonym_bm25_sql(SYNONYM_GROUPS, k=TOPK),
         "host_stats": oracles.host_stats_sql(n_hosts=7),
         "crawl_delta": oracles.crawl_delta_sql(),
         "crawl_frontier_bfs": oracles.frontier_bfs_sql(seed_below=5, max_depth=4),

@@ -563,6 +563,79 @@ def proximity_match(
     )
 
 
+def ordered_proximity_match(
+    spark: SparkSession, idx: dict, term_a: str, term_b: str, slop: int = 3
+) -> DataFrame:
+    """Ordered proximity: docs where ``term_a`` occurs BEFORE ``term_b``
+    within ``slop`` positions — (doc_id, min_gap), gap = pb - pa >= 1. The
+    directional refinement of ``proximity_match`` (phrase queries are the
+    slop=1 special case); same physical shape: two bucket-pruned one-term
+    scans ⋈ doc_id, the min positive gap folded array-side."""
+    rows = _qlex(spark, idx, [term_a, term_b])
+    present = {r["term"] for r in rows}
+    if term_a not in present or term_b not in present:
+        return spark.createDataFrame([], "doc_id long, min_gap long")
+    post = _pruned_postings(idx, rows)
+    pa = post.filter(F.col("term") == term_a).select("doc_id", F.col("positions").alias("pa"))
+    pb = post.filter(F.col("term") == term_b).select("doc_id", F.col("positions").alias("pb"))
+    gaps = F.filter(
+        F.flatten(
+            F.transform(F.col("pa"), lambda x: F.transform(F.col("pb"), lambda y: y - x))
+        ),
+        lambda v: v >= 1,
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .select("doc_id", F.array_min(gaps).cast("long").alias("min_gap"))
+        .filter(F.col("min_gap") <= slop)  # also drops docs with no positive gap
+    )
+
+
+def synonym_bm25_topk(
+    spark: SparkSession, idx: dict, groups: dict[str, list[str]], k: int = 10
+) -> DataFrame:
+    """Synonym-group BM25 top-k: each group scores as ONE macro-term —
+    tf(group, doc) = Σ member tfs in the doc, df(group) = docs containing
+    ANY member, idf from the group df — the standard synonym-expansion
+    semantics (Lucene's SynonymQuery), not a bag of independent terms (which
+    would double-count near-duplicate vocabulary).
+
+    Plan: one pruned postings pass for the union of member terms, a
+    broadcast term→group map, a (group, doc) aggregate, a |groups|-row df
+    aggregate broadcast back for idf, then the usual bigint-micros fold and
+    bounded top-k. Output: (doc_id, score_micros)."""
+    from searchengine_spark.operators.ir import idf_bm25_expr
+
+    all_terms = sorted({t for ts in groups.values() for t in ts})
+    rows = _qlex(spark, idx, all_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    gmap = spark.createDataFrame(
+        [(t, g) for g, ts in sorted(groups.items()) for t in sorted(set(ts))],
+        "term string, grp string",
+    )
+    gposts = (
+        post.join(F.broadcast(gmap), "term")
+        .groupBy("grp", "doc_id")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+    )
+    glex = (
+        gposts.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("grp", idf_bm25_expr(idx["n_docs"]).alias("idf_bm25"))
+    )
+    contrib = _bm25_contrib(idx["avgdl"])
+    return (
+        gposts.join(F.broadcast(glex), "grp")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def doc_keywords(spark: SparkSession, idx: dict, k: int = 3) -> DataFrame:
     """Per-document keyword extraction: the top-k terms of EVERY document by
     reference-style tf-idf — (doc_id, rank, term, tfidf_micros).

@@ -1764,6 +1764,68 @@ WHERE list_min(flatten(list_transform(pa.ps,
 """
 
 
+def ordered_proximity_sql(term_a: str, term_b: str, slop: int = 3) -> str:
+    """Twin of serve.ordered_proximity_match: min positive gap pb - pa."""
+    a = term_a.replace("'", "''")
+    b = term_b.replace("'", "''")
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toksarr
+),
+pa AS (SELECT doc_id, list(pos) AS ps FROM pos WHERE term = '{a}' GROUP BY 1),
+pb AS (SELECT doc_id, list(pos) AS ps FROM pos WHERE term = '{b}' GROUP BY 1),
+g AS (
+  SELECT pa.doc_id,
+         list_min(list_filter(flatten(list_transform(pa.ps,
+                  x -> list_transform(pb.ps, y -> y - x))), v -> v >= 1))::BIGINT
+           AS min_gap
+  FROM pa JOIN pb USING (doc_id)
+)
+SELECT doc_id, min_gap FROM g WHERE min_gap <= {slop}
+"""
+
+
+def synonym_bm25_sql(groups: dict[str, list[str]], k: int = 10,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """Twin of serve.synonym_bm25_topk: macro-term tf sums, group df → idf,
+    the shared contribution expression tree, bigint-micros fold."""
+    pairs = ", ".join(
+        f"('{t}', '{g}')" for g, ts in sorted(groups.items()) for t in sorted(set(ts))
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+gm(term, grp) AS (VALUES {pairs}),
+gp AS (
+  SELECT gm.grp, post.doc_id, sum(post.tf)::BIGINT AS tf, max(dls.dl) AS dl
+  FROM post JOIN gm ON post.term = gm.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  GROUP BY 1, 2
+),
+glex AS (
+  SELECT grp, ln(1.0 + (n.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf_bm25
+  FROM gp, n GROUP BY grp, n.n_docs
+),
+scored AS (
+  SELECT gp.doc_id,
+         CAST(round(glex.idf_bm25 * (gp.tf * {k1 + 1.0})
+                    / (gp.tf + {k1} * (1.0 - {b} + {b} * gp.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM gp JOIN glex ON gp.grp = glex.grp CROSS JOIN avg_dl
+)
+SELECT doc_id, sum(c_micros)::BIGINT AS score_micros
+FROM scored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def next_word_suggest_sql(word: str, k: int = 5) -> str:
     w = word.replace("'", "''")
     return f"""
