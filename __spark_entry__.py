@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle embeds each stage's gate SQL verbatim)
         "training_chunks": lambda spark, sf: _training_chunks(spark, sf),
         "lang_id": lambda spark, sf: textstats.lang_id(_docs(spark, sf)),
+        # HLL distinct-term sketch: portable md5 registers, max-merge —
+        # the sub-linear-state cardinality path for 100 TB analytics
+        "hll_term_registers": lambda spark, sf: _hll_registers(spark, sf),
         "doc_fingerprints": lambda spark, sf: textstats.doc_fingerprints(_docs(spark, sf)),
         # --- relational coverage (joins/aggs/windows/rollup/events) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -350,6 +353,12 @@ def _boolean_query_sql() -> str:
     from searchengine_spark.operators.boolquery import boolean_query_sql
 
     return boolean_query_sql(BOOL_QUERY)
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.sketches import hll_registers
+
+    return hll_registers(_docs(spark, sf_dir))
 
 
 def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM
         ),
         "lang_id": oracles.lang_id_sql(),
+        "hll_term_registers": oracles.hll_registers_sql(),
         "doc_fingerprints": oracles.doc_fingerprints_sql(),
         "q1_pricing_summary": oracles.q1_pricing_sql(),
         "q3_top_orders": oracles.q3_top_orders_sql(),

@@ -1,0 +1,80 @@
+"""Distributed cardinality sketches — the sub-linear-state analytics a
+100 TB engine runs where exact distinct counts would shuffle the world.
+
+HyperLogLog here is **engine-portable and deterministic**: the hash is the
+repo's standard 60-bit md5 prefix (identical in Spark, numpy, and DuckDB),
+the register index is its top 8 bits, and the rank comes from `bin()`
+string length (verified bit-identical across engines) — so the sketch
+itself is hash-gateable, unlike Spark's built-in ``approx_count_distinct``
+whose HLL++ registers are engine-private.
+
+The scale story is the merge operator: a register vector merges by
+elementwise MAX — associative and commutative, so Spark's map-side combine
+IS the sketch union, per-partition sketches fold without ever seeing each
+other's inputs, and sketches of different corpora (or index segments)
+union in O(registers). ``hll_estimate`` applies the standard bias-corrected
+estimator with the small-range (linear counting) correction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.tokenize import exploded_tokens
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+W_BITS = 60 - HLL_P  # rank domain: the low 52 bits of the 60-bit hash
+
+
+def hll_registers(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bucket, rho): the non-empty registers of an HLL(p=8) sketch of the
+    corpus' DISTINCT-TERM cardinality.
+
+    No ``distinct`` pass is needed: max over the multiset equals max over
+    the set (the MinHash lesson), so the plan is one row-local projection
+    plus ONE map-side-combined groupBy(bucket).max — shuffle traffic is at
+    most 256 rows per map partition regardless of corpus size."""
+    h = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    rows = exploded_tokens(docs, text_col=text_col).select(h)
+    w = F.col("h").bitwiseAND(F.lit((1 << W_BITS) - 1))
+    rho = (
+        F.when(w == 0, F.lit(W_BITS + 1))
+        .otherwise(F.lit(W_BITS + 1) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    return (
+        rows.select(
+            F.expr(f"shiftright(h, {W_BITS})").cast("long").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two sketches = elementwise register max — O(registers)."""
+    return a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: list[tuple[int, int]]) -> float:
+    """Bias-corrected HLL estimate (Flajolet et al. 2007) from (bucket, rho)
+    rows; absent buckets count as empty (rho 0). Includes the small-range
+    linear-counting correction — driver-side arithmetic over 256 values."""
+    regs = [0] * HLL_M
+    for bucket, rho in registers:
+        regs[int(bucket)] = max(regs[int(bucket)], int(rho))
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    raw = alpha * HLL_M * HLL_M / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if raw <= 2.5 * HLL_M and zeros:
+        return HLL_M * math.log(HLL_M / zeros)
+    return raw

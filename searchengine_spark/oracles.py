@@ -1175,6 +1175,25 @@ GROUP BY term ORDER BY n DESC, term ASC LIMIT {k}
 """
 
 
+def hll_registers_sql(w_bits: int = 52) -> str:
+    """Twin of sketches.hll_registers: 60-bit md5 hash, top-8-bit bucket,
+    rank via bin() string length (verified identical in both engines)."""
+    return f"""
+WITH {_TOKENS_CTE},
+h AS (
+  SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h FROM terms
+),
+r AS (
+  SELECT (h >> {w_bits})::BIGINT AS bucket,
+         CASE WHEN (h & {(1 << w_bits) - 1}) = 0 THEN {w_bits + 1}
+              ELSE {w_bits + 1} - length(bin(h & {(1 << w_bits) - 1}))
+         END AS rho
+  FROM h
+)
+SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket
+"""
+
+
 def wildcard_search_sql(prefix: str) -> str:
     """Union-of-terms wildcard (`prefix*`) twin of serve.wildcard_search."""
     return f"""

@@ -425,3 +425,30 @@ def test_symspell_key_property():
         assert {t for t in candidates if _levenshtein(q, t) <= 1} == expected
 
     check()
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """(a) the HLL estimate lands within the sketch's error envelope of the
+    true distinct-term count; (b) the sketch of the whole corpus equals the
+    max-merge of the sketches of disjoint halves (mergeability — the scale
+    property the register design exists for)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.operators import sketches
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    regs = sketches.hll_registers(docs).collect()
+    est = sketches.hll_estimate([(r.bucket, r.rho) for r in regs])
+    true = exploded_tokens(docs).select("term").distinct().count()
+    # p=8 → ~1.04/sqrt(256) ≈ 6.5% std error; allow 4 sigma
+    assert abs(est - true) <= max(4 * 1.04 / 16 * true, 8)
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = sketches.hll_merge(
+        sketches.hll_registers(even), sketches.hll_registers(odd)
+    )
+    whole = {(r.bucket, r.rho) for r in regs}
+    assert {(r.bucket, r.rho) for r in merged.collect()} == whole
