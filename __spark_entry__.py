@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HLL distinct-term sketch: portable md5 registers, max-merge —
         # the sub-linear-state cardinality path for 100 TB analytics
         "hll_term_registers": lambda spark, sf: _hll_registers(spark, sf),
+        # Count-Min sketch of token frequencies: sum-mergeable counters
+        "cms_term_counters": lambda spark, sf: _cms_counters(spark, sf),
         "doc_fingerprints": lambda spark, sf: textstats.doc_fingerprints(_docs(spark, sf)),
         # --- relational coverage (joins/aggs/windows/rollup/events) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -359,6 +361,12 @@ def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.sketches import hll_registers
 
     return hll_registers(_docs(spark, sf_dir))
+
+
+def _cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.sketches import cms_counters
+
+    return cms_counters(_docs(spark, sf_dir))
 
 
 def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": oracles.lang_id_sql(),
         "hll_term_registers": oracles.hll_registers_sql(),
+        "cms_term_counters": oracles.cms_counters_sql(),
         "doc_fingerprints": oracles.doc_fingerprints_sql(),
         "q1_pricing_summary": oracles.q1_pricing_sql(),
         "q3_top_orders": oracles.q3_top_orders_sql(),

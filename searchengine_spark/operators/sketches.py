@@ -78,3 +78,59 @@ def hll_estimate(registers: list[tuple[int, int]]) -> float:
     if raw <= 2.5 * HLL_M and zeros:
         return HLL_M * math.log(HLL_M / zeros)
     return raw
+
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+
+
+def cms_counters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(row, col, n): the non-zero counters of a Count-Min sketch of TOKEN
+    OCCURRENCE frequencies — the bounded-memory heavy-hitter / frequency
+    oracle (point estimate = min over rows of counter[r][h_r(term)], never
+    an underestimate).
+
+    Each token occurrence lands in CMS_D (row, col) cells via salted md5
+    hashes — a row-local 4-way fan-out, then ONE map-side-combined count
+    aggregate whose shuffle is at most d*w rows per map partition. Counters
+    merge by elementwise SUM (associative), so per-partition sketches fold
+    for free, exactly like the HLL registers fold by max."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("term"))), 1, 15),
+                        16,
+                        10,
+                    ).cast("long")
+                    % CMS_W
+                )
+                .cast("int")
+                .alias("col"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    return (
+        exploded_tokens(docs, text_col=text_col)
+        .select(F.explode(cells).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(counters: list[tuple[int, int, int]], term: str) -> int:
+    """Point frequency estimate: min over rows of the term's counter —
+    driver-side arithmetic, guaranteed >= the true count."""
+    import hashlib
+
+    cells = {(int(r), int(c)): int(n) for r, c, n in counters}
+    est = None
+    for r in range(CMS_D):
+        h = int(hashlib.md5(f"cms{r}:{term}".encode()).hexdigest()[:15], 16) % CMS_W
+        v = cells.get((r, h), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)

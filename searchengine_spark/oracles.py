@@ -1194,6 +1194,21 @@ SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket
 """
 
 
+def cms_counters_sql(d: int = 4, w: int = 256) -> str:
+    """Twin of sketches.cms_counters: salted md5 row hashes, occurrence
+    counts per (row, col) cell."""
+    return f"""
+WITH {_TOKENS_CTE},
+cells AS (
+  SELECT r.range::INT AS "row",
+         (CAST(('0x' || substr(md5('cms' || r.range || ':' || term), 1, 15))
+               AS BIGINT) % {w})::INT AS col
+  FROM terms CROSS JOIN range({d}) r
+)
+SELECT "row", col, count(*)::BIGINT AS n FROM cells GROUP BY 1, 2
+"""
+
+
 def wildcard_search_sql(prefix: str) -> str:
     """Union-of-terms wildcard (`prefix*`) twin of serve.wildcard_search."""
     return f"""

@@ -452,3 +452,26 @@ def test_hll_estimate_accuracy_and_merge(spark):
     )
     whole = {(r.bucket, r.rho) for r in regs}
     assert {(r.bucket, r.rho) for r in merged.collect()} == whole
+
+
+def test_cms_never_underestimates_and_heavy_terms_exactish(spark):
+    """CMS point estimates are >= true counts for every vocabulary term
+    (the sketch's one-sided guarantee), and per-row counter sums equal the
+    total token count (mass conservation)."""
+    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.operators import sketches
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    counters = [
+        (r["row"], r.col, r.n) for r in sketches.cms_counters(docs).collect()
+    ]
+    true = {
+        r.term: r.n
+        for r in exploded_tokens(docs).groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(true.values())
+    for r in range(sketches.CMS_D):
+        assert sum(n for row, _, n in counters if row == r) == total
+    for term, n in true.items():
+        assert sketches.cms_estimate(counters, term) >= n
