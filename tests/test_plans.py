@@ -274,3 +274,32 @@ def test_pack_chunks_two_phase_prefix_sum(spark):
         spec = seg.split("\n")[0]
         if "partition" in spec.lower() or "windowspecdefinition" in spec.lower():
             assert "bucket" in spec or "lang" not in spec
+
+
+def test_sketches_are_one_aggregate_no_window(spark):
+    """Both sketches must be a row-local projection + ONE map-side-combined
+    aggregate: no window, no join, no second shuffle."""
+    from searchengine_spark.operators import sketches
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (sketches.hll_registers(docs), sketches.cms_counters(docs)):
+        plan = plan_of(df)
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2  # one shuffle (+ AQE read)
+
+
+def test_synonym_topk_broadcasts_and_bounds(spark):
+    """Synonym scoring: group map and group lexicon join broadcast (never
+    shuffle the postings side twice), top-k is a bounded heap."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(
+        serve.synonym_bm25_topk(spark, idx, {"g": ["spark", "stream"]}, k=5)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
