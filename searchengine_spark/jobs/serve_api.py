@@ -72,15 +72,54 @@ class SearchAPI:
         terms = [t for t in re.split(r"[^a-z0-9]+", raw.lower()) if t]
         return terms, is_phrase
 
+    # a query routes to the boolean planner when it uses the operator
+    # keywords or grouping parens (the phrase path, being quoted, never does)
+    _BOOL_RE = re.compile(r"\b(AND|OR|NOT)\b|[()]")
+    MAX_WILDCARD_TERMS = 16  # bounded expansion, like Lucene's maxExpansions
+
     def search(self, raw_query: str, k: int = 10) -> list[dict]:
-        """Ranked result dicts in the reference's response-row shape."""
+        """Ranked result dicts in the reference's response-row shape.
+
+        Routing (extends SearchService.processSearchQuery): quoted →
+        phrase filter-then-rank; contains AND/OR/NOT/parens → boolean
+        set-algebra filter over the leaf terms, then rank; a single
+        ``prefix*`` token → dictionary expansion (bounded) then rank;
+        plain → BM25 top-k."""
         from searchengine_spark.operators import serve
         from searchengine_spark.operators.results import search_results
 
         terms, is_phrase = self.parse_query(raw_query)
+        raw_s = raw_query.strip()
+        doc_filter = None
+        if not is_phrase and self._BOOL_RE.search(raw_s):
+            from searchengine_spark.operators.boolquery import (
+                BoolQueryError,
+                boolean_query,
+                leaf_terms,
+                parse,
+            )
+
+            try:
+                ast = parse(raw_s)
+                doc_filter = boolean_query(self.spark, self.idx, raw_s)
+                terms = sorted(leaf_terms(ast))
+            except BoolQueryError:
+                pass  # malformed boolean → plain term search over its words
+        elif not is_phrase and raw_s.endswith("*") and " " not in raw_s:
+            prefix = raw_s[:-1].lower()
+            expanded = [
+                r["term"]
+                for r in self.idx["lexicon"]
+                .filter(self.idx["lexicon"]["term"].startswith(prefix))
+                .select("term")
+                .orderBy("term")
+                .limit(self.MAX_WILDCARD_TERMS)
+                .collect()
+            ]
+            if expanded:
+                terms = expanded
         if not terms:
             return []
-        doc_filter = None
         if is_phrase and len(terms) >= 2:
             doc_filter = serve.phrase_match(self.spark, self.idx, terms)
         res = search_results(

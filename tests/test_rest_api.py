@@ -99,3 +99,28 @@ def test_did_you_mean_on_zero_results(api_server):
     # hit queries never carry the field
     status, body = _get(base, "/api/search?query=hash")
     assert "did_you_mean" not in body and body["total"] > 0
+
+
+def test_boolean_query_routes_to_set_algebra(spark, api_server):
+    """AND/NOT queries over the wire return exactly the boolean hit set,
+    ranked — and a malformed boolean falls back to plain term search."""
+    from searchengine_spark.operators.boolquery import boolean_query
+
+    api, base = api_server
+    q = "hash AND NOT join"
+    status, body = _get(base, "/api/search?query=" + urllib.parse.quote(q))
+    assert status == 200
+    allowed = {r.doc_id for r in boolean_query(spark, api.idx, q).collect()}
+    got = {r["id"] for r in body["results"]}
+    assert got and got <= allowed
+    # malformed boolean (dangling operator) falls back to the words
+    status2, body2 = _get(base, "/api/search?query=" + urllib.parse.quote("hash AND"))
+    assert status2 == 200 and body2["total"] > 0
+
+
+def test_wildcard_query_expands_prefix(api_server):
+    api, base = api_server
+    status, body = _get(base, "/api/search?query=" + urllib.parse.quote("spar*"))
+    assert status == 200 and body["total"] > 0
+    # every result's best term starts with the prefix
+    assert all(r["term"].startswith("spar") for r in body["results"])
