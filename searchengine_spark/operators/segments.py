@@ -780,3 +780,54 @@ def maxscore_topk_micros(
         run_shard, "doc_id long, score_micros long"
     )
     return per_shard.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)
+
+
+def plan_compaction(
+    generation_bytes: dict[str, int],
+    tier_ratio: float = 4.0,
+    min_merge: int = 2,
+    max_merge: int = 8,
+) -> list[list[str]]:
+    """Size-tiered compaction planner over index generations — the policy
+    half of the LSM/Lucene merge lifecycle (``merge_segments`` +
+    ``delete_docs`` are the mechanism half).
+
+    Generations bucket into tiers by floor(log_{tier_ratio}(bytes)); any
+    tier holding >= min_merge generations yields merge groups of up to
+    max_merge members (oldest-first within a tier, by name — deterministic).
+    Merging same-tier generations keeps write amplification O(log total /
+    log ratio) per posting, the standard size-tiered bound; the planner is
+    pure driver-side arithmetic over one size per generation (never row
+    data), so it costs nothing at any index size."""
+    import math
+
+    tiers: dict[int, list[str]] = {}
+    for name in sorted(generation_bytes):
+        size = max(1, int(generation_bytes[name]))
+        tiers.setdefault(int(math.log(size, tier_ratio)), []).append(name)
+    plans: list[list[str]] = []
+    for _, members in sorted(tiers.items()):
+        while len(members) >= min_merge:
+            group, members = members[:max_merge], members[max_merge:]
+            if len(group) < min_merge:
+                break
+            plans.append(group)
+    return plans
+
+
+def compact_generations(generations: dict[str, DataFrame], plan: list[list[str]]):
+    """Execute a compaction plan: each group folds through
+    ``merge_segments`` into one generation (decode → concat → re-encode per
+    (shard, term) group — cost linear in the group's blocks); generations
+    outside any group pass through untouched. Returns the new
+    name → segments mapping."""
+    from functools import reduce
+
+    merged: dict[str, DataFrame] = {}
+    grouped = {name for group in plan for name in group}
+    for group in plan:
+        merged["+".join(group)] = reduce(merge_segments, [generations[g] for g in group])
+    for name, df in generations.items():
+        if name not in grouped:
+            merged[name] = df
+    return merged

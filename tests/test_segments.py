@@ -145,3 +145,55 @@ def test_wand_phrase_repeated_term(spark, index):
         '"index index"', k=5, positional_phrase=True,
     ).collect()
     assert [(r["doc_id"], r["score"]) for r in got2] == [(r["doc_id"], r["score"]) for r in want2]
+
+
+def test_compaction_plan_policy():
+    """Size-tiered planner: same-tier generations group oldest-first, tiers
+    with one member stay untouched, groups cap at max_merge."""
+    from searchengine_spark.operators.segments import plan_compaction
+
+    sizes = {"g0": 100, "g1": 120, "g2": 110, "g3": 5000, "g4": 90, "g5": 130}
+    plan = plan_compaction(sizes, tier_ratio=4.0, min_merge=2, max_merge=4)
+    flat = [n for g in plan for n in g]
+    assert "g3" in sizes and "g3" not in flat  # lone big tier untouched
+    assert all(len(g) >= 2 for g in plan)
+    assert flat == sorted(flat)  # oldest-first, deterministic
+    assert max(len(g) for g in plan) <= 4
+
+
+def test_compaction_preserves_postings(spark):
+    """Compacting four single-quarter generations must decode to exactly
+    the postings of a single-shot build (the merge-associativity property,
+    exercised through the planner + executor)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.segments import (
+        _segments_from_docs,
+        compact_generations,
+        decode_postings,
+        plan_compaction,
+    )
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    gens = {
+        f"g{q}": _segments_from_docs(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == q), shard_span=64
+        )
+        for q in range(4)
+    }
+    plan = plan_compaction({name: 1000 for name in gens})  # same tier -> one group
+    assert plan == [[f"g{q}" for q in range(4)]]
+    compacted = compact_generations(gens, plan)
+    assert len(compacted) == 1
+    got = {
+        (r.term, r.doc_id, r.tf)
+        for r in decode_postings(next(iter(compacted.values()))).collect()
+    }
+    want = {
+        (r.term, r.doc_id, r.tf)
+        for r in decode_postings(_segments_from_docs(docs, shard_span=64)).collect()
+    }
+    assert got == want
