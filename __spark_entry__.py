@@ -146,6 +146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search": lambda spark, sf: serve.wildcard_search(
             spark, gate_index(spark, sf), "s"
         ),
+        # code-search substring query: trigram prefilter + exact verify
+        # ("park" is a substring of "spark" — not a term, by design)
+        "substring_search": lambda spark, sf: textstats.substring_search(
+            _docs(spark, sf), "park"
+        ),
         # did-you-mean: SymSpell deletion-key join over the lexicon; the
         # oracle brute-forces levenshtein over the vocabulary
         "fuzzy_suggest": lambda spark, sf: serve.fuzzy_suggest(
@@ -515,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
         "wildcard_search": oracles.wildcard_search_sql("s"),
+        "substring_search": oracles.substring_search_sql("park"),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "doc_keywords": oracles.doc_keywords_sql(k=3),

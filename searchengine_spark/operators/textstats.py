@@ -420,3 +420,48 @@ def pack_chunks(
         F.expr(f"start_off div {budget}").alias("bin_id"),
         (F.col("start_off") % budget).cast("long").alias("bin_off"),
     )
+
+
+def substring_search(
+    docs: DataFrame, needle: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Substring (code-search) query: (doc_id, first_pos) for every doc
+    whose text contains ``needle`` — served by the trigram-prefilter design
+    of Google Code Search (Cox, "Regular Expression Matching with a
+    Trigram Index", 2012, public): a document can match only if it
+    contains EVERY trigram of the needle, so the cheap set test prunes the
+    expensive scan, and only survivors pay the exact ``instr`` verify.
+
+    Here the trigram set is computed in-plan (row-local: the lowered text
+    materializes once through a Generate barrier — the lambda-inlining
+    trap — then one transform + array_intersect; no explode of the
+    character stream, no shuffle at all). At index scale the trigram
+    postings are PREBUILT and bucket-partitioned exactly like term
+    postings, turning the prefilter into the same pruned equi-join the
+    term gates use; the in-plan form keeps the identical two-phase shape.
+    Needles shorter than 3 chars skip the prefilter (no trigrams exist).
+    first_pos is 1-based (instr/strpos convention in both engines)."""
+    tl = needle.lower()
+    tris = sorted({tl[i : i + 3] for i in range(len(tl) - 2)})
+    # Generate barrier: `t` becomes a real attribute, so the transform
+    # lambda below reads it once per element instead of re-lowering the
+    # whole text per element (CollapseProject inlining)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.lower(F.col(text_col)))).alias("t"),
+    )
+    if tris:
+        base = base.filter(F.length("t") >= 3)
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 2),
+                lambda i: F.col("t").substr(i, F.lit(3)),
+            )
+        )
+        lit_tris = F.array(*[F.lit(g) for g in tris])
+        base = base.filter(
+            F.size(F.array_intersect(grams, lit_tris)) == len(tris)
+        )
+    return base.select(
+        "doc_id", F.instr(F.col("t"), tl).cast("long").alias("first_pos")
+    ).filter(F.col("first_pos") > 0)

@@ -1194,6 +1194,27 @@ SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket
 """
 
 
+def substring_search_sql(needle: str) -> str:
+    """Twin of textstats.substring_search: trigram prefilter (equivalent by
+    construction — it only removes docs LACKING a needle trigram) + exact
+    1-based strpos verify."""
+    tl = needle.lower().replace("'", "''")
+    tris = sorted({tl[i : i + 3] for i in range(len(tl) - 2)})
+    tri_filter = ""
+    if tris:
+        lit = "[" + ", ".join(f"'{g}'" for g in tris) + "]"
+        tri_filter = f"""
+  AND length(t) >= 3
+  AND len(list_intersect(list_distinct(
+        list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))), {lit}))
+      = {len(tris)}"""
+    return f"""
+WITH b AS (SELECT doc_id, lower(text) AS t FROM documents WHERE TRUE{tri_filter})
+SELECT doc_id, strpos(t, '{tl}')::BIGINT AS first_pos
+FROM b WHERE strpos(t, '{tl}') > 0
+"""
+
+
 def cms_counters_sql(d: int = 4, w: int = 256) -> str:
     """Twin of sketches.cms_counters: salted md5 row hashes, occurrence
     counts per (row, col) cell."""
