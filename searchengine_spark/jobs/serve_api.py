@@ -95,29 +95,29 @@ class SearchAPI:
             from searchengine_spark.operators.boolquery import (
                 BoolQueryError,
                 boolean_query,
-                leaf_terms,
                 parse,
+                positive_leaf_terms,
             )
 
             try:
-                ast = parse(raw_s)
-                doc_filter = boolean_query(self.spark, self.idx, raw_s)
-                terms = sorted(leaf_terms(ast))
+                ast = parse(raw_s)  # parsed ONCE; the planner reuses the AST
+                doc_filter = boolean_query(self.spark, self.idx, ast)
+                # rank over positive leaves only — a NOT-ed term is absent
+                # from every surviving doc, so scoring it is a wasted scan
+                terms = sorted(positive_leaf_terms(ast))
             except BoolQueryError:
                 pass  # malformed boolean → plain term search over its words
-        elif not is_phrase and raw_s.endswith("*") and " " not in raw_s:
+        elif not is_phrase and raw_s.endswith("*") and len(raw_s) >= 2 and " " not in raw_s:
             prefix = raw_s[:-1].lower()
-            expanded = [
-                r["term"]
-                for r in self.idx["lexicon"]
-                .filter(self.idx["lexicon"]["term"].startswith(prefix))
-                .select("term")
-                .orderBy("term")
-                .limit(self.MAX_WILDCARD_TERMS)
-                .collect()
-            ]
-            if expanded:
-                terms = expanded
+            if prefix:  # bare "*" would match the whole dictionary — reject
+                expanded = [
+                    r["term"]
+                    for r in serve.expand_prefix(
+                        self.idx, prefix, self.MAX_WILDCARD_TERMS
+                    )
+                ]
+                if expanded:
+                    terms = expanded
         if not terms:
             return []
         if is_phrase and len(terms) >= 2:

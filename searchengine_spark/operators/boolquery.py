@@ -11,7 +11,9 @@ inner join for AND, union-distinct for OR, left-anti for AND NOT. Every
 set operation is an equi-join/agg on doc_id — shuffle-partitioned by the
 key, no driver-side evaluation, deterministic output.
 
-Grammar (keywords case-insensitive, implicit AND by juxtaposition):
+Grammar (keywords are UPPERCASE-only, the Lucene classic-parser
+convention — lowercase "and"/"or"/"not" are ordinary search terms, so a
+natural-language query never flips meaning; implicit AND by juxtaposition):
 
     expr   := orexp
     orexp  := andexp (OR andexp)*
@@ -35,7 +37,7 @@ from pyspark.sql import functions as F
 from searchengine_spark.operators.serve import _pruned_postings, _qlex
 
 _TOKEN_RE = re.compile(r"\(|\)|[a-z0-9]+", re.IGNORECASE)
-_KEYWORDS = {"AND", "OR", "NOT"}
+_KEYWORDS = {"AND", "OR", "NOT"}  # exact match — uppercase only
 
 
 class BoolQueryError(ValueError):
@@ -60,7 +62,7 @@ def parse(query: str) -> tuple:
         return t
 
     def is_kw(t: str | None, kw: str) -> bool:
-        return t is not None and t.upper() == kw
+        return t == kw  # keywords are uppercase-only (module docstring)
 
     def parse_or() -> tuple:
         parts = [parse_and()]
@@ -101,7 +103,7 @@ def parse(query: str) -> tuple:
             return node
         if t == ")":
             raise BoolQueryError("unexpected ')'")
-        if t.upper() in _KEYWORDS:
+        if t in _KEYWORDS:
             raise BoolQueryError(f"keyword {t!r} where a term was expected")
         take()
         return ("term", t.lower())
@@ -141,14 +143,28 @@ def leaf_terms(node: tuple) -> set[str]:
     return set().union(*(leaf_terms(c) for c in node[1]))
 
 
-def boolean_query(spark: SparkSession, idx: dict, query: str) -> DataFrame:
+def positive_leaf_terms(node: tuple) -> set[str]:
+    """Leaf terms NOT under a negation — the ones whose BM25 contribution
+    can be non-zero on the query's hit set (a NOT-ed term is absent from
+    every surviving doc by construction, so ranking over it is pure waste)."""
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind == "not":
+        return set()
+    return set().union(*(positive_leaf_terms(c) for c in node[1]))
+
+
+def boolean_query(spark: SparkSession, idx: dict, query: str | tuple) -> DataFrame:
     """Evaluate a boolean query against the gate index → distinct doc_ids.
 
     One lexicon lookup resolves every leaf term's postings bucket, then each
     leaf is a pruned postings point lookup; the AST folds bottom-up with
     doc_id set algebra. Terms absent from the lexicon evaluate to the empty
-    set (standard boolean-retrieval semantics)."""
-    ast = parse(query)
+    set (standard boolean-retrieval semantics). ``query`` may be a raw
+    string or an already-parsed AST (callers that also need the leaf terms
+    parse once and pass the tuple)."""
+    ast = parse(query) if isinstance(query, str) else query
     terms = sorted(leaf_terms(ast))
     rows = _qlex(spark, idx, terms)
     posts = _pruned_postings(idx, rows).select("term", "doc_id") if rows else None

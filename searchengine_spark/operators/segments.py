@@ -254,7 +254,10 @@ def incremental_reindex_postings(
     proportional to the delta, index rewrite cost to the affected shards."""
     from searchengine_spark.operators.ingest import crawl_delta
 
-    delta = crawl_delta(old, new)
+    # the diff feeds two consumers (tombstone collect + fresh semi-join) —
+    # persist the slim (doc_id, status) frame so the full-outer md5 diff
+    # evaluates once, not once per consumer (~12 B/row, freed with the app)
+    delta = crawl_delta(old, new).persist()
     stale = delta.filter(F.col("status").isin("removed", "changed")).select("doc_id")
     fresh = delta.filter(F.col("status").isin("added", "changed")).select("doc_id")
     seg_a = _segments_from_docs(old, shard_span)
@@ -690,23 +693,22 @@ def wand_topk(
     )
 
 
-def wand_topk_micros(
+def _pruned_topk_micros(
     spark: SparkSession,
     segments: DataFrame,
     lexicon: DataFrame,
     query_terms: list[str],
     avgdl: float,
-    k: int = 10,
-    n_buckets: int = DEFAULT_N_BUCKETS,
+    k: int,
+    n_buckets: int,
+    shard_fn,
 ) -> DataFrame:
-    """Block-max WAND returning exact **bigint-micros** scores:
-    (doc_id, score_micros), bit-identical to the columnar
-    ``sum(round(contrib*1e6))`` BM25 — the compressed physical path under the
-    same DuckDB oracle as the columnar one.
-
-    Plan: one tiny |q|-row lexicon lookup (idf + bucket) → bucket-partition-
-    pruned segment scan → per-shard integer WAND heap (applyInPandas) →
-    global TakeOrderedAndProject merge of ≤ k rows per shard."""
+    """Shared driver plan of the dynamic-pruning executors: one tiny |q|-row
+    lexicon lookup (idf + bucket) → bucket-partition-pruned segment scan →
+    per-shard integer heap (``shard_fn`` = _wand_shard or _maxscore_shard,
+    applyInPandas) → global TakeOrderedAndProject merge of ≤ k rows per
+    shard. ONE definition so a pruning-predicate or fast-path fix can never
+    apply to one executor and silently miss the other."""
     terms = list(dict.fromkeys(query_terms))
     if not terms:
         return spark.createDataFrame([], "doc_id long, score_micros long")
@@ -725,7 +727,7 @@ def wand_topk_micros(
         term_blocks: dict[str, list[dict]] = {}
         for _, row in pdf.iterrows():
             term_blocks.setdefault(row["term"], []).append(row.to_dict())
-        top = _wand_shard(term_blocks, idfs, avgdl, k, micros=True)
+        top = shard_fn(term_blocks, idfs, avgdl, k, micros=True)
         return pd.DataFrame(
             [(int(d), int(s)) for s, d, _ in top], columns=["doc_id", "score_micros"]
         ).astype({"doc_id": "int64", "score_micros": "int64"})
@@ -734,6 +736,24 @@ def wand_topk_micros(
         run_shard, "doc_id long, score_micros long"
     )
     return per_shard.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)
+
+
+def wand_topk_micros(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    query_terms: list[str],
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Block-max WAND returning exact **bigint-micros** scores:
+    (doc_id, score_micros), bit-identical to the columnar
+    ``sum(round(contrib*1e6))`` BM25 — the compressed physical path under the
+    same DuckDB oracle as the columnar one (plan: _pruned_topk_micros)."""
+    return _pruned_topk_micros(
+        spark, segments, lexicon, query_terms, avgdl, k, n_buckets, _wand_shard
+    )
 
 
 
@@ -749,37 +769,11 @@ def maxscore_topk_micros(
 ) -> DataFrame:
     """MaxScore dynamic pruning returning exact **bigint-micros** scores:
     (doc_id, score_micros) — the second early-termination serve path beside
-    block-max WAND, identical plan shape (|q|-row lexicon lookup →
-    bucket-pruned segment scan → per-shard heap in applyInPandas → global
-    TakeOrderedAndProject merge) and the same DuckDB oracle as the columnar
-    BM25."""
-    terms = list(dict.fromkeys(query_terms))
-    if not terms:
-        return spark.createDataFrame([], "doc_id long, score_micros long")
-    idf_rows = (
-        lexicon.filter(F.col("term").isin(terms))
-        .select("term", "idf_bm25", F.pmod(F.hash("term"), F.lit(n_buckets)).alias("bucket"))
-        .collect()
+    block-max WAND, same shared plan (_pruned_topk_micros) and the same
+    DuckDB oracle as the columnar BM25."""
+    return _pruned_topk_micros(
+        spark, segments, lexicon, query_terms, avgdl, k, n_buckets, _maxscore_shard
     )
-    idfs = {r["term"]: r["idf_bm25"] for r in idf_rows}
-    if not idfs:
-        return spark.createDataFrame([], "doc_id long, score_micros long")
-    buckets = sorted({int(r["bucket"]) for r in idf_rows})
-    pruned = segments.filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
-
-    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        term_blocks: dict[str, list[dict]] = {}
-        for _, row in pdf.iterrows():
-            term_blocks.setdefault(row["term"], []).append(row.to_dict())
-        top = _maxscore_shard(term_blocks, idfs, avgdl, k, micros=True)
-        return pd.DataFrame(
-            [(int(d), int(s)) for s, d, _ in top], columns=["doc_id", "score_micros"]
-        ).astype({"doc_id": "int64", "score_micros": "int64"})
-
-    per_shard = pruned.groupBy("shard").applyInPandas(
-        run_shard, "doc_id long, score_micros long"
-    )
-    return per_shard.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)
 
 
 def plan_compaction(
@@ -799,18 +793,27 @@ def plan_compaction(
     log ratio) per posting, the standard size-tiered bound; the planner is
     pure driver-side arithmetic over one size per generation (never row
     data), so it costs nothing at any index size."""
-    import math
+    if max_merge < min_merge:
+        raise ValueError("max_merge must be >= min_merge")
+
+    def tier_of(size: int) -> int:
+        # multiply-up bucketing instead of float log: math.log(243, 3.0)
+        # is 4.999999999999999, so int(log) misassigns exact tier
+        # boundaries; growing the bound by repeated multiplication keeps
+        # power-of-ratio sizes on the correct side
+        tier, bound = 0, tier_ratio
+        while size >= bound:
+            bound *= tier_ratio
+            tier += 1
+        return tier
 
     tiers: dict[int, list[str]] = {}
     for name in sorted(generation_bytes):
-        size = max(1, int(generation_bytes[name]))
-        tiers.setdefault(int(math.log(size, tier_ratio)), []).append(name)
+        tiers.setdefault(tier_of(max(1, int(generation_bytes[name]))), []).append(name)
     plans: list[list[str]] = []
     for _, members in sorted(tiers.items()):
         while len(members) >= min_merge:
             group, members = members[:max_merge], members[max_merge:]
-            if len(group) < min_merge:
-                break
             plans.append(group)
     return plans
 

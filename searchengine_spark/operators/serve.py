@@ -379,21 +379,46 @@ def search_diversified(
     )
 
 
-def wildcard_search(spark: SparkSession, idx: dict, prefix: str) -> DataFrame:
+MAX_WILDCARD_TERMS = 64  # bounded dictionary expansion (Lucene maxExpansions)
+
+
+def expand_prefix(
+    idx: dict, prefix: str, max_expansions: int = MAX_WILDCARD_TERMS
+) -> list:
+    """Dictionary prefix expansion: the lexicon rows whose term starts with
+    ``prefix`` — StartsWith prunes on parquet term min/max, and the
+    expansion is BOUNDED (alphabetical, like Lucene's maxExpansions cap) so
+    a one-character prefix over a web-scale vocabulary can never collect an
+    unbounded list to the driver. Empty prefixes are rejected (they'd match
+    the whole dictionary). The ONE prefix-expansion definition — the
+    wildcard operator and the REST twin both route here."""
+    if not prefix:
+        raise ValueError("empty wildcard prefix matches the entire dictionary")
+    return (
+        idx["lexicon"]
+        .filter(F.col("term").startswith(prefix))
+        .select("term", "bucket")
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+
+
+def wildcard_search(
+    spark: SparkSession, idx: dict, prefix: str, max_expansions: int = MAX_WILDCARD_TERMS
+) -> DataFrame:
     """Wildcard (``prefix*``) term search: dictionary prefix scan → bounded
     term expansion → ONE pruned postings pass.
 
     The classic wildcard plan (Lucene's automaton-on-dictionary, here the
     prefix special case): the lexicon scan prunes on parquet term min/max
-    (StartsWith pushdown) and returns the matching terms with their postings
-    buckets — a |matching-terms| driver round-trip, the same bounded step as
-    ``_qlex``. The expanded (bucket, term) set then drives the identical
-    partition-pruned postings lookup exact queries use, so the corpus never
-    rescans. Union-of-terms semantics grouped per doc:
-    (doc_id, n_terms, total_tf)."""
-    rows = (
-        idx["lexicon"].filter(F.col("term").startswith(prefix)).select("term", "bucket").collect()
-    )
+    (StartsWith pushdown) and returns at most ``max_expansions`` matching
+    terms with their postings buckets — a bounded driver round-trip, the
+    same step class as ``_qlex``. The expanded (bucket, term) set then
+    drives the identical partition-pruned postings lookup exact queries
+    use, so the corpus never rescans. Union-of-terms semantics grouped per
+    doc: (doc_id, n_terms, total_tf)."""
+    rows = expand_prefix(idx, prefix, max_expansions)
     if not rows:
         return spark.createDataFrame([], "doc_id long, n_terms long, total_tf long")
     return (

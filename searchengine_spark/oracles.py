@@ -1175,9 +1175,14 @@ GROUP BY term ORDER BY n DESC, term ASC LIMIT {k}
 """
 
 
-def hll_registers_sql(w_bits: int = 52) -> str:
+def hll_registers_sql(w_bits: int | None = None) -> str:
     """Twin of sketches.hll_registers: 60-bit md5 hash, top-8-bit bucket,
-    rank via bin() string length (verified identical in both engines)."""
+    rank via bin() string length (verified identical in both engines).
+    Defaults derive from sketches.W_BITS — one definition."""
+    if w_bits is None:
+        from searchengine_spark.operators.sketches import W_BITS
+
+        w_bits = W_BITS
     return f"""
 WITH {_TOKENS_CTE},
 h AS (
@@ -1215,9 +1220,15 @@ FROM b WHERE strpos(t, '{tl}') > 0
 """
 
 
-def cms_counters_sql(d: int = 4, w: int = 256) -> str:
+def cms_counters_sql(d: int | None = None, w: int | None = None) -> str:
     """Twin of sketches.cms_counters: salted md5 row hashes, occurrence
-    counts per (row, col) cell."""
+    counts per (row, col) cell. Defaults derive from sketches.CMS_D/CMS_W —
+    one definition."""
+    if d is None or w is None:
+        from searchengine_spark.operators.sketches import CMS_D, CMS_W
+
+        d = CMS_D if d is None else d
+        w = CMS_W if w is None else w
     return f"""
 WITH {_TOKENS_CTE},
 cells AS (

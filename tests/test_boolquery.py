@@ -32,9 +32,23 @@ def test_parens_override_precedence():
     )
 
 
-def test_keywords_case_insensitive_terms_lowercased():
-    assert parse("Spark and HASH") == parse("spark AND hash")
+def test_keywords_uppercase_only_terms_lowercased():
+    # Lucene classic-parser convention: only uppercase AND/OR/NOT are
+    # operators; lowercase "and" is an ordinary (implicit-AND) search term
+    assert parse("spark and hash") == (
+        "and",
+        [("term", "spark"), ("term", "and"), ("term", "hash")],
+    )
+    assert parse("Spark AND HASH") == parse("spark AND hash")
     assert leaf_terms(parse("Spark OR Stream")) == {"spark", "stream"}
+
+
+def test_positive_leaf_terms_excludes_negations():
+    from searchengine_spark.operators.boolquery import positive_leaf_terms
+
+    ast = parse("(a AND NOT b) OR (c AND d)")
+    assert positive_leaf_terms(ast) == {"a", "c", "d"}
+    assert leaf_terms(ast) == {"a", "b", "c", "d"}
 
 
 @pytest.mark.parametrize(
