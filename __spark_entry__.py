@@ -151,6 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": lambda spark, sf: textstats.substring_search(
             _docs(spark, sf), "park"
         ),
+        # regex code-search: literal-alternation trigram prefilter + verify
+        "regex_search": lambda spark, sf: textstats.regex_search(
+            _docs(spark, sf), "spark|merge"
+        ),
         # did-you-mean: SymSpell deletion-key join over the lexicon; the
         # oracle brute-forces levenshtein over the vocabulary
         "fuzzy_suggest": lambda spark, sf: serve.fuzzy_suggest(
@@ -521,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
         "wildcard_search": oracles.wildcard_search_sql("s"),
         "substring_search": oracles.substring_search_sql("park"),
+        "regex_search": oracles.regex_search_sql("spark|merge"),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "doc_keywords": oracles.doc_keywords_sql(k=3),

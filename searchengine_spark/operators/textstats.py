@@ -7,6 +7,8 @@ bigint micros so the DuckDB oracle matches exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -442,26 +444,74 @@ def substring_search(
     Needles shorter than 3 chars skip the prefilter (no trigrams exist).
     first_pos is 1-based (instr/strpos convention in both engines)."""
     tl = needle.lower()
-    tris = sorted({tl[i : i + 3] for i in range(len(tl) - 2)})
-    # Generate barrier: `t` becomes a real attribute, so the transform
-    # lambda below reads it once per element instead of re-lowering the
-    # whole text per element (CollapseProject inlining)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array(F.lower(F.col(text_col)))).alias("t"),
-    )
-    if tris:
-        base = base.filter(F.length("t") >= 3)
-        grams = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length("t") - 2),
-                lambda i: F.col("t").substr(i, F.lit(3)),
-            )
-        )
-        lit_tris = F.array(*[F.lit(g) for g in tris])
-        base = base.filter(
-            F.size(F.array_intersect(grams, lit_tris)) == len(tris)
-        )
+    base = _lowered_text(docs, id_col, text_col)
+    pred = _trigram_prefilter([tl])
+    if pred is not None:
+        base = base.filter(pred)
     return base.select(
         "doc_id", F.instr(F.col("t"), tl).cast("long").alias("first_pos")
     ).filter(F.col("first_pos") > 0)
+
+
+def _lowered_text(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, t=lower(text)) with ``t`` materialized through a Generate
+    barrier, so downstream higher-order-function lambdas read a real
+    attribute instead of re-lowering the whole text per element
+    (CollapseProject inlining trap)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.lower(F.col(text_col)))).alias("t"),
+    )
+
+
+def _trigrams_of(literal: str) -> list[str]:
+    return sorted({literal[i : i + 3] for i in range(len(literal) - 2)})
+
+
+def _trigram_prefilter(literals: list[str]) -> Column | None:
+    """Candidate predicate over the ``t`` column: the doc contains every
+    trigram of at least ONE of the literals (the OR-of-ANDs trigram query
+    of the Code Search design). None when any literal is too short to
+    constrain (its trigram set is empty → every doc is a candidate)."""
+    per_literal = [_trigrams_of(lit.lower()) for lit in literals]
+    if any(not tris for tris in per_literal):
+        return None
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - 2),
+            lambda i: F.col("t").substr(i, F.lit(3)),
+        )
+    )
+    pred = None
+    for tris in per_literal:
+        lit_tris = F.array(*[F.lit(g) for g in tris])
+        branch = F.size(F.array_intersect(grams, lit_tris)) == len(tris)
+        pred = branch if pred is None else (pred | branch)
+    return (F.length("t") >= 3) & pred
+
+
+def regex_search(
+    docs: DataFrame, pattern: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex (code-search) query: (doc_id, n_matches) for every doc whose
+    lowered text matches ``pattern`` — the regex layer of the trigram
+    design: when the pattern is a top-level alternation of plain literals
+    (the common code-search shape, e.g. ``spark|merge``), candidates must
+    contain every trigram of SOME alternative (OR-of-ANDs), and only
+    survivors pay the regexp scan. Patterns outside that subset (classes,
+    quantifiers, groups) skip the prefilter and verify over the full scan —
+    the general trigram extraction (Cox 2012) is a documented extension
+    point. The pattern must sit in the Java∩RE2 common dialect (the
+    pii_scrub rule) so Spark and the DuckDB oracle agree; n_matches counts
+    non-overlapping matches (regexp_count / len(regexp_extract_all))."""
+    alts = pattern.lower().split("|")
+    literals = alts if all(re.fullmatch(r"[a-z0-9 ]+", a) for a in alts) else None
+    base = _lowered_text(docs, id_col, text_col)
+    if literals:
+        pred = _trigram_prefilter(literals)
+        if pred is not None:
+            base = base.filter(pred)
+    return base.select(
+        "doc_id",
+        F.expr(f"regexp_count(t, '{pattern.lower()}')").cast("long").alias("n_matches"),
+    ).filter(F.col("n_matches") > 0)

@@ -1220,6 +1220,36 @@ FROM b WHERE strpos(t, '{tl}') > 0
 """
 
 
+def regex_search_sql(pattern: str) -> str:
+    """Twin of textstats.regex_search: literal-alternation trigram
+    prefilter (equivalent by construction) + regexp count verify."""
+    pl = pattern.lower().replace("'", "''")
+    import re as _re
+
+    alts = pattern.lower().split("|")
+    tri_filter = ""
+    if all(_re.fullmatch(r"[a-z0-9 ]+", a) for a in alts):
+        branches = []
+        for a in alts:
+            tris = sorted({a[i : i + 3] for i in range(len(a) - 2)})
+            if not tris:
+                branches = []
+                break
+            lit = "[" + ", ".join(f"'{g}'" for g in tris) + "]"
+            branches.append(
+                f"len(list_intersect(list_distinct("
+                f"list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))), {lit}))"
+                f" = {len(tris)}"
+            )
+        if branches:
+            tri_filter = f"\n  AND length(t) >= 3 AND ({' OR '.join(branches)})"
+    return f"""
+WITH b AS (SELECT doc_id, lower(text) AS t FROM documents WHERE TRUE{tri_filter})
+SELECT doc_id, len(regexp_extract_all(t, '{pl}'))::BIGINT AS n_matches
+FROM b WHERE len(regexp_extract_all(t, '{pl}')) > 0
+"""
+
+
 def cms_counters_sql(d: int | None = None, w: int | None = None) -> str:
     """Twin of sketches.cms_counters: salted md5 row hashes, occurrence
     counts per (row, col) cell. Defaults derive from sketches.CMS_D/CMS_W —
