@@ -209,6 +209,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(
             emb(spark, sf), n_queries=8, k=5, centroid_stride=64, nprobe=2
         ),
+        # deterministic Lloyd's k-means: the centroid trainer the IVF/PQ
+        # seeded selections swap in for (exact-integer, unrolled SQL twin)
+        "kmeans_centroids": lambda spark, sf: similarity.kmeans_centroids(
+            emb(spark, sf), k=4, iterations=2
+        ),
         # product quantization + asymmetric distance: the memory-compression
         # ANN family (billion-vector scans as m-code lookups)
         "ann_pq_topk": lambda spark, sf: similarity.ann_pq_topk(
@@ -518,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         # the approximate LSH path is deterministic (integer plane dots), so
         # even recall<1 output is hash-checkable — no more rows-only gate
         "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
+        "kmeans_centroids": oracles.kmeans_sql(k=4, iterations=2),
         "ann_pq_topk": oracles.ann_pq_sql(
             n_queries=8, k=5, n_centroids=16, centroid_stride=16
         ),

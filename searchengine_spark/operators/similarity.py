@@ -477,3 +477,97 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
     )
+
+
+def _round_div_np(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero integer division s/n in pure int64 arithmetic
+    (sign(s) * ((2|s| + n) // (2n))) — the engine-portable rounding the
+    DuckDB k-means twin reproduces exactly."""
+    n = np.maximum(n, 1)
+    return (np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))).astype(np.int64)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column — the
+    centroid TRAINER the IVF/PQ docstrings promise as the swap-in for their
+    seeded selections: (cid, i, val) rows of the final integer centroids.
+
+    Every step is exact integer arithmetic, so the whole iteration is
+    bit-reproducible across cluster sizes and engines (hash-gated against
+    an unrolled DuckDB twin, the HITS pattern): init centroids are the
+    quantized vectors of ids 0..k-1 (seeded, like ivf_assignments);
+    assignment is max integer-cosine-micros with ties to the smallest
+    centroid id; the update rounds each per-dimension mean half-away-from-
+    zero via the pure-int64 formula, and empty clusters keep their previous
+    centroid.
+
+    Plan per iteration: centroids are a (k × dim) driver constant
+    (broadcast by closure, the PageRank-scalar pattern); ONE corpus pass
+    assigns and folds per-cluster partial sums inside each Arrow batch
+    (numpy add.at), shuffling only k·(dim+1) partial rows per batch into a
+    map-side-combined aggregate; the k·(dim+1)-row result is collected to
+    rebuild the constant. No |N|×k row explosion, no per-row Python."""
+    spark = embeddings.sparkSession
+    init = sorted(
+        embeddings.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(init) < k:
+        raise ValueError(f"need ids 0..{k - 1} present for seeded init")
+    cents = _quantize_np(np.array([r[vec_col] for r in init]))  # (k, dim) int64
+
+    for _ in range(iterations):
+        C = cents
+        cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+
+        def fn(batches, C=C, cn=cn):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = _quantize_np(np.stack(pdf[vec_col].to_numpy()))
+                vn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+                cos = _micros_np(
+                    (1e6 * (V @ C.T).astype(np.float64)) / (vn[:, None] * cn[None, :])
+                )
+                cid = np.argmax(cos, axis=1)  # first max == smallest cid
+                sums = np.zeros((C.shape[0], V.shape[1]), dtype=np.int64)
+                np.add.at(sums, cid, V)
+                counts = np.bincount(cid, minlength=C.shape[0]).astype(np.int64)
+                out = [
+                    (int(c), int(i), int(sums[c, i]))
+                    for c in range(C.shape[0])
+                    for i in range(V.shape[1])
+                ]
+                out += [(int(c), -1, int(counts[c])) for c in range(C.shape[0])]
+                yield pd.DataFrame(out, columns=["cid", "i", "s"]).astype(
+                    {"cid": "int32", "i": "int32", "s": "int64"}
+                )
+
+        rows = (
+            embeddings.select(vec_col)
+            .mapInPandas(fn, "cid int, i int, s long")
+            .groupBy("cid", "i")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            if r["i"] < 0:
+                counts[r["cid"]] = r["s"]
+            else:
+                sums[r["cid"], r["i"]] = r["s"]
+        new = _round_div_np(sums, counts[:, None])
+        cents = np.where(counts[:, None] > 0, new, cents)
+
+    out_rows = [
+        (int(c), int(i), int(cents[c, i])) for c in range(k) for i in range(dim)
+    ]
+    return spark.createDataFrame(out_rows, "cid int, i int, val long")

@@ -960,6 +960,62 @@ SELECT query_id, rank, neighbor_id, adc_dist FROM (
 """
 
 
+def kmeans_sql(k: int = 4, iterations: int = 2) -> str:
+    """Unrolled twin of similarity.kmeans_centroids (the HITS pattern): per
+    iteration, integer-cosine argmax assignment (ties → smallest cid) and a
+    half-away-from-zero pure-integer mean update; empty clusters keep the
+    previous centroid."""
+    parts = [
+        f"""qv AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+vrows AS (SELECT vec_id, generate_subscripts(v, 1)::INT - 1 AS i, unnest(v) AS val
+          FROM qv),
+vn AS (SELECT vec_id, sum(val * val) AS n2 FROM vrows GROUP BY 1),
+c0 AS (SELECT vec_id::INT AS cid, generate_subscripts(v, 1)::INT - 1 AS i,
+              unnest(v)::BIGINT AS val
+       FROM qv WHERE vec_id < {k})"""
+    ]
+    for t in range(iterations):
+        c, cn, dot = f"c{t}", f"cn{t}", f"dot{t}"
+        asg, su, nc = f"asg{t}", f"sums{t}", f"c{t + 1}"
+        parts.append(
+            f"""{cn} AS (SELECT cid, sum(val * val) AS n2 FROM {c} GROUP BY 1),
+{dot} AS (
+  SELECT v.vec_id, c.cid, sum(v.val * c.val) AS d
+  FROM vrows v JOIN {c} c ON v.i = c.i GROUP BY 1, 2
+),
+{asg} AS (
+  SELECT vec_id, cid FROM (
+    SELECT {dot}.vec_id, {dot}.cid,
+           row_number() OVER (
+             PARTITION BY {dot}.vec_id
+             ORDER BY CAST(round(1e6 * {dot}.d::DOUBLE
+                        / (sqrt(vn.n2::DOUBLE) * sqrt({cn}.n2::DOUBLE))) AS BIGINT)
+                      DESC, {dot}.cid ASC) AS rn
+    FROM {dot}
+    JOIN vn ON {dot}.vec_id = vn.vec_id
+    JOIN {cn} ON {dot}.cid = {cn}.cid
+  ) WHERE rn = 1
+),
+{su} AS (
+  SELECT a.cid, v.i, sum(v.val)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM {asg} a JOIN vrows v ON a.vec_id = v.vec_id GROUP BY 1, 2
+),
+{nc} AS (
+  SELECT c.cid, c.i,
+         CASE WHEN s.n IS NULL THEN c.val
+              WHEN s.s >= 0 THEN (2 * s.s + s.n) // (2 * s.n)
+              ELSE -((2 * (-s.s) + s.n) // (2 * s.n))
+         END AS val
+  FROM {c} c LEFT JOIN {su} s ON c.cid = s.cid AND c.i = s.i
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT cid, i, val::BIGINT AS val FROM c{iterations}"
+    )
+
+
 def ann_ivf_sql(
     n_queries: int = 8, k: int = 5, centroid_stride: int = 64, nprobe: int = 2
 ) -> str:
