@@ -109,6 +109,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": lambda spark, sf: serve.synonym_bm25_topk(
             spark, gate_index(spark, sf), SYNONYM_GROUPS, k=TOPK
         ),
+        # Dirichlet query-likelihood ranking (Zhai & Lafferty) — the LM
+        # ranking family beside BM25, served from the same pruned index scan
+        "qld_topk": lambda spark, sf: serve.qld_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
+        # hybrid lexical+vector retrieval: BM25 top-r and cosine top-r fused
+        # by reciprocal rank (RRF) — each side is the engine's own gated path
+        "hybrid_rrf_topk": lambda spark, sf: serve.hybrid_rrf_topk(
+            spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, k=TOPK, r=50
+        ),
         "term_search_any": lambda spark, sf: serve.term_search_any(
             spark, gate_index(spark, sf), ALL_TERMS
         ),
@@ -512,6 +522,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
+        "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
+        "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "boolean_query": _boolean_query_sql(),

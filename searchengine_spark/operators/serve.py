@@ -36,7 +36,7 @@ def _qlex(spark: SparkSession, idx: dict, terms: list[str]) -> list:
     return (
         idx["lexicon"]
         .filter(F.col("term").isin(uniq))
-        .select("term", "df", "idf_bm25", "idf_compat", "bucket")
+        .select("term", "df", "cf", "idf_bm25", "idf_compat", "bucket")
         .collect()
     )
 
@@ -802,6 +802,122 @@ def compat_topk(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> Da
         "url",
         "title",
         F.round(F.col("score") * 1e6).cast("long").alias("score_micros"),
+    )
+
+
+def qld_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 100.0,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
+    2001) — the language-model family beside BM25, served from the same
+    index: rank by ``Σ_t∈q ln(1 + tf·|C| / (μ·cf)) + |q|·ln(μ/(dl+μ))``
+    (the rank-equivalent decomposition of ``Σ ln((tf + μ·p(t|C))/(dl+μ))``
+    with the doc-independent ``Σ ln p(t|C)`` dropped).
+
+    Physical shape is identical to :func:`bm25_scores`: the |q|-row lexicon
+    point lookup supplies cf, the postings scan is bucket-pruned, |C| is
+    the manifest's ``sum_dl`` scalar, and contributions round to bigint
+    micros before the per-doc sum (the doc-level dl term rounds separately,
+    added once) — exact and partition-count-invariant. Query terms missing
+    from the lexicon are OOV-dropped (they'd contribute the same
+    -inf-background to every doc), matching retrieval practice.
+
+    Output: (doc_id, score_micros) top-k, ties by doc_id."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    nq = float(len(rows))
+    total = float(idx["sum_dl"])
+    post = _pruned_postings(idx, rows)
+    cfmap = spark.createDataFrame(
+        [(r["term"], r["cf"]) for r in rows], "term string, cf long"
+    )
+    term_c = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("tf").cast("double") * F.lit(total))
+            / (F.lit(mu) * F.col("cf").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    doc_c = F.round(
+        F.lit(nq) * F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu))) * F.lit(1e6)
+    ).cast("long")
+    return (
+        post.join(F.broadcast(cfmap), "term")
+        .select("doc_id", "dl", term_c.alias("c_micros"))
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("c_micros").alias("s"))
+        .select("doc_id", (F.col("s") + doc_c).alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    idx: dict,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    r: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval via Reciprocal Rank Fusion:
+    ``rrf(d) = Σ_lists 1/(rrf_k + rank_list(d))`` over the BM25 top-``r``
+    and the embedding-cosine top-``r`` (Cormack/Clarke/Büttcher RRF,
+    rrf_k=60 — the fusion every hybrid search stack ships).
+
+    Both input rankings are the engine's own gated paths: the lexical side
+    is the index-served :func:`bm25_scores` (pruned postings scan, bigint
+    micros), the vector side is the exact int64-matmul cosine
+    (similarity.ann_bruteforce_topk with a single query vector). Each side
+    is cut to ``r`` rows BEFORE fusion — at 100 TB the fusion operates on
+    2r driver-scale rows per query, never on the candidate sets — and the
+    contribution ``round(1e6/(rrf_k+rank))`` is an integer function of the
+    integer rank, so the fused score is exact on any engine.
+
+    Output: (rank, doc_id, rrf_micros); doc_id is the shared id space of
+    the documents and embeddings tables."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.similarity import ann_bruteforce_topk
+
+    order = [F.desc("score_micros"), F.asc("doc_id")]
+    w1 = Window.partitionBy(F.col("doc_id") % 1)  # single-valued, non-foldable
+    lex = (
+        bm25_scores(spark, idx, query_terms)
+        .orderBy(*order)
+        .limit(r)
+        .select(
+            "doc_id",
+            F.row_number().over(w1.orderBy(*order)).alias("lrank"),
+        )
+    )
+    vec = ann_bruteforce_topk(embeddings, k=r, query_ids=[query_vec_id]).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vrank")
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731 — tiny local expr builder
+        F.round(F.lit(1e6) / (F.lit(rrf_k) + F.col(c))).cast("long"), F.lit(0)
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", (contrib("lrank") + contrib("vrank")).alias("rrf_micros"))
+        .orderBy(F.desc("rrf_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w_final = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("rrf_micros"), F.asc("doc_id")
+    )
+    return fused.select(
+        F.row_number().over(w_final).cast("int").alias("rank"),
+        "doc_id",
+        "rrf_micros",
     )
 
 

@@ -75,9 +75,10 @@ def ann_bruteforce_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
 ) -> DataFrame:
-    """For each query vector (the first ``n_queries`` by id), the exact
-    top-k cosine neighbors (excluding self).
+    """For each query vector (the first ``n_queries`` by id, or the explicit
+    ``query_ids`` set), the exact top-k cosine neighbors (excluding self).
 
     (query_id, rank, neighbor_id, cosine_micros) — deterministic ties by
     neighbor id.
@@ -88,8 +89,13 @@ def ann_bruteforce_topk(
     micros contract as ``cosine_micros`` — and emits only its per-batch
     top-k per query; a final window merges ≤ k·n_batches rows. One corpus
     pass, no |Q|×N row explosion, no per-element expression interpretation."""
+    q_pred = (
+        F.col(id_col).isin(list(query_ids))
+        if query_ids is not None
+        else F.col(id_col) < n_queries
+    )
     q_rows = sorted(
-        embeddings.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect(),
+        embeddings.filter(q_pred).select(id_col, vec_col).collect(),
         key=lambda r: r[id_col],
     )
     if not q_rows:

@@ -423,6 +423,84 @@ SELECT query_id, rank, neighbor_id, cosine_micros FROM (
 """
 
 
+def qld_topk_sql(terms: list[str], k: int = 10, mu: float = 100.0) -> str:
+    """Twin of serve.qld_topk: Dirichlet query-likelihood, same float tree
+    (ln(1 + tf·total/(μ·cf)) per posting, |q|·ln(μ/(dl+μ)) once per doc,
+    both rounded to micros before summing)."""
+    uniq = list(dict.fromkeys(terms))
+    return f"""
+WITH {_TOKENS_CTE},
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dls),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+q AS (SELECT term FROM {_terms_values(uniq)}),
+qcf AS (SELECT cf.term, cf.cf FROM cf JOIN q USING (term)),
+nqv AS (SELECT count(*)::DOUBLE AS nq FROM qcf),
+matched AS (
+  SELECT post.doc_id, dls.dl,
+         CAST(round(ln(1.0 + (post.tf::DOUBLE * tot.t)
+                             / ({mu} * qcf.cf::DOUBLE)) * 1e6) AS BIGINT) AS c
+  FROM post JOIN qcf USING (term) JOIN dls USING (doc_id) CROSS JOIN tot
+),
+agg AS (SELECT doc_id, dl, sum(c)::BIGINT AS s FROM matched GROUP BY 1, 2)
+SELECT doc_id,
+       s + CAST(round(nqv.nq * ln({mu} / (dl::DOUBLE + {mu})) * 1e6) AS BIGINT)
+         AS score_micros
+FROM agg CROSS JOIN nqv
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def hybrid_rrf_sql(
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    r: int = 50,
+    rrf_k: int = 60,
+) -> str:
+    """Twin of serve.hybrid_rrf_topk: BM25 top-r ∪ cosine top-r fused by
+    reciprocal rank — each side's rank comes from the same gated ordering
+    (score desc, id asc), contributions are round(1e6/(rrf_k+rank))."""
+    qq = "list_transform(qv.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    cc = "list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms)},
+lex_ranked AS (
+  SELECT doc_id, lrank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS lrank
+    FROM scores
+  ) WHERE lrank <= {r}
+),
+vec_scored AS (
+  SELECT e.vec_id AS doc_id, {_cos_micros_sql(qq, cc)} AS cosine_micros
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) qv
+  WHERE e.vec_id <> {query_vec_id}
+),
+vec_ranked AS (
+  SELECT doc_id, vrank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine_micros DESC, doc_id ASC) AS vrank
+    FROM vec_scored
+  ) WHERE vrank <= {r}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(CAST(round(1e6 / ({rrf_k} + l.lrank)) AS BIGINT), 0)
+         + coalesce(CAST(round(1e6 / ({rrf_k} + v.vrank)) AS BIGINT), 0)
+           AS rrf_micros
+  FROM lex_ranked l FULL OUTER JOIN vec_ranked v ON l.doc_id = v.doc_id
+)
+SELECT rank, doc_id, rrf_micros FROM (
+  SELECT row_number() OVER (ORDER BY rrf_micros DESC, doc_id ASC)::INT AS rank,
+         doc_id, rrf_micros
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
 def token_stats_sql() -> str:
     return """
 WITH toksarr AS (
