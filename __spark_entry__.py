@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": lambda spark, sf: serve.synonym_bm25_topk(
             spark, gate_index(spark, sf), SYNONYM_GROUPS, k=TOPK
         ),
+        # pseudo-relevance-feedback expansion (Rocchio two-pass): top docs
+        # of pass 1 donate expansion terms, pass 2 re-ranks with weights
+        "prf_expansion_topk": lambda spark, sf: serve.prf_expansion_topk(
+            spark, gate_index(spark, sf), _docs(spark, sf), BM25_TERMS, k=TOPK
+        ),
         # Dirichlet query-likelihood ranking (Zhai & Lafferty) — the LM
         # ranking family beside BM25, served from the same pruned index scan
         "qld_topk": lambda spark, sf: serve.qld_topk(
@@ -196,6 +201,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup clustering: connected components (min-label fixpoint)
         # over the MinHash-LSH candidate graph
         "dedup_clusters": lambda spark, sf: _dedup_clusters(spark, sf),
+        # exact-substring span dedup (Lee et al. 2022): maximal token spans
+        # shared verbatim across docs — the drop-list, as merged runs of
+        # duplicated sliding windows
+        "exact_substring_spans": lambda spark, sf: dedup.exact_substring_spans(
+            _docs(spark, sf), window=16, min_docs=2
+        ),
+        # the dedup keep-list: one canonical doc (+ cluster size) per
+        # near-dup cluster — what downstream stages semi-join against
+        "dedup_survivors": lambda spark, sf: _dedup_survivors(spark, sf),
         # eval-leakage check: n-gram overlap vs the deterministic benchmark
         # slice of the corpus
         "decontaminate": lambda spark, sf: dedup.decontaminate(_docs(spark, sf), n=5),
@@ -363,6 +377,12 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), n_perms=16, rows_per_band=8)
 
 
+def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.components import dedup_survivors
+
+    return dedup_survivors(_docs(spark, sf_dir), n_perms=16, rows_per_band=8)
+
+
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.sampling import stratified_sample
 
@@ -524,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),
+        "prf_expansion_topk": oracles.prf_expansion_sql(BM25_TERMS, k=TOPK),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "boolean_query": _boolean_query_sql(),
@@ -574,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
             n_bits=32, max_hamming=3
         ),
         "dedup_clusters": oracles.dedup_clusters_sql(n_perms=16, rows_per_band=8),
+        "dedup_survivors": oracles.dedup_survivors_sql(n_perms=16, rows_per_band=8),
+        "exact_substring_spans": oracles.exact_substring_spans_sql(window=16, min_docs=2),
         "decontaminate": oracles.decontaminate_sql(n=5),
         "stratified_sample": oracles.stratified_sample_sql(
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM

@@ -118,3 +118,28 @@ def dedup_clusters(
         .distinct()
     )
     return connected_components(docs.select(id_col), edges, id_col=id_col)
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    n_perms: int = 16,
+    rows_per_band: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The keep-list a dedup pipeline actually consumes: one row per
+    near-dup cluster — (doc_id, cluster_size) where doc_id is the
+    deterministic canonical representative (the cluster's min id) and
+    cluster_size counts the docs it stands for (1 = unique doc).
+
+    One aggregate over :func:`dedup_clusters`; downstream stages left-semi
+    join this against the corpus to drop every non-canonical duplicate.
+    Scale shape: the clusters frame is (doc, label) pairs — the groupBy is
+    a map-side-combinable count keyed by component, never hot (a component
+    key repeats only as often as its cluster size)."""
+    clusters = dedup_clusters(docs, n_perms, rows_per_band, id_col, text_col)
+    return (
+        clusters.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("component_id").alias("doc_id"), "cluster_size")
+    )

@@ -858,6 +858,86 @@ def qld_topk(
     )
 
 
+def prf_expansion_topk(
+    spark: SparkSession,
+    idx: dict,
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    expand_weight: float = 0.5,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-style): run the
+    original query, take the top ``fb_docs`` results as assumed-relevant,
+    pick the ``fb_terms`` strongest non-query terms from them (Σ tf · idf),
+    and re-rank with ``original terms @ 1.0 + expansion terms @
+    expand_weight`` — the classic two-pass relevance-feedback loop.
+
+    Every stage keeps the index-served shape: pass 1 is
+    :func:`bm25_topk` (pruned postings scan, bounded heap); the feedback
+    term vectors come from a doc_id-pruned fetch of the <= fb_docs
+    documents re-tokenized (bounded driver rows — at scale this is the
+    same step class as the lexicon point lookup, never an index scan by
+    doc); pass 2 is one pruned postings scan over |q| + fb_terms terms
+    with a broadcast per-term weight. All selection keys are bigint micros
+    (round-half-away-from-zero), so the expansion choice and the final
+    ranking are bit-identical to the SQL twin.
+
+    Output: (doc_id, score_micros) top-k."""
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    orig = list(dict.fromkeys(query_terms))
+    fb_ids = [
+        r["doc_id"] for r in bm25_topk(spark, idx, orig, k=fb_docs).collect()
+    ]
+    weights = {t: 1.0 for t in orig}
+    if fb_ids:
+        fb_tf = (
+            exploded_tokens(docs.filter(F.col("doc_id").isin(fb_ids)))
+            .filter(~F.col("term").isin(orig))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("sum_tf"))
+            .collect()
+        )
+        if fb_tf:
+            tf_map = {r["term"]: int(r["sum_tf"]) for r in fb_tf}
+            lex = _qlex(spark, idx, sorted(tf_map))
+            import math
+
+            def _micros(x: float) -> int:
+                return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+            scored = sorted(
+                (
+                    (-_micros(tf_map[r["term"]] * r["idf_bm25"] * 1e6), r["term"])
+                    for r in lex
+                ),
+            )[:fb_terms]
+            for _, t in scored:
+                weights[t] = expand_weight
+    rows = _qlex(spark, idx, sorted(weights))
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    wlex = spark.createDataFrame(
+        [(r["term"], r["idf_bm25"], weights[r["term"]]) for r in rows],
+        "term string, idf_bm25 double, w double",
+    )
+    contrib = _bm25_contrib(idx["avgdl"])
+    return (
+        post.join(F.broadcast(wlex), "term")
+        .select(
+            "doc_id",
+            F.round(F.col("w") * contrib * F.lit(1e6)).cast("long").alias("c_micros"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def hybrid_rrf_topk(
     spark: SparkSession,
     idx: dict,

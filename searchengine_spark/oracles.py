@@ -451,6 +451,68 @@ LIMIT {k}
 """
 
 
+def prf_expansion_sql(
+    terms: list[str],
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    expand_weight: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of serve.prf_expansion_topk: BM25 pass 1 → top-fb_docs feedback
+    set → strongest non-query terms by round(Σtf · idf · 1e6) → weighted
+    BM25 pass 2. Expansion selection and both score folds are bigint micros,
+    so the whole two-pass pipeline is hash-comparable."""
+    uniq = list(dict.fromkeys(terms))
+    orig_in = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(uniq, k1, b)},
+fb AS (
+  SELECT doc_id FROM scores ORDER BY score_micros DESC, doc_id ASC LIMIT {fb_docs}
+),
+fbt AS (
+  SELECT post.term, sum(post.tf)::BIGINT AS sum_tf
+  FROM post JOIN fb USING (doc_id)
+  WHERE post.term NOT IN ({orig_in})
+  GROUP BY post.term
+),
+fbidf AS (
+  SELECT fbt.term, fbt.sum_tf,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM fbt JOIN lex USING (term) CROSS JOIN n
+),
+expq AS (
+  SELECT term, idf_bm25 FROM (
+    SELECT term, idf_bm25,
+           row_number() OVER (
+             ORDER BY CAST(round(sum_tf * idf_bm25 * 1e6) AS BIGINT) DESC, term ASC
+           ) AS r
+    FROM fbidf
+  ) WHERE r <= {fb_terms}
+),
+wq AS (
+  SELECT term, idf_bm25, 1.0 AS w FROM idf
+  UNION ALL
+  SELECT term, idf_bm25, {expand_weight} AS w FROM expq
+),
+wscored AS (
+  SELECT post.doc_id,
+         CAST(round(wq.w * (wq.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl)))
+                    * 1e6) AS BIGINT) AS c
+  FROM post JOIN wq ON post.term = wq.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+)
+SELECT doc_id, sum(c)::BIGINT AS score_micros
+FROM wscored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def hybrid_rrf_sql(
     terms: list[str],
     query_vec_id: int = 0,
@@ -1593,6 +1655,50 @@ reach(id, r) AS (
   SELECT reach.id, s.doc_b FROM reach JOIN sym s ON s.doc_a = reach.r
 )
 SELECT id AS doc_id, min(r)::BIGINT AS component_id FROM reach GROUP BY 1
+"""
+
+
+def exact_substring_spans_sql(window: int = 16, min_docs: int = 2) -> str:
+    """Twin of dedup.exact_substring_spans: stride-1 window fingerprints,
+    cross-doc duplicate filter, gaps-and-islands span merge. DuckDB
+    ``range`` is end-exclusive (positions 1..len-W+1 → range(1, len-W+2))
+    and list slicing ``t[a:b]`` is 1-based inclusive (== F.slice)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, pos::BIGINT AS pos,
+         md5(array_to_string(t[pos:pos + {window - 1}], ' ')) AS fp
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {window} + 2)) AS pos
+        FROM toks WHERE len(t) >= {window})
+),
+dups AS (
+  SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (fp)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM hits
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {window - 1})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM runs GROUP BY doc_id, rid
+"""
+
+
+def dedup_survivors_sql(n_perms: int = 16, rows_per_band: int = 8) -> str:
+    """Twin of components.dedup_survivors: one aggregate over the clusters
+    gate's SQL (embedded verbatim, the training_chunks composition rule)."""
+    return f"""
+SELECT component_id AS doc_id, count(*)::BIGINT AS cluster_size
+FROM ({dedup_clusters_sql(n_perms, rows_per_band)})
+GROUP BY component_id
 """
 
 
