@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": lambda spark, sf: serve.synonym_bm25_topk(
             spark, gate_index(spark, sf), SYNONYM_GROUPS, k=TOPK
         ),
+        # field-weighted BM25F: early-position "head" occurrences boosted
+        # via the stored positional postings (no corpus scan, no 2nd index)
+        "bm25f_topk": lambda spark, sf: serve.bm25f_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
         # pseudo-relevance-feedback expansion (Rocchio two-pass): top docs
         # of pass 1 donate expansion terms, pass 2 re-ranks with weights
         "prf_expansion_topk": lambda spark, sf: serve.prf_expansion_topk(
@@ -237,6 +242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seeded selections swap in for (exact-integer, unrolled SQL twin)
         "kmeans_centroids": lambda spark, sf: similarity.kmeans_centroids(
             emb(spark, sf), k=4, iterations=2
+        ),
+        # IVF over the TRAINED k-means centroids — the swap-in the seeded
+        # ivf_assignments documents, gated end-to-end (train -> assign ->
+        # probe -> exact rerank)
+        "ann_ivf_kmeans_topk": lambda spark, sf: similarity.ann_ivf_kmeans_topk(
+            emb(spark, sf), n_queries=8, k=5, n_clusters=4, iterations=2, nprobe=2
         ),
         # product quantization + asymmetric distance: the memory-compression
         # ANN family (billion-vector scans as m-code lookups)
@@ -545,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),
         "prf_expansion_topk": oracles.prf_expansion_sql(BM25_TERMS, k=TOPK),
+        "bm25f_topk": oracles.bm25f_topk_sql(BM25_TERMS, k=TOPK),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "boolean_query": _boolean_query_sql(),
@@ -557,6 +569,9 @@ def oracle_sql() -> dict[str, str]:
         # even recall<1 output is hash-checkable — no more rows-only gate
         "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
         "kmeans_centroids": oracles.kmeans_sql(k=4, iterations=2),
+        "ann_ivf_kmeans_topk": oracles.ann_ivf_kmeans_sql(
+            n_queries=8, k=5, n_clusters=4, iterations=2, nprobe=2
+        ),
         "ann_pq_topk": oracles.ann_pq_sql(
             n_queries=8, k=5, n_centroids=16, centroid_stride=16
         ),

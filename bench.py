@@ -41,6 +41,10 @@ HEADLINE = [
     "compat_topk",
     "search_results",
     "tfidf_topk",
+    "bm25f_topk",
+    "qld_topk",
+    "prf_expansion_topk",
+    "hybrid_rrf_topk",
     "phrase_match",
     "postings_tf",
     "dedup_exact",
@@ -59,6 +63,9 @@ HEADLINE = [
     "pack_chunks",
     "temperature_mix",
     "dedup_clusters",
+    "dedup_survivors",
+    "exact_substring_spans",
+    "ann_ivf_kmeans_topk",
     "decontaminate",
     "stratified_sample",
     "fetch_pages",

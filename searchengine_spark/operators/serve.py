@@ -858,6 +858,54 @@ def qld_topk(
     )
 
 
+def bm25f_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    head_positions: int = 8,
+    w_head: float = 2.0,
+    w_body: float = 1.0,
+) -> DataFrame:
+    """Field-weighted BM25 (BM25F, Zaragoza et al. CIKM'04, shared-length
+    simplification): occurrences in the document's "head" field (the first
+    ``head_positions`` raw token positions — title/lead analog, the modern
+    form of the reference's header boost) weigh ``w_head``, the rest
+    ``w_body``; the weighted tf is length-normalized once and saturated
+    ``tfw/(k1+tfw)``, so a head hit can't be out-accumulated by sheer body
+    repetition (the failure mode of per-field score summing).
+
+    Served ENTIRELY from the index: the stored positional postings give
+    per-field tfs as ``size(filter(positions, p < H))`` — no corpus scan,
+    no per-field index. Same pruned-scan + broadcast-lexicon shape and
+    bigint-micros contract as :func:`bm25_scores`.
+
+    Output: (doc_id, score_micros) top-k."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    tf_h = F.size(
+        F.filter(F.col("positions"), lambda p: p < F.lit(head_positions))
+    ).cast("double")
+    tf_b = F.col("tf").cast("double") - tf_h
+    dl = F.col("dl").cast("double")
+    tfw = (F.lit(w_head) * tf_h + F.lit(w_body) * tf_b) / (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / F.lit(idx["avgdl"])
+    )
+    c = F.round(
+        F.col("idf_bm25") * (tfw / (F.lit(BM25_K1) + tfw)) * F.lit(1e6)
+    ).cast("long")
+    return (
+        post.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select("doc_id", c.alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def prf_expansion_topk(
     spark: SparkSession,
     idx: dict,

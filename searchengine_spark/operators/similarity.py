@@ -47,14 +47,19 @@ def _idot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine_micros(a: Column, b: Column) -> Column:
-    """round(1e6 · cos(a,b)) over quantized vectors. The only float ops are
-    the final sqrt/divide over exact integers — bit-identical everywhere."""
-    qa, qb = _quantized(a), _quantized(b)
+def cosine_micros_qq(qa: Column, qb: Column) -> Column:
+    """round(1e6 · cos) over two ALREADY-quantized int64 arrays — the shared
+    float tree ((1e6·dot) / (√na·√nb)) every cosine consumer uses."""
     dot = _idot(qa, qb).cast("double")
     na = F.sqrt(_idot(qa, qa).cast("double"))
     nb = F.sqrt(_idot(qb, qb).cast("double"))
     return F.round(F.lit(1e6) * dot / (na * nb)).cast("long")
+
+
+def cosine_micros(a: Column, b: Column) -> Column:
+    """round(1e6 · cos(a,b)) over quantized vectors. The only float ops are
+    the final sqrt/divide over exact integers — bit-identical everywhere."""
+    return cosine_micros_qq(_quantized(a), _quantized(b))
 
 
 def _quantize_np(a: np.ndarray) -> np.ndarray:
@@ -577,3 +582,80 @@ def kmeans_centroids(
         (int(c), int(i), int(cents[c, i])) for c in range(k) for i in range(dim)
     ]
     return spark.createDataFrame(out_rows, "cid int, i int, val long")
+
+
+def ann_ivf_kmeans_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k over TRAINED centroids — the
+    :func:`kmeans_centroids` swap-in that :func:`ivf_assignments`'s seeded
+    selection documents: train k integer centroids (deterministic Lloyd's),
+    assign every vector to its max-cosine centroid, probe the ``nprobe``
+    closest cells per query, exact-rerank inside them.
+
+    The centroid set is a k×dim driver constant (same class as the query
+    set); assignment is one broadcast join + per-vector window (bounded
+    group of k rows — never hot); at scale the ``cell`` column is the
+    partition key the inverted lists are stored under, so the probe prunes
+    the scan exactly like the seeded IVF. All cosines share the
+    integer-dot micros tree, so the whole trained path is hash-gated
+    against a DuckDB twin that embeds the k-means oracle verbatim.
+
+    Output: (query_id, rank, neighbor_id, cosine_micros)."""
+    spark = embeddings.sparkSession
+    crows = kmeans_centroids(
+        embeddings, k=n_clusters, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).collect()
+    bycid: dict[int, dict[int, int]] = {}
+    for r in crows:
+        bycid.setdefault(r["cid"], {})[r["i"]] = r["val"]
+    cents = spark.createDataFrame(
+        [(cid, [vals[i] for i in range(len(vals))]) for cid, vals in sorted(bycid.items())],
+        "cell int, _cent array<bigint>",
+    )
+    cm_all = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "cell",
+            cosine_micros_qq(_quantized(F.col(vec_col)), F.col("_cent")).alias("_cm"),
+        )
+    )
+    w_vec = Window.partitionBy(id_col).orderBy(F.desc("_cm"), F.asc("cell"))
+    assign = (
+        cm_all.withColumn("_rn", F.row_number().over(w_vec))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell")
+    )
+    probed = (
+        cm_all.filter(F.col(id_col) < n_queries)
+        .withColumn("_rn", F.row_number().over(w_vec))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell")
+    )
+    scored = (
+        assign.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_micros(F.col("_qv"), F.col("_cv")).alias("cosine_micros"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_micros"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_micros")
+    )

@@ -451,6 +451,51 @@ LIMIT {k}
 """
 
 
+def bm25f_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    head_positions: int = 8,
+    w_head: float = 2.0,
+    w_body: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of serve.bm25f_topk: per-field tfs recomputed from raw-split
+    positions (0-based, empties retained — the stored-positions
+    convention), shared length normalization, same saturation tree."""
+    uniq = list(dict.fromkeys(terms))
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(uniq, k1, b)},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+ppost AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf,
+         count(CASE WHEN pos < {head_positions} THEN 1 END)::BIGINT AS tf_h
+  FROM pos WHERE term <> '' GROUP BY 1, 2
+),
+fpost AS (
+  SELECT ppost.doc_id, ppost.term,
+         ({w_head} * ppost.tf_h + {w_body} * (ppost.tf - ppost.tf_h))
+           / ({1.0 - b} + {b} * dls.dl / avg_dl.avgdl) AS tfw
+  FROM ppost JOIN dls ON ppost.doc_id = dls.doc_id CROSS JOIN avg_dl
+  WHERE ppost.term IN (SELECT term FROM q)
+),
+fscored AS (
+  SELECT fpost.doc_id,
+         CAST(round(idf.idf_bm25 * (fpost.tfw / ({k1} + fpost.tfw)) * 1e6)
+              AS BIGINT) AS c
+  FROM fpost JOIN idf ON fpost.term = idf.term
+)
+SELECT doc_id, sum(c)::BIGINT AS score_micros
+FROM fscored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def prf_expansion_sql(
     terms: list[str],
     k: int = 10,
@@ -1154,6 +1199,67 @@ c0 AS (SELECT vec_id::INT AS cid, generate_subscripts(v, 1)::INT - 1 AS i,
         + ",\n".join(parts)
         + f"\nSELECT cid, i, val::BIGINT AS val FROM c{iterations}"
     )
+
+
+def ann_ivf_kmeans_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    nprobe: int = 2,
+) -> str:
+    """Twin of similarity.ann_ivf_kmeans_topk: the k-means oracle embedded
+    verbatim as the centroid source, integer-cosine assignment/probing, and
+    the shared quantized-cosine rerank inside the probed cells."""
+    qq = _cos_micros_sql("q.v", "c.v")
+    return f"""
+WITH cents AS (SELECT cid, i, val FROM ({kmeans_sql(n_clusters, iterations)})),
+qv AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+vrows AS (SELECT vec_id, generate_subscripts(v, 1)::INT - 1 AS i, unnest(v) AS val
+          FROM qv),
+vn AS (SELECT vec_id, sum(val * val) AS n2 FROM vrows GROUP BY 1),
+cn AS (SELECT cid, sum(val * val) AS n2 FROM cents GROUP BY 1),
+dotc AS (
+  SELECT v.vec_id, c.cid, sum(v.val * c.val) AS d
+  FROM vrows v JOIN cents c ON v.i = c.i GROUP BY 1, 2
+),
+cm AS (
+  SELECT dotc.vec_id, dotc.cid,
+         CAST(round(1e6 * dotc.d::DOUBLE
+              / (sqrt(vn.n2::DOUBLE) * sqrt(cn.n2::DOUBLE))) AS BIGINT) AS cm
+  FROM dotc JOIN vn ON dotc.vec_id = vn.vec_id JOIN cn ON dotc.cid = cn.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, cid ASC) AS rn
+    FROM cm
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, cid ASC) AS rn
+    FROM cm WHERE vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assign a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {qq} AS cosine_micros
+  FROM cand
+  JOIN qv q ON q.vec_id = cand.query_id
+  JOIN qv c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine_micros FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_micros DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def ann_ivf_sql(

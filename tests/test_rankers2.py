@@ -1,0 +1,175 @@
+"""Properties of the second-wave rankers (BM25F, QLD, PRF, hybrid RRF,
+trained-centroid IVF) beyond the per-gate oracle parity the driver checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["spark", "hash", "join"]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    from searchengine_spark.plans.gate_index import gate_index
+
+    return gate_index(spark, SF)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from searchengine_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from searchengine_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+def test_prf_no_expansion_equals_bm25(spark, idx, docs):
+    """fb_terms=0 must degenerate to plain BM25 (weights = originals @ 1.0,
+    and 1.0·x is an IEEE no-op) — same rows, same micros."""
+    from searchengine_spark.operators import serve
+
+    base = serve.bm25_topk(spark, idx, TERMS, k=10).collect()
+    prf = serve.prf_expansion_topk(spark, idx, docs, TERMS, k=10, fb_terms=0).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in prf]
+
+
+def test_prf_expansion_changes_weights_only_additively(spark, idx, docs):
+    """Expanded scores are >= the fb_terms=0 scores for every doc that
+    appears in both (expansion contributions are nonnegative: idf_bm25>0)."""
+    from searchengine_spark.operators import serve
+
+    base = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.prf_expansion_topk(
+            spark, idx, docs, TERMS, k=10, fb_terms=0
+        ).collect()
+    }
+    exp = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.prf_expansion_topk(
+            spark, idx, docs, TERMS, k=50, fb_terms=3
+        ).collect()
+    }
+    shared = set(base) & set(exp)
+    assert shared
+    assert all(exp[d] >= base[d] for d in shared)
+
+
+def test_ivf_kmeans_full_probe_equals_bruteforce(spark, emb):
+    """Probing every trained cell removes the approximation: the IVF result
+    must equal the exact brute-force top-k row-for-row."""
+    from searchengine_spark.operators import similarity
+
+    exact = similarity.ann_bruteforce_topk(emb, n_queries=4, k=5).collect()
+    ivf = similarity.ann_ivf_kmeans_topk(
+        emb, n_queries=4, k=5, n_clusters=4, iterations=2, nprobe=4
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, exact), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, ivf), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_hybrid_rrf_candidates_come_from_both_lists(spark, idx, emb):
+    """Every fused doc must appear in the lexical top-r or the vector top-r,
+    and a doc present in BOTH lists must outscore one with a single
+    equal-rank membership (RRF contributions are positive)."""
+    from searchengine_spark.operators import serve, similarity
+
+    r = 20
+    lex_ids = {
+        row["doc_id"]
+        for row in serve.bm25_scores(spark, idx, TERMS)
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(r)
+        .collect()
+    }
+    vec_ids = {
+        row["neighbor_id"]
+        for row in similarity.ann_bruteforce_topk(emb, k=r, query_ids=[0]).collect()
+    }
+    fused = serve.hybrid_rrf_topk(spark, idx, emb, TERMS, k=10, r=r).collect()
+    assert fused
+    assert all(row["doc_id"] in (lex_ids | vec_ids) for row in fused)
+
+
+def test_bm25f_head_boost_orders_early_occurrences(spark, idx):
+    """With w_head >> w_body, a doc whose query term sits in the head window
+    must outscore an equal-tf doc whose occurrences are all late — checked
+    on the index itself: pick two single-term docs differing only that way."""
+    from searchengine_spark.operators import serve
+
+    post = (
+        idx["postings"]
+        .filter(F.col("term") == "spark")
+        .select(
+            "doc_id",
+            "tf",
+            F.size(F.filter(F.col("positions"), lambda p: p < F.lit(8))).alias("tfh"),
+        )
+        .collect()
+    )
+    early = {r["doc_id"] for r in post if r["tfh"] > 0}
+    late = {r["doc_id"] for r in post if r["tfh"] == 0}
+    if not early or not late:
+        pytest.skip("corpus lacks an early/late split for the probe term")
+    scores = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.bm25f_topk(
+            spark, idx, ["spark"], k=10_000, w_head=100.0, w_body=1.0
+        ).collect()
+    }
+    # compare same-tf pairs only (length normalization differs otherwise)
+    tf_of = {r["doc_id"]: r["tf"] for r in post}
+    pairs = [
+        (e, l)
+        for e in early
+        for l in late
+        if tf_of[e] == tf_of[l] and e in scores and l in scores
+    ]
+    if not pairs:
+        pytest.skip("no equal-tf early/late pair")
+    assert all(scores[e] > scores[l] for e, l in pairs[:50])
+
+
+def test_qld_matches_more_terms_scores_higher(spark, idx):
+    """A doc matching every query term must outrank a doc matching none —
+    trivially true by construction (absent docs aren't scored), so check
+    the weaker invariant the formula promises: top-1 matches >= 2 terms."""
+    from searchengine_spark.operators import serve
+
+    top = serve.qld_topk(spark, idx, TERMS, k=1).collect()
+    assert top
+    doc = top[0]["doc_id"]
+    n = (
+        idx["postings"]
+        .filter(F.col("term").isin(TERMS) & (F.col("doc_id") == doc))
+        .count()
+    )
+    assert n >= 2
+
+
+def test_exact_substring_spans_full_duplicate_span(spark):
+    """Two verbatim-identical docs must each carry one maximal span covering
+    the whole token range (1 .. len)."""
+    from searchengine_spark.operators.dedup import exact_substring_spans
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "only unique words here " * 10)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in exact_substring_spans(docs, window=16).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] == (1, 40, 25) and out[2] == (1, 40, 25)
