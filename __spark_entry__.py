@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_integer": lambda spark, sf: _pagerank_integer(spark, sf),
         # HITS hubs/authorities (exact-integer twin, same edge graph as PR)
         "hits_scores": lambda spark, sf: _hits_scores(spark, sf),
+        # personalized PageRank: teleport to a seed set — proximity-to-seeds
+        # ranking ("related pages"), exact-integer like its uniform sibling
+        "ppr_scores": lambda spark, sf: _ppr_scores(spark, sf),
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
         ),
@@ -174,6 +177,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regex code-search: literal-alternation trigram prefilter + verify
         "regex_search": lambda spark, sf: textstats.regex_search(
             _docs(spark, sf), "spark|merge"
+        ),
+        # code-search symbol index: def/class declarations per doc (seasoned
+        # code header — go-to-definition's backing table)
+        "symbol_definitions": lambda spark, sf: textstats.symbol_definitions(
+            _docs(spark, sf)
+        ),
+        # identifier-splitting tokenizer: camelCase/snake_case subtoken df
+        "ident_subtokens": lambda spark, sf: textstats.ident_subtokens(
+            _docs(spark, sf)
         ),
         # did-you-mean: SymSpell deletion-key join over the lexicon; the
         # oracle brute-forces levenshtein over the vocabulary
@@ -242,6 +254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seeded selections swap in for (exact-integer, unrolled SQL twin)
         "kmeans_centroids": lambda spark, sf: similarity.kmeans_centroids(
             emb(spark, sf), k=4, iterations=2
+        ),
+        # filtered vector search: metadata predicate pushed into the scan
+        # BEFORE scoring (the constrained-ANN query of production stores)
+        "ann_filtered_topk": lambda spark, sf: similarity.ann_filtered_topk(
+            emb(spark, sf), n_queries=8, k=5, label_value=1
         ),
         # IVF over the TRAINED k-means centroids — the swap-in the seeded
         # ivf_assignments documents, gated end-to-end (train -> assign ->
@@ -529,6 +546,18 @@ def _hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_integer(_docs(spark, sf_dir), iterations=5)
 
 
+def _ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import personalized_pagerank_integer
+
+    return personalized_pagerank_integer(_docs(spark, sf_dir), iterations=5, seed_below=3)
+
+
+def _ppr_scores_sql() -> str:
+    from searchengine_spark.operators.graph_demo import personalized_pagerank_sql
+
+    return personalized_pagerank_sql(iterations=5, seed_below=3)
+
+
 def _hits_scores_sql() -> str:
     from searchengine_spark.operators.graph_demo import hits_integer_sql
 
@@ -569,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         # even recall<1 output is hash-checkable — no more rows-only gate
         "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
         "kmeans_centroids": oracles.kmeans_sql(k=4, iterations=2),
+        "ann_filtered_topk": oracles.ann_filtered_sql(n_queries=8, k=5, label_value=1),
         "ann_ivf_kmeans_topk": oracles.ann_ivf_kmeans_sql(
             n_queries=8, k=5, n_clusters=4, iterations=2, nprobe=2
         ),
@@ -580,10 +610,13 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_search": oracles.wildcard_search_sql("s"),
         "substring_search": oracles.substring_search_sql("park"),
         "regex_search": oracles.regex_search_sql("spark|merge"),
+        "symbol_definitions": oracles.symbol_definitions_sql(),
+        "ident_subtokens": oracles.ident_subtokens_sql(),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "doc_keywords": oracles.doc_keywords_sql(k=3),
         "hits_scores": _hits_scores_sql(),
+        "ppr_scores": _ppr_scores_sql(),
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),

@@ -66,6 +66,10 @@ HEADLINE = [
     "dedup_survivors",
     "exact_substring_spans",
     "ann_ivf_kmeans_topk",
+    "ann_filtered_topk",
+    "symbol_definitions",
+    "ident_subtokens",
+    "ppr_scores",
     "decontaminate",
     "stratified_sample",
     "fetch_pages",

@@ -68,6 +68,61 @@ def pagerank_integer(
     return ranks.select("doc_id", F.col("r").alias("rank_scaled"))
 
 
+def personalized_pagerank_integer(
+    docs: DataFrame, iterations: int = 5, seed_below: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, rank_scaled) — personalized PageRank: teleport (and
+    dangling) mass returns to the SEED set (doc_id < seed_below) instead of
+    the whole graph, so ranks measure proximity to the seeds — the
+    "related pages" / topic-sensitive variant (Haveliwala 2002).
+
+    Same exact-integer contract and per-iteration plan as
+    :func:`pagerank_integer` (one edge join + aggregate, O(1)-row driver
+    scalars for the dangling mass, localCheckpoint lineage cuts); only the
+    base/dangling deposit is seed-gated. Initial mass = the teleport
+    distribution (SCALE/|S| on seeds, 0 elsewhere)."""
+    n_seeds = docs.filter(F.col(id_col) < seed_below).count()
+    if n_seeds == 0:
+        raise ValueError(f"no seeds: no {id_col} < {seed_below}")
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    edges = synthetic_edges(docs, id_col)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    e = edges.join(outdeg, "src")
+    src_set = outdeg.select(F.col("src").alias("doc_id"))
+    is_seed = F.col("doc_id") < seed_below
+
+    base = (SCALE * 15 // 100) // n_seeds
+    ranks = nodes.withColumn(
+        "r", F.when(is_seed, F.lit(SCALE // n_seeds)).otherwise(F.lit(0)).cast("long")
+    )
+    for _ in range(iterations):
+        dangling_total = (
+            ranks.join(src_set, "doc_id", "left_anti").agg(F.sum("r").alias("s")).collect()[0]["s"]
+            or 0
+        )
+        dang = (dangling_total * DAMP_NUM // DAMP_DEN) // n_seeds
+        contrib = (
+            e.join(ranks, e.src == ranks.doc_id)
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr(f"(r * {DAMP_NUM} div {DAMP_DEN}) div od").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.when(is_seed, F.lit(base) + F.lit(dang)).otherwise(F.lit(0))
+                + F.coalesce(F.col("in_sum"), F.lit(0))
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("doc_id", F.col("r").alias("rank_scaled"))
+
+
 def hits_integer(
     docs: DataFrame, iterations: int = 5, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -159,6 +214,53 @@ def hits_integer_sql(iterations: int = 5) -> str:
         with_block
         + f"\nSELECT a{iterations}.doc_id, a{iterations}.a AS auth, h{iterations}.h AS hub"
         + f"\nFROM a{iterations} JOIN h{iterations} USING (doc_id)"
+    )
+
+
+def personalized_pagerank_sql(iterations: int = 5, seed_below: int = 3) -> str:
+    """DuckDB twin of personalized_pagerank_integer: the fixed iteration
+    count unrolls into a CTE chain (the HITS pattern) — per step one
+    dangling-sum scalar and one contribution aggregate, seed-gated base
+    deposit."""
+    ctes = [
+        f"WITH {_EDGES_SQL},",
+        "outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1)",
+        f"ns AS (SELECT count(*)::BIGINT AS ns FROM nodes WHERE doc_id < {seed_below})",
+        f"""pr0 AS (
+  SELECT nd.doc_id,
+         (CASE WHEN nd.doc_id < {seed_below} THEN {SCALE} // ns.ns ELSE 0 END)::BIGINT AS r
+  FROM nodes nd, ns
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"pr{i - 1}"
+        ctes.append(
+            f"""d{i} AS (
+  SELECT (coalesce(sum(r), 0) * {DAMP_NUM} // {DAMP_DEN})::BIGINT AS dt
+  FROM {p} WHERE doc_id NOT IN (SELECT src FROM outdeg)
+)"""
+        )
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT nd.doc_id,
+         (CASE WHEN nd.doc_id < {seed_below}
+               THEN (({SCALE} * 15 // 100) // ns.ns) + (d.dt // ns.ns)
+               ELSE 0 END
+          + coalesce(c.v, 0))::BIGINT AS r
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum((p.r * {DAMP_NUM} // {DAMP_DEN}) // o.od)::BIGINT AS v
+    FROM edges e JOIN {p} p ON p.doc_id = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY 1
+  ) c USING (doc_id)
+  CROSS JOIN ns CROSS JOIN d{i} d
+)"""
+        )
+    return (
+        ctes[0]
+        + "\n"
+        + ",\n".join(ctes[1:])
+        + f"\nSELECT doc_id, r AS rank_scaled FROM pr{iterations}"
     )
 
 

@@ -81,9 +81,12 @@ def ann_bruteforce_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_ids: list[int] | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """For each query vector (the first ``n_queries`` by id, or the explicit
     ``query_ids`` set), the exact top-k cosine neighbors (excluding self).
+    ``corpus`` (default: the embeddings table itself) is the candidate side
+    — pass a filtered frame for metadata-constrained search.
 
     (query_id, rank, neighbor_id, cosine_micros) — deterministic ties by
     neighbor id.
@@ -107,6 +110,8 @@ def ann_bruteforce_topk(
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cosine_micros long"
         )
+    if corpus is None:
+        corpus = embeddings
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = _quantize_np(np.array([r[vec_col] for r in q_rows]))
     qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
@@ -132,7 +137,7 @@ def ann_bruteforce_topk(
                 out, columns=["query_id", "neighbor_id", "cosine_micros"]
             ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine_micros": "int64"})
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
+    scored = corpus.select(id_col, vec_col).mapInPandas(
         fn, "query_id long, neighbor_id long, cosine_micros long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_micros"), F.asc("neighbor_id"))
@@ -658,4 +663,36 @@ def ann_ivf_kmeans_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_micros")
+    )
+
+
+def ann_filtered_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    label_value: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Filtered vector search: exact top-k cosine among the vectors whose
+    metadata matches (``label = label_value``) — the constrained-ANN query
+    every production vector store serves ("nearest docs WHERE lang='en'").
+
+    This is the PRE-FILTER strategy: the predicate pushes into the parquet
+    scan before any scoring (``PushedFilters`` on the label column), so the
+    matmul touches only the qualifying fraction of the corpus — the right
+    plan when the filter is selective. (The alternative, post-filtering an
+    unconstrained ANN result, under-fills k whenever the filter is tighter
+    than the over-fetch; with the exact scorer there is no recall argument
+    for it.) Queries come from the UNfiltered table; self-matches are
+    excluded as usual. Output: (query_id, rank, neighbor_id,
+    cosine_micros)."""
+    return ann_bruteforce_topk(
+        embeddings,
+        n_queries=n_queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus=embeddings.filter(F.col(label_col) == label_value),
     )

@@ -515,3 +515,78 @@ def regex_search(
         "doc_id",
         F.expr(f"regexp_count(t, '{pattern.lower()}')").cast("long").alias("n_matches"),
     ).filter(F.col("n_matches") > 0)
+
+
+def symbol_definitions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, kind, symbol) — the symbol-definition index of a code-search
+    engine (Zoekt/ctags-style "go to definition"): every ``def name(`` and
+    ``class Name`` declaration, extracted per document.
+
+    The corpus is word-soup (no code), so the gate seasons each doc with a
+    deterministic code header derived from doc_id (the strip_html/pii_scrub
+    in-query synthesis pattern): ``def fn_{id%37}(arg):`` and
+    ``class Cls_{id%23}:`` lines prepended to the text. Extraction is
+    ``regexp_extract_all`` in the Java∩RE2 common dialect — one map over
+    the scan, no shuffle; at scale the output is the (symbol-keyed,
+    bucket-partitioned) definitions table point lookups hit."""
+    did = F.col(id_col)
+    seasoned = F.concat(
+        F.lit("def fn_"),
+        (did % 37).cast("string"),
+        F.lit("(arg):\n    pass\nclass Cls_"),
+        (did % 23).cast("string"),
+        F.lit(":\n    pass\n"),
+        F.col(text_col),
+    )
+    fn_pat = r"def ([a-zA-Z_][a-zA-Z0-9_]*)\s*\("
+    cls_pat = r"class ([a-zA-Z_][a-zA-Z0-9_]*)"
+    funcs = docs.select(
+        did,
+        F.lit("function").alias("kind"),
+        F.explode(F.regexp_extract_all(seasoned, F.lit(fn_pat), 1)).alias("symbol"),
+    )
+    classes = docs.select(
+        did,
+        F.lit("class").alias("kind"),
+        F.explode(F.regexp_extract_all(seasoned, F.lit(cls_pat), 1)).alias("symbol"),
+    )
+    return funcs.unionByName(classes)
+
+
+def ident_subtokens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(subtoken, df) — the identifier-splitting tokenizer of code search:
+    camelCase and snake_case identifiers index under their constituent
+    words (``getValueFast`` → get/value/fast), so a query for ``value``
+    finds them.
+
+    Seasoned like :func:`symbol_definitions`: each doc carries two
+    deterministic identifiers (``getValue{id%13}Fast``,
+    ``set_value_slow_{id%7}``). The split is the standard two-step:
+    lowercase-to-uppercase boundaries become spaces (regexp_replace with a
+    backreference — Spark ``$1 $2`` / RE2 ``\\1 \\2`` spellings, same
+    semantics), then lowercase and split on ``[_ ]``. One map + one
+    count-distinct aggregate keyed by subtoken — the postings-df shape."""
+    did = F.col(id_col)
+    seasoned = F.concat(
+        F.lit("getValue"),
+        (did % 13).cast("string"),
+        F.lit("Fast set_value_slow_"),
+        (did % 7).cast("string"),
+        F.lit(" "),
+        F.col(text_col),
+    )
+    idents = F.regexp_extract_all(
+        seasoned, F.lit(r"[a-zA-Z_][a-zA-Z0-9_]*"), 0
+    )
+    split = F.lower(
+        F.regexp_replace(
+            F.concat_ws(" ", idents), r"([a-z0-9])([A-Z])", r"$1 $2"
+        )
+    )
+    toks = F.filter(F.split(split, "[_ ]+"), lambda t: t != F.lit(""))
+    sub = docs.select(did, F.explode(F.array_distinct(toks)).alias("subtoken"))
+    return sub.groupBy("subtoken").agg(F.count(F.lit(1)).alias("df"))

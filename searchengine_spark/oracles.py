@@ -423,6 +423,81 @@ SELECT query_id, rank, neighbor_id, cosine_micros FROM (
 """
 
 
+def symbol_definitions_sql() -> str:
+    """Twin of textstats.symbol_definitions: same seasoned code header
+    (chr(10) newlines), same Java∩RE2 extraction patterns."""
+    season = (
+        "'def fn_' || (doc_id % 37)::VARCHAR || '(arg):' || chr(10) || "
+        "'    pass' || chr(10) || 'class Cls_' || (doc_id % 23)::VARCHAR || "
+        "':' || chr(10) || '    pass' || chr(10) || text"
+    )
+    return f"""
+WITH seasoned AS (SELECT doc_id, {season} AS s FROM documents)
+SELECT doc_id, 'function' AS kind,
+       unnest(regexp_extract_all(s, 'def ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS symbol
+FROM seasoned
+UNION ALL
+SELECT doc_id, 'class' AS kind,
+       unnest(regexp_extract_all(s, 'class ([a-zA-Z_][a-zA-Z0-9_]*)', 1)) AS symbol
+FROM seasoned
+"""
+
+
+def ident_subtokens_sql() -> str:
+    """Twin of textstats.ident_subtokens. Replacement backrefs are \\1 \\2
+    (RE2) vs Spark's $1 $2 — different spelling, same semantics — and
+    DuckDB regexp_replace needs the 'g' flag to match Spark's global
+    default."""
+    season = (
+        "'getValue' || (doc_id % 13)::VARCHAR || 'Fast set_value_slow_' || "
+        "(doc_id % 7)::VARCHAR || ' ' || text"
+    )
+    return f"""
+WITH seasoned AS (SELECT doc_id, {season} AS s FROM documents),
+ids AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(s, '[a-zA-Z_][a-zA-Z0-9_]*', 0), ' ') AS joined
+  FROM seasoned
+),
+subs AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           string_split_regex(
+             lower(regexp_replace(joined, '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),
+             '[_ ]+'),
+           x -> x <> '')) AS subtoken
+  FROM ids
+)
+SELECT subtoken, count(*)::BIGINT AS df FROM subs GROUP BY subtoken
+"""
+
+
+def ann_filtered_sql(n_queries: int = 8, k: int = 5, label_value: int = 1) -> str:
+    """Twin of similarity.ann_filtered_topk: the brute-force oracle with the
+    metadata predicate on the candidate side only."""
+    q = "list_transform(qv, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    c = "list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {q} AS qq, {c} AS cc
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label = {label_value}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_micros_sql("qq", "cc")} AS cosine_micros
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine_micros FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_micros DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def qld_topk_sql(terms: list[str], k: int = 10, mu: float = 100.0) -> str:
     """Twin of serve.qld_topk: Dirichlet query-likelihood, same float tree
     (ln(1 + tf·total/(μ·cf)) per posting, |q|·ln(μ/(dl+μ)) once per doc,
