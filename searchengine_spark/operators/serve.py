@@ -1033,8 +1033,13 @@ def hybrid_rrf_topk(
     contrib = lambda c: F.coalesce(  # noqa: E731 — tiny local expr builder
         F.round(F.lit(1e6) / (F.lit(rrf_k) + F.col(c))).cast("long"), F.lit(0)
     )
+    # outer-union fusion as id-union + two broadcast LEFT joins: Spark
+    # cannot broadcast a FULL OUTER join (it planned a sort-merge exchange
+    # even for these <= r-row sides), while left joins build-right broadcast
+    ids = lex.select("doc_id").union(vec.select("doc_id")).distinct()
     fused = (
-        lex.join(vec, "doc_id", "full_outer")
+        ids.join(F.broadcast(lex), "doc_id", "left")
+        .join(F.broadcast(vec), "doc_id", "left")
         .select("doc_id", (contrib("lrank") + contrib("vrank")).alias("rrf_micros"))
         .orderBy(F.desc("rrf_micros"), F.asc("doc_id"))
         .limit(k)

@@ -303,3 +303,66 @@ def test_synonym_topk_broadcasts_and_bounds(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25f_and_qld_share_the_pruned_serving_shape(spark):
+    """BM25F and QLD are per-posting expression swaps inside the SAME
+    pruned-scan + broadcast-lexicon plan as BM25: bucket partition pruning,
+    broadcast join, bounded top-k, no sort-merge join, no corpus scan."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    for df in (
+        serve.bm25f_topk(spark, idx, ["spark", "hash"], k=10),
+        serve.qld_topk(spark, idx, ["spark", "hash"], k=10),
+    ):
+        plan = plan_of(df)
+        assert "PartitionFilters" in plan
+        assert "bucket" in plan.split("PartitionFilters")[1].split("\n")[0]
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan
+        assert "documents" not in plan  # index-served: no corpus scan
+
+
+def test_ann_filtered_pushes_label_into_scan(spark):
+    """Filtered vector search is the PRE-filter strategy: the label
+    predicate must reach the parquet scan (PushedFilters), and the label
+    column must not survive into the scored projection."""
+    from searchengine_spark.operators import similarity
+    from searchengine_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(similarity.ann_filtered_topk(emb, n_queries=4, k=5, label_value=1))
+    assert "PushedFilters" in plan
+    assert "label" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_hybrid_rrf_fuses_bounded_sides(spark):
+    """RRF fusion: both retriever sides are bounded BEFORE the join — the
+    plan carries the lexical bounded top-k (TakeOrderedAndProject) and no
+    sort-merge join anywhere (two <= r-row frames join broadcast-side)."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+    from searchengine_spark.sources.tables import load_table
+
+    idx = gate_index(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(serve.hybrid_rrf_topk(spark, idx, emb, ["spark", "hash"], k=10, r=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_substring_spans_windows_by_doc_only(spark):
+    """The only window in the span merge partitions by doc_id (bounded by
+    doc length) — never an unkeyed or fp-keyed window."""
+    from searchengine_spark.operators.dedup import exact_substring_spans
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(exact_substring_spans(docs, window=16))
+    assert "No Partition Defined" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "partition" in line.lower():
+            assert "doc_id" in line
