@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": lambda spark, sf: similarity.kmeans_centroids(
             emb(spark, sf), k=4, iterations=2
         ),
+        # multi-probe LSH: each band probes its bucket + all Hamming-1
+        # buckets — the recall knob that needs no extra tables
+        "ann_lsh_multiprobe_topk": lambda spark, sf: similarity.ann_lsh_multiprobe_topk(
+            emb(spark, sf), n_queries=8, k=5
+        ),
         # filtered vector search: metadata predicate pushed into the scan
         # BEFORE scoring (the constrained-ANN query of production stores)
         "ann_filtered_topk": lambda spark, sf: similarity.ann_filtered_topk(
@@ -349,6 +354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": relational.top_bigrams,
         "user_daily_activity": relational.user_daily_activity,
         "events_hopping_window": relational.events_hopping_window,
+        # trailing time-RANGE frame (value-based window bounds): per-event
+        # count/sum/mean of the user's preceding hour
+        "events_moving_avg": relational.events_moving_avg,
         # collocation mining: bigram PMI (association), next to top_bigrams
         # (frequency)
         "pmi_top_pairs": lambda spark, sf: textstats.pmi_top_pairs(
@@ -599,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracles.ann_lsh_sql(n_queries=8, k=5),
         "kmeans_centroids": oracles.kmeans_sql(k=4, iterations=2),
         "ann_filtered_topk": oracles.ann_filtered_sql(n_queries=8, k=5, label_value=1),
+        "ann_lsh_multiprobe_topk": oracles.ann_lsh_multiprobe_sql(n_queries=8, k=5),
         "ann_ivf_kmeans_topk": oracles.ann_ivf_kmeans_sql(
             n_queries=8, k=5, n_clusters=4, iterations=2, nprobe=2
         ),
@@ -690,4 +699,5 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": oracles.top_bigrams_sql(),
         "user_daily_activity": oracles.user_daily_activity_sql(),
         "events_hopping_window": oracles.events_hopping_window_sql(),
+        "events_moving_avg": oracles.events_moving_avg_sql(hours=1),
     }

@@ -53,6 +53,7 @@ HEADLINE = [
     "simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "ann_pq_topk",
     "embedding_cosine_dups",
     "simhash_hamming_pairs",

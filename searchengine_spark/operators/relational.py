@@ -356,3 +356,40 @@ def next_word_suggest(spark: SparkSession, sf_dir: str, word: str, k: int = 5) -
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(k)
     )
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str, hours: int = 1) -> DataFrame:
+    """Trailing time-RANGE window frame: per event, the count / sum / mean
+    of ``value`` over the user's preceding ``hours`` (RANGE BETWEEN
+    <interval> PRECEDING AND CURRENT ROW) — the value-based frame class the
+    row-number windows elsewhere don't exercise.
+
+    Exactness: values quantize to bigint micros BEFORE the frame sum (a
+    sliding float sum would associate differently per engine — DuckDB uses
+    segment-tree aggregation); the frame key is microsecond epoch (exact
+    integer both sides); mean = integer division (values nonnegative, so
+    floor == truncate). Partition = user_id: bounded per-user event counts,
+    the events_sessionize shuffle shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the cast is
+        # the identity and matches DuckDB's naive epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(
+        -hours * 3_600_000_000, 0
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            F.sum("v").over(w).alias("sum_micros"),
+        )
+        .withColumn("avg_micros", F.expr("sum_micros div n_trailing"))
+    )

@@ -253,8 +253,22 @@ def ann_lsh_topk(
     qb = bands.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "band_id", "band_key"
     )
+    return _lsh_rerank(embeddings, bands, qb, n_queries, k, id_col, vec_col)
+
+
+def _lsh_rerank(
+    embeddings: DataFrame,
+    bands: DataFrame,
+    q_probes: DataFrame,
+    n_queries: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared LSH tail: corpus bands ⋈ broadcast query probes → distinct
+    candidates → exact integer-cosine rerank → per-query bounded top-k."""
     cand = (
-        bands.join(F.broadcast(qb), ["band_id", "band_key"])
+        bands.join(F.broadcast(q_probes), ["band_id", "band_key"])
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
@@ -275,6 +289,49 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_micros")
     )
+
+
+def ann_lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07 — the probe-all-Hamming-1
+    variant): each query band probes its own bucket PLUS every bucket whose
+    band key differs in exactly one bit. A near neighbor that lands one
+    plane-sign away from the query in some band is still found, so recall
+    rises steeply without more tables (bands) or a bigger index — the
+    query side merely expands ×(1+rows_per_band) probe rows, still a
+    broadcast.
+
+    Deterministic like the single-probe path (integer plane signs, exact
+    rerank), so the full probe set is hash-gated against its SQL twin.
+    Output: (query_id, rank, neighbor_id, cosine_micros). Superset
+    guarantee: candidates ⊇ the single-probe candidates (the original key
+    is always probed)."""
+    bands = lsh_bands(embeddings, n_planes, rows_per_band, dim, id_col, vec_col)
+    qb = bands.filter(F.col(id_col) < n_queries)
+    key = F.col("band_key")
+    probe_keys = [key]
+    for i in range(1, rows_per_band + 1):
+        ch = F.substring(key, i, 1)
+        flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        probe_keys.append(
+            F.concat(
+                F.substring(key, 1, i - 1), flipped, F.substring(key, i + 1, rows_per_band - i)
+            )
+        )
+    q_probes = qb.select(
+        F.col(id_col).alias("query_id"),
+        "band_id",
+        F.explode(F.array(*probe_keys)).alias("band_key"),
+    )
+    return _lsh_rerank(embeddings, bands, q_probes, n_queries, k, id_col, vec_col)
 
 
 def ivf_assignments(

@@ -1123,6 +1123,57 @@ SELECT query_id, rank, neighbor_id, cosine_micros FROM (
 """
 
 
+def ann_lsh_multiprobe_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    dim: int = 64,
+) -> str:
+    """Twin of similarity.ann_lsh_multiprobe_topk: the query side probes its
+    band key plus every Hamming-1 neighbor key."""
+    n_bands = n_planes // rows_per_band
+    return f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_sig_sql('v', n_planes, dim)} AS s FROM qe),
+bands AS (
+  SELECT vec_id, b.range AS band_id,
+         substr(s, (b.range * {rows_per_band} + 1)::INT, {rows_per_band}) AS band_key
+  FROM sig CROSS JOIN range({n_bands}) b
+),
+qprobes AS (
+  SELECT vec_id AS query_id, band_id, band_key
+  FROM bands WHERE vec_id < {n_queries}
+  UNION ALL
+  SELECT vec_id, band_id,
+         substr(band_key, 1, f.range::INT)
+         || (CASE WHEN substr(band_key, (f.range + 1)::INT, 1) = '1'
+                  THEN '0' ELSE '1' END)
+         || substr(band_key, (f.range + 2)::INT)
+  FROM bands CROSS JOIN range({rows_per_band}) f
+  WHERE vec_id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qprobes q JOIN bands c
+    ON q.band_id = c.band_id AND q.band_key = c.band_key
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_cos_micros_sql('qv.v', 'cv.v')} AS cosine_micros
+  FROM cand
+  JOIN qe qv ON qv.vec_id = cand.query_id
+  JOIN qe cv ON cv.vec_id = cand.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine_micros FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_micros DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def embedding_cosine_dups_sql(
     threshold_micros: int = 900_000,
     exact: bool = False,
@@ -1654,6 +1705,26 @@ def wildcard_search_sql(prefix: str) -> str:
 WITH {_TOKENS_CTE}
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS total_tf
 FROM post WHERE term LIKE '{prefix}%' GROUP BY doc_id
+"""
+
+
+def events_moving_avg_sql(hours: int = 1) -> str:
+    """Twin of relational.events_moving_avg: micros-quantized values summed
+    in an epoch-microsecond RANGE frame; integer-division mean."""
+    span = hours * 3_600_000_000
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w::BIGINT AS n_trailing,
+       sum(v) OVER w::BIGINT AS sum_micros,
+       (sum(v) OVER w // count(*) OVER w)::BIGINT AS avg_micros
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)
 """
 
 

@@ -105,3 +105,37 @@ def stream_events_hourly(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_dedup_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "dedup_stream",
+    watermark: str = "1 hour",
+):
+    """Streaming crawl dedup — the crawler's visited/fingerprint sets
+    (F5/F6, Crawler.java:56-78) as a stream: keep the FIRST page per content
+    fingerprint, dropping re-fetches that arrive within the watermark
+    horizon (``dropDuplicatesWithinWatermark``).
+
+    State is bounded by the watermark: a fingerprint's dedup key is evicted
+    once event time passes fetched_at + watermark, so unlike a batch
+    ``dropDuplicates`` (or an unwatermarked streaming one) the state store
+    never grows with the full crawl history — re-crawls beyond the horizon
+    legitimately re-enter (content may have changed; the batch crawl_delta
+    path reconciles). Page schema: (url, fingerprint, fetched_at, content).
+    """
+    schema = "url string, fingerprint string, fetched_at timestamp, content string"
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    deduped = stream.withWatermark("fetched_at", watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -210,3 +210,32 @@ def test_stream_sessionize_out_of_order(spark, tmp_path):
     s = closed[0]
     assert s["session_start_us"] == int((t0 - dt.timedelta(minutes=10)).timestamp() * 1e6)
     assert s["session_end_us"] == int((t0 + dt.timedelta(minutes=25)).timestamp() * 1e6)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming fingerprint dedup == batch dropDuplicates on fingerprint
+    when all rows fall inside the watermark: same fingerprint SET, exactly
+    one survivor each (which arrival survives is a streaming-order detail,
+    so the assertion is set-level)."""
+    import datetime as dt
+
+    from searchengine_spark.streaming.ingest import stream_dedup_pages
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (f"http://h/{i}", f"fp{i % 4}", t0 + dt.timedelta(minutes=i), f"body {i}")
+        for i in range(12)
+    ]
+    src = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "dckpt")
+    batch = spark.createDataFrame(
+        rows, "url string, fingerprint string, fetched_at timestamp, content string"
+    )
+    batch.write.parquet(src)
+
+    q = stream_dedup_pages(spark, src, ckpt, queryName="dedup_stream_t")
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream_t").collect()
+    want_fps = {r["fingerprint"] for r in batch.dropDuplicates(["fingerprint"]).collect()}
+    assert {r["fingerprint"] for r in got} == want_fps == {"fp0", "fp1", "fp2", "fp3"}
+    assert len(got) == len(want_fps)  # exactly one survivor per fingerprint
