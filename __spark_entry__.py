@@ -334,6 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_term_registers": lambda spark, sf: _hll_registers(spark, sf),
         # Count-Min sketch of token frequencies: sum-mergeable counters
         "cms_term_counters": lambda spark, sf: _cms_counters(spark, sf),
+        # Bloom filter: the crawler's visited set in O(m) state — one-sided
+        # error (no false negatives), probed with present + absent keys
+        "bloom_visited": _bloom_visited,
         "doc_fingerprints": lambda spark, sf: textstats.doc_fingerprints(_docs(spark, sf)),
         # --- relational coverage (joins/aggs/windows/rollup/events) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -441,6 +444,27 @@ def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.sketches import hll_registers
 
     return hll_registers(_docs(spark, sf_dir))
+
+
+def _bloom_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter visited-set over doc keys, probed with a present slice
+    (doc_id % 7 == 0) plus 50 known-absent keys."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import sketches
+
+    docs = _docs(spark, sf_dir)
+    key = F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("key")
+    positions = sketches.bloom_positions(docs.select(key))
+    probes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        key, F.lit(1).cast("long").alias("actually_present")
+    ).unionByName(
+        spark.range(50).select(
+            F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("key"),
+            F.lit(0).cast("long").alias("actually_present"),
+        )
+    )
+    return sketches.bloom_probe(positions, probes).join(F.broadcast(probes), "key")
 
 
 def _cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.lang_id_sql(),
         "hll_term_registers": oracles.hll_registers_sql(),
         "cms_term_counters": oracles.cms_counters_sql(),
+        "bloom_visited": oracles.bloom_visited_sql(),
         "doc_fingerprints": oracles.doc_fingerprints_sql(),
         "q1_pricing_summary": oracles.q1_pricing_sql(),
         "q3_top_orders": oracles.q3_top_orders_sql(),

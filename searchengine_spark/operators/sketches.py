@@ -134,3 +134,74 @@ def cms_estimate(counters: list[tuple[int, int, int]], term: str) -> int:
         v = cells.get((r, h), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+BLOOM_M = 65536  # bit positions
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_array(key_col: str, m: int, k: int):
+    """The k salted-md5 bit positions of a key — same 60-bit hash family as
+    the HLL/CMS sketches, so the DuckDB twin is a literal transcription."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom{i}:"), F.col(key_col))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_positions(
+    keys: DataFrame, key_col: str = "key", m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """The set-bit positions of a Bloom filter over ``keys`` — the crawler's
+    visited set (F5's "have we fetched this url?") in O(m) state instead of
+    O(urls): at 10^11 urls an exact visited set is terabytes of state per
+    frontier worker; a Bloom filter answers "definitely new / probably seen"
+    in a fixed budget, and the one-sided error is safe for crawling (a false
+    positive skips a re-fetch, never corrupts).
+
+    Representation is the DISTINCT position set (<= m rows, one bigint
+    each) rather than packed 64-bit words: packing is a storage-layer
+    detail (64x fewer rows) that is NOT engine-portable — DuckDB raises on
+    ``1::BIGINT << 63`` — while the position set is exactly as mergeable
+    (union = distinct-union, associative) and hash-gateable. The plan is a
+    row-local k-way fan-out then ONE map-side-combined distinct: shuffle
+    traffic is at most m rows per map partition regardless of key count,
+    the same fold shape as the HLL max and the CMS sum."""
+    return (
+        keys.select(F.explode(_bloom_pos_array(key_col, m, k)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    positions: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership probe: a key is ``maybe_present`` iff ALL k of its bit
+    positions are set (no false negatives; false-positive rate set by the
+    m/n load factor). The filter side is <= m rows, so it broadcasts; the
+    probe side stays partitioned — the visited-check inside the frontier
+    expansion join (crawl_frontier_bfs) at any scale."""
+    expanded = probes.select(
+        key_col, F.explode(_bloom_pos_array(key_col, m, k)).alias("pos")
+    )
+    hit = expanded.join(
+        F.broadcast(positions.withColumn("hit", F.lit(1))), "pos", "left"
+    )
+    return hit.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("maybe_present")
+    )

@@ -2528,3 +2528,39 @@ bfs(doc_id, depth) AS (
 )
 SELECT doc_id, min(depth)::INT AS depth FROM bfs GROUP BY 1
 """
+
+
+def bloom_visited_sql(m: int | None = None, k: int | None = None, n_absent: int = 50) -> str:
+    """Twin of sketches.bloom_positions + bloom_probe over doc keys: same
+    salted 60-bit md5 positions, DISTINCT position set, membership = all k
+    probe positions present. Defaults derive from sketches.BLOOM_M/BLOOM_K."""
+    if m is None or k is None:
+        from searchengine_spark.operators.sketches import BLOOM_K, BLOOM_M
+
+        m = BLOOM_M if m is None else m
+        k = BLOOM_K if k is None else k
+    return f"""
+WITH keys AS (SELECT 'doc:' || doc_id AS key FROM documents),
+pos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5('bloom' || h.range || ':' || key), 1, 15))
+              AS BIGINT) % {m} AS pos
+  FROM keys CROSS JOIN range({k}) h
+),
+probes AS (
+  SELECT 'doc:' || doc_id AS key, 1::BIGINT AS actually_present
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'absent:' || i.range, 0::BIGINT FROM range({n_absent}) i
+),
+pp AS (
+  SELECT key, actually_present,
+         CAST(('0x' || substr(md5('bloom' || h.range || ':' || key), 1, 15))
+              AS BIGINT) % {m} AS pos
+  FROM probes CROSS JOIN range({k}) h
+)
+SELECT pp.key, pp.actually_present,
+       min(CASE WHEN p.pos IS NULL THEN 0 ELSE 1 END)::BIGINT AS maybe_present
+FROM pp LEFT JOIN pos p ON p.pos = pp.pos
+GROUP BY pp.key, pp.actually_present
+"""

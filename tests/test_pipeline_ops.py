@@ -475,3 +475,44 @@ def test_cms_never_underestimates_and_heavy_terms_exactish(spark):
         assert sum(n for row, _, n in counters if row == r) == total
     for term, n in true.items():
         assert sketches.cms_estimate(counters, term) >= n
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """(a) every inserted key probes maybe_present (the Bloom one-sided
+    guarantee — a false negative would make the crawler re-skip a page it
+    never fetched); (b) the position set of the whole key set equals the
+    distinct-union of the halves' position sets (mergeability — per-
+    partition filters fold by union, the property the representation
+    exists for); (c) a saturation sanity bound: known-absent keys don't
+    all collide into false positives at this load factor."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import sketches
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    keys = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("key")
+    )
+    positions = sketches.bloom_positions(keys)
+
+    present = keys.withColumn("actually_present", F.lit(1).cast("long"))
+    absent = spark.range(200).select(
+        F.concat(F.lit("nope:"), F.col("id").cast("string")).alias("key"),
+        F.lit(0).cast("long").alias("actually_present"),
+    )
+    got = {
+        r.key: r.maybe_present
+        for r in sketches.bloom_probe(positions, present.unionByName(absent)).collect()
+    }
+    inserted = {r.key for r in keys.collect()}
+    assert all(got[k] == 1 for k in inserted)  # no false negatives, ever
+    fps = sum(got[f"nope:{i}"] for i in range(200))
+    assert fps <= 40  # ~500 keys * 4 hashes in 65536 bits -> fp ~ 1e-5
+
+    even = keys.filter(F.col("key").substr(5, 99).cast("long") % 2 == 0)
+    odd = keys.filter(F.col("key").substr(5, 99).cast("long") % 2 == 1)
+    merged = sketches.bloom_positions(even).unionByName(
+        sketches.bloom_positions(odd)
+    ).distinct()
+    assert {r.pos for r in merged.collect()} == {r.pos for r in positions.collect()}
