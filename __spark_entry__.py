@@ -329,6 +329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle embeds each stage's gate SQL verbatim)
         "training_chunks": lambda spark, sf: _training_chunks(spark, sf),
         "lang_id": lambda spark, sf: textstats.lang_id(_docs(spark, sf)),
+        # trained classifier (the CCNet/fastText quality-filter analog):
+        # count-trained multinomial NB over a seasoned lang-labeled slice,
+        # per-token log-likelihoods in micros, held-out slice predicted
+        "nb_lang_classify": _nb_lang_classify,
         # HLL distinct-term sketch: portable md5 registers, max-merge —
         # the sub-linear-state cardinality path for 100 TB analytics
         "hll_term_registers": lambda spark, sf: _hll_registers(spark, sf),
@@ -465,6 +469,16 @@ def _bloom_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sketches.bloom_probe(positions, probes).join(F.broadcast(probes), "key")
+
+
+def _nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season docs with per-lang marker phrases (corpus text is otherwise
+    label-independent), train NB on doc_id%10<8, predict the held-out 20%."""
+    from searchengine_spark.operators import classify
+
+    return classify.nb_train_predict(
+        classify.season_lang_markers(_docs(spark, sf_dir)), label_col="lang"
+    )
 
 
 def _cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM
         ),
         "lang_id": oracles.lang_id_sql(),
+        "nb_lang_classify": oracles.nb_lang_classify_sql(),
         "hll_term_registers": oracles.hll_registers_sql(),
         "cms_term_counters": oracles.cms_counters_sql(),
         "bloom_visited": oracles.bloom_visited_sql(),

@@ -2564,3 +2564,83 @@ SELECT pp.key, pp.actually_present,
 FROM pp LEFT JOIN pos p ON p.pos = pp.pos
 GROUP BY pp.key, pp.actually_present
 """
+
+
+def nb_lang_classify_sql() -> str:
+    """Twin of classify.season_lang_markers + nb_train_predict over the lang
+    label: identical seasoning CASE/repeat tree, identical tokenization,
+    Laplace-smoothed multinomial NB with per-token ln() rounded to micros
+    BEFORE the tf-weighted sum (the unigram_logprob contract), argmax with
+    ascending-label tie-break."""
+    from searchengine_spark.operators.classify import SEASON_MARKERS
+
+    case = "NULL"
+    for lang in sorted(SEASON_MARKERS, reverse=True):
+        phrase = " " + " ".join(SEASON_MARKERS[lang])
+        case = f"CASE WHEN lang = '{lang}' THEN '{phrase}' ELSE {case} END"
+    return f"""
+WITH seasoned AS (
+  SELECT doc_id, lang,
+         text || repeat(coalesce({case}, ''), CAST(2 + doc_id % 3 AS INT)) AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, lang AS label_true,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+         doc_id % 10 < 8 AS is_train
+  FROM seasoned
+),
+train_toks AS (
+  SELECT label_true AS cand, unnest(toks) AS token FROM base WHERE is_train
+),
+model AS (
+  SELECT cand, token, count(*)::BIGINT AS cnt FROM train_toks GROUP BY 1, 2
+),
+class_tot AS (
+  SELECT cand, count(*)::BIGINT AS total_c FROM train_toks GROUP BY 1
+),
+prior_docs AS (
+  SELECT label_true AS cand, count(*)::BIGINT AS n_docs_c FROM base WHERE is_train GROUP BY 1
+),
+consts AS (
+  SELECT (SELECT count(*)::BIGINT FROM base WHERE is_train) AS n_train,
+         (SELECT count(DISTINCT token)::BIGINT FROM train_toks) AS v
+),
+classes AS (
+  SELECT ct.cand, ct.total_c, c.v,
+         CAST(round(1e6 * ln(CAST(pd.n_docs_c AS DOUBLE) / CAST(c.n_train AS DOUBLE)))
+              AS BIGINT) AS prior_micros
+  FROM class_tot ct JOIN prior_docs pd ON pd.cand = ct.cand CROSS JOIN consts c
+),
+test_tf AS (
+  SELECT doc_id, unnest(toks) AS token FROM base WHERE NOT is_train
+),
+test_tf_g AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM test_tf GROUP BY 1, 2
+),
+tok_sums AS (
+  SELECT t.doc_id, cl.cand,
+         sum(t.tf * CAST(round(1e6 * ln(CAST(coalesce(m.cnt, 0) + 1 AS DOUBLE)
+                                        / CAST(cl.total_c + cl.v AS DOUBLE)))
+                         AS BIGINT))::BIGINT AS tok_sum
+  FROM test_tf_g t
+  CROSS JOIN classes cl
+  LEFT JOIN model m ON m.cand = cl.cand AND m.token = t.token
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT b.doc_id, b.label_true, cl.cand,
+         cl.prior_micros + coalesce(ts.tok_sum, 0) AS score_micros
+  FROM base b
+  CROSS JOIN classes cl
+  LEFT JOIN tok_sums ts ON ts.doc_id = b.doc_id AND ts.cand = cl.cand
+  WHERE NOT b.is_train
+),
+ranked AS (
+  SELECT doc_id, label_true, cand, score_micros,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_micros DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, label_true, cand AS label_pred, score_micros
+FROM ranked WHERE rn = 1
+"""

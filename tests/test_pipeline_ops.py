@@ -516,3 +516,28 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
         sketches.bloom_positions(odd)
     ).distinct()
     assert {r.pos for r in merged.collect()} == {r.pos for r in positions.collect()}
+
+
+def test_nb_classifier_learns_and_covers_heldout(spark):
+    """(a) every held-out doc gets exactly one prediction row (prior-only
+    docs included — a doc whose text tokenizes to nothing must not drop);
+    (b) accuracy floor on the seasoned corpus: the count-trained model must
+    actually learn the marker distributions (>= 0.9 here; a broken
+    smoothing/prior/argmax would land near the 0.44 majority-class rate);
+    (c) an UNSEASONED corpus stays label-independent, so predictions
+    collapse toward the prior argmax — the seasoning is what carries
+    signal, not a leak in the split."""
+    from searchengine_spark.operators import classify
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pred = classify.nb_train_predict(
+        classify.season_lang_markers(docs), label_col="lang"
+    ).collect()
+    n_test = docs.filter(F.col("doc_id") % 10 >= 8).count()
+    assert len(pred) == n_test
+    assert len({r["doc_id"] for r in pred}) == n_test
+    acc = sum(1 for r in pred if r["label_pred"] == r["label_true"]) / n_test
+    assert acc >= 0.9
+    plain = classify.nb_train_predict(docs, label_col="lang").collect()
+    plain_acc = sum(1 for r in plain if r["label_pred"] == r["label_true"]) / len(plain)
+    assert plain_acc < acc
