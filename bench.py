@@ -80,6 +80,8 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "lang_id",
+    "nb_lang_classify",
+    "bloom_visited",
     "fuzzy_suggest",
     "unigram_logprob",
     "doc_chunks",

@@ -65,7 +65,11 @@ def build_index(
     if not manifest.is_done("postings", fp):
         with lin.StageTimer() as t:
             post = postings_ops.build_postings(docs)
-            lin.publish_stage(post, index_dir, "postings")
+            # vocab is unknown pre-lexicon; n_docs is the standard proxy
+            # ceiling for per-file distinct terms in an unpartitioned write
+            lin.publish_stage(
+                post, index_dir, "postings", options=lin.term_bloom_options(n_docs)
+            )
         parts = lin.partition_metrics(stage_path("postings"))
         n_post = sum(p["rows"] for p in parts)
         lin.append_lineage(spark, index_dir, "postings", fp, parts, n_post, 0, 1.0, t.wall_ms)
@@ -122,9 +126,17 @@ def build_index(
         span = shard_span or (
             int(env_span) if env_span else min(1 << 20, max(4096, n_docs // 256))
         )
+        n_terms = sum(p["rows"] for p in lin.partition_metrics(stage_path("lexicon")))
         with lin.StageTimer() as t:
             seg = encode_segments(post, lex, avgdl, shard_span=span)
-            lin.publish_stage(seg, index_dir, "segments", partition_by=["bucket"])
+            lin.publish_stage(
+                seg,
+                index_dir,
+                "segments",
+                partition_by=["bucket"],
+                # bucket-partitioned: each file sees ~vocab/n_buckets terms
+                options=lin.term_bloom_options(n_terms // 64),
+            )
         parts = lin.partition_metrics(stage_path("segments"))
         seg_bytes = sum(p["bytes"] for p in parts)
         lin.append_lineage(spark, index_dir, "segments", fp, parts, n_post, seg_bytes, skew, t.wall_ms)

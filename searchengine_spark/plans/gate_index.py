@@ -43,7 +43,7 @@ from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
 from searchengine_spark.operators.ir import idf_bm25_expr, idf_compat_expr
 from searchengine_spark.sources.tables import load_table
 
-GATE_INDEX_VERSION = 1
+GATE_INDEX_VERSION = 2  # v2: term bloom filters on postings/segments files
 N_BUCKETS = 64
 
 # in-memory cache: (spark appId, digest) -> handles dict
@@ -88,9 +88,11 @@ def build_gate_index(spark: SparkSession, sf_dir: str, base: str) -> None:
         .join(dls, "doc_id")
         .withColumn("bucket", F.pmod(F.hash("term"), F.lit(N_BUCKETS)).cast("int"))
     )
-    post.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(base, "postings")
-    )
+    from searchengine_spark.plans.lineage import term_bloom_options
+
+    post.write.mode("overwrite").options(**term_bloom_options(1 << 14)).partitionBy(
+        "bucket"
+    ).parquet(os.path.join(base, "postings"))
     post = spark.read.parquet(os.path.join(base, "postings"))
 
     # scalars (one tiny narrow agg over the documents scan)
@@ -123,9 +125,9 @@ def build_gate_index(spark: SparkSession, sf_dir: str, base: str) -> None:
     seg = encode_segments(
         seg_in, spark.read.parquet(os.path.join(base, "lexicon")), avgdl, shard_span=span
     )
-    seg.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(base, "segments")
-    )
+    seg.write.mode("overwrite").options(**term_bloom_options(1 << 14)).partitionBy(
+        "bucket"
+    ).parquet(os.path.join(base, "segments"))
 
     with open(os.path.join(base, "meta.json"), "w") as f:
         json.dump({"n_docs": n_docs, "sum_dl": sum_dl, "shard_span": span}, f)

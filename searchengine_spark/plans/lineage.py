@@ -68,13 +68,38 @@ def corpus_fingerprint(corpus: DataFrame) -> str:
     return f"{row['x']}:{row['c']}"
 
 
-def publish_stage(df: DataFrame, index_dir: str, stage: str, partition_by: list[str] | None = None) -> str:
+def term_bloom_options(expected_ndv: int) -> dict[str, str]:
+    """Parquet bloom filter on the ``term`` column for index-table writes.
+
+    Term-keyed serve paths push ``term = / term IN`` into the scan; parquet
+    min/max stats barely prune them because applyInPandas/shuffle output
+    interleaves terms across row groups (wide min/max ranges), while a
+    row-group bloom answers "term definitely absent" exactly where it
+    matters: point lookups against a 100 TB postings/segments table skip
+    every row group that lacks the query's terms. Size by the expected
+    distinct terms PER FILE (vocab / write-partition fan-out), not the
+    global vocab — oversizing just burns the per-row-group bloom budget."""
+    return {
+        "parquet.bloom.filter.enabled#term": "true",
+        "parquet.bloom.filter.expected.ndv#term": str(max(1024, int(expected_ndv))),
+    }
+
+
+def publish_stage(
+    df: DataFrame,
+    index_dir: str,
+    stage: str,
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> str:
     """Write-to-tmp + atomic rename publish of one stage table."""
     final = os.path.join(index_dir, stage)
     tmp = os.path.join(index_dir, f"_tmp_{stage}")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     writer = df.write.mode("overwrite")
+    if options:
+        writer = writer.options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
