@@ -333,6 +333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-trained multinomial NB over a seasoned lang-labeled slice,
         # per-token log-likelihoods in micros, held-out slice predicted
         "nb_lang_classify": _nb_lang_classify,
+        # tokenizer training: BPE merge rules learned from corpus word
+        # counts (one corpus-scale aggregate; merges iterate the vocab)
+        "bpe_merges": lambda spark, sf: _bpe_merges(spark, sf),
         # HLL distinct-term sketch: portable md5 registers, max-merge —
         # the sub-linear-state cardinality path for 100 TB analytics
         "hll_term_registers": lambda spark, sf: _hll_registers(spark, sf),
@@ -469,6 +472,12 @@ def _bloom_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sketches.bloom_probe(positions, probes).join(F.broadcast(probes), "key")
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators import bpe
+
+    return bpe.bpe_train(_docs(spark, sf_dir), n_merges=6)
 
 
 def _nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": oracles.lang_id_sql(),
         "nb_lang_classify": oracles.nb_lang_classify_sql(),
+        "bpe_merges": oracles.bpe_merges_sql(n_merges=6),
         "hll_term_registers": oracles.hll_registers_sql(),
         "cms_term_counters": oracles.cms_counters_sql(),
         "bloom_visited": oracles.bloom_visited_sql(),

@@ -81,6 +81,7 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "nb_lang_classify",
+    "bpe_merges",
     "bloom_visited",
     "fuzzy_suggest",
     "unigram_logprob",

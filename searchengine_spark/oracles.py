@@ -2644,3 +2644,49 @@ ranked AS (
 SELECT doc_id, label_true, cand AS label_pred, score_micros
 FROM ranked WHERE rn = 1
 """
+
+
+def bpe_merges_sql(n_merges: int = 6) -> str:
+    """Twin of bpe.bpe_train: unrolled per-merge CTE chain (the HITS/kmeans
+    oracle pattern — recursive CTEs can't re-aggregate per step). Identical
+    boundary-safe '|sym|' encoding, identical literal (non-regex) replace,
+    identical (total DESC, left, right) argmax tie-break. An exhausted
+    pair table empties every later CTE — same early-stop as the Spark loop."""
+    parts = ["""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+seq_0 AS (SELECT n, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq FROM wc)"""]
+    for t in range(n_merges):
+        parts.append(f""",
+arr_{t} AS (
+  SELECT n, string_split(trim(seq, '|'), '||') AS a FROM seq_{t}
+),
+pairs_{t} AS (
+  SELECT n,
+         unnest(list_transform(generate_series(1, len(a) - 1),
+                               i -> a[i] || chr(9) || a[i + 1])) AS pair
+  FROM arr_{t} WHERE len(a) >= 2
+),
+best_{t} AS (
+  SELECT split_part(pair, chr(9), 1) AS l,
+         split_part(pair, chr(9), 2) AS r,
+         sum(n)::BIGINT AS total
+  FROM pairs_{t} GROUP BY 1, 2
+  ORDER BY total DESC, l ASC, r ASC LIMIT 1
+),
+seq_{t + 1} AS (
+  SELECT s.n,
+         replace(s.seq, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS seq
+  FROM seq_{t} s CROSS JOIN best_{t} b
+)""")
+    selects = [
+        f"""SELECT {t} AS merge_id, l AS "left", r AS "right",
+       l || r AS new_symbol, total AS pair_count FROM best_{t}"""
+        for t in range(n_merges)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

@@ -541,3 +541,30 @@ def test_nb_classifier_learns_and_covers_heldout(spark):
     plain = classify.nb_train_predict(docs, label_col="lang").collect()
     plain_acc = sum(1 for r in plain if r["label_pred"] == r["label_true"]) / len(plain)
     assert plain_acc < acc
+
+
+def test_bpe_train_properties(spark):
+    """(a) best-pair counts are non-increasing (merging the global-max pair
+    can only create pairs bounded by its count); (b) new_symbol = left+right
+    and rules are distinct; (c) encoding the corpus words with the learned
+    rules reproduces greedy BPE: every learned symbol appears as a piece,
+    and concatenating a word's pieces restores the word; (d) rules are
+    identical under a different input partitioning (determinism)."""
+    from searchengine_spark.operators import bpe
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rules = bpe.bpe_train(docs, n_merges=6).orderBy("merge_id").collect()
+    assert len(rules) == 6
+    counts = [r["pair_count"] for r in rules]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["new_symbol"] == r["left"] + r["right"] for r in rules)
+    assert len({(r["left"], r["right"]) for r in rules}) == 6
+
+    words = bpe.word_counts(docs).select("word")
+    enc = bpe.bpe_encode(words, [(r["left"], r["right"]) for r in rules]).collect()
+    assert all("".join(row["pieces"]) == row["word"] for row in enc)
+    seen_pieces = {p for row in enc for p in row["pieces"]}
+    assert {r["new_symbol"] for r in rules} <= seen_pieces
+
+    rules2 = bpe.bpe_train(docs.repartition(13), n_merges=6).orderBy("merge_id").collect()
+    assert [tuple(r) for r in rules2] == [tuple(r) for r in rules]
