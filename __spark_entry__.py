@@ -336,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer training: BPE merge rules learned from corpus word
         # counts (one corpus-scale aggregate; merges iterate the vocab)
         "bpe_merges": lambda spark, sf: _bpe_merges(spark, sf),
+        # apply the learned merges back to the vocabulary (subword
+        # segmentation — what the trained tokenizer does to new text)
+        "bpe_encode": _bpe_encode,
         # HLL distinct-term sketch: portable md5 registers, max-merge —
         # the sub-linear-state cardinality path for 100 TB analytics
         "hll_term_registers": lambda spark, sf: _hll_registers(spark, sf),
@@ -478,6 +481,22 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators import bpe
 
     return bpe.bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 6 merges, then segment the training vocabulary with them —
+    the rules table is a 6-row driver scalar (the kmeans/PageRank loop
+    pattern); the encode itself is a map-only expression over the vocab."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    rules = bpe.bpe_train(docs, n_merges=6).orderBy("merge_id").collect()
+    enc = bpe.bpe_encode(bpe.word_counts(docs), [(r["left"], r["right"]) for r in rules])
+    return enc.select(
+        "word", "n", F.array_join("pieces", " ").alias("segmented")
+    )
 
 
 def _nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.lang_id_sql(),
         "nb_lang_classify": oracles.nb_lang_classify_sql(),
         "bpe_merges": oracles.bpe_merges_sql(n_merges=6),
+        "bpe_encode": oracles.bpe_encode_sql(n_merges=6),
         "hll_term_registers": oracles.hll_registers_sql(),
         "cms_term_counters": oracles.cms_counters_sql(),
         "bloom_visited": oracles.bloom_visited_sql(),

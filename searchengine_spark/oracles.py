@@ -2646,12 +2646,16 @@ FROM ranked WHERE rn = 1
 """
 
 
-def bpe_merges_sql(n_merges: int = 6) -> str:
-    """Twin of bpe.bpe_train: unrolled per-merge CTE chain (the HITS/kmeans
-    oracle pattern — recursive CTEs can't re-aggregate per step). Identical
-    boundary-safe '|sym|' encoding, identical literal (non-regex) replace,
-    identical (total DESC, left, right) argmax tie-break. An exhausted
-    pair table empties every later CTE — same early-stop as the Spark loop."""
+def _bpe_chain_sql(n_merges: int) -> str:
+    """Shared unrolled BPE CTE chain (the HITS/kmeans oracle pattern —
+    recursive CTEs can't re-aggregate per step). Identical boundary-safe
+    '|sym|' encoding, identical literal (non-regex) replace, identical
+    (total DESC, left, right) argmax tie-break as bpe.bpe_train. Each seq
+    table carries the original word so the encode twin can read the final
+    segmentation. Pair exhaustion empties best_t; the LEFT JOIN then passes
+    seq through unchanged — the same fixpoint the Spark loop's early break
+    leaves behind (best_t stays empty for every later step, so the merges
+    twin's early-stop is unchanged)."""
     parts = ["""
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2659,7 +2663,7 @@ WITH toks AS (
   FROM documents
 ),
 wc AS (SELECT word, count(*)::BIGINT AS n FROM toks GROUP BY 1),
-seq_0 AS (SELECT n, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq FROM wc)"""]
+seq_0 AS (SELECT word, n, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq FROM wc)"""]
     for t in range(n_merges):
         parts.append(f""",
 arr_{t} AS (
@@ -2679,14 +2683,30 @@ best_{t} AS (
   ORDER BY total DESC, l ASC, r ASC LIMIT 1
 ),
 seq_{t + 1} AS (
-  SELECT s.n,
-         replace(s.seq, '|' || b.l || '||' || b.r || '|',
-                 '|' || b.l || b.r || '|') AS seq
-  FROM seq_{t} s CROSS JOIN best_{t} b
+  SELECT s.word, s.n,
+         CASE WHEN b.l IS NULL THEN s.seq
+              ELSE replace(s.seq, '|' || b.l || '||' || b.r || '|',
+                           '|' || b.l || b.r || '|') END AS seq
+  FROM seq_{t} s LEFT JOIN best_{t} b ON TRUE
 )""")
+    return "".join(parts)
+
+
+def bpe_merges_sql(n_merges: int = 6) -> str:
+    """Twin of bpe.bpe_train — the learned merge table (see _bpe_chain_sql)."""
     selects = [
         f"""SELECT {t} AS merge_id, l AS "left", r AS "right",
        l || r AS new_symbol, total AS pair_count FROM best_{t}"""
         for t in range(n_merges)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_chain_sql(n_merges) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_encode_sql(n_merges: int = 6) -> str:
+    """Twin of bpe.bpe_encode over the training vocabulary: the final seq
+    table of the merge chain IS the rules applied in merge order, so the
+    segmentation of every corpus word falls out of the same CTE chain."""
+    return _bpe_chain_sql(n_merges) + f"""
+SELECT word, n,
+       array_to_string(string_split(trim(seq, '|'), '||'), ' ') AS segmented
+FROM seq_{n_merges}"""
