@@ -106,6 +106,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # publish stages on bandwidth-starved hosts are written-bytes-bound:
+        # zstd cuts parquet bytes ~30% vs snappy for text/postings/segments
+        # at equal wall time, trading spare high-core CPU for IO the box
+        # can't add (A/B'd in BENCH.md "Parquet codec A/B")
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.driver.memory", driver_mem)
         # -Xms == -Xmx + AlwaysPreTouch: fault the whole heap in at session
         # startup (untimed) instead of per-stage — 32 task threads first-
