@@ -576,6 +576,28 @@ envelope, is the closest sandbox analogue of adding real executors.
 
 Reproduce: `python bench.py --scaling --docs {out["docs"]} --levels {",".join(str(lv) for lv in levels)}`
 
+## Parquet codec A/B (snappy vs zstd publish writes)
+
+Interleaved same-window A/B at 400k docs (subprocess builds, 2-3 rounds
+per cell, per-cell BEST; raw rounds shown — same-config spread reaches
+2.3× on this host, so single samples are meaningless):
+
+| codec | local[8] best (s) | local[32] best (s) | segment bytes | raw rounds 8 | raw rounds 32 |
+|---|---|---|---|---|---|
+| snappy | 74.45 | 59.18 | 76,596,046 | [74.45, 170.54, 80.65] | [81.07, 75.75, 59.18] |
+| zstd | 63.47 | 64.87 | 54,230,687 | [63.47, 121.68, 90.09] | [64.87, 153.81] |
+
+Wall-time verdict: a wash — zstd wins the 8-core cells, snappy the
+32-core best, both by less than the same-config spread. Bytes verdict:
+zstd writes **29-31% fewer bytes** in every cell (segments 54.2 MB vs
+76.6 MB; same ratio on the documents/postings parquet). The default is
+**zstd** (`SPARK_GRAFT_PARQUET_CODEC` overrides): on this
+bandwidth-starved box the publish stages are written-bytes-bound, and at
+the 100 TB design point a ~30% cut in index footprint + publish IO +
+downstream scan bytes compounds across every stage that reads the index
+back (gate serving, compaction, incremental merge), while the extra
+compression CPU lands on cores the high-parallelism cells leave idle.
+
 ## spark-submit --py-files (north rule submission mode)
 
 Verified working, with the package supplied ONLY via --py-files (run from
