@@ -82,6 +82,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": lambda spark, sf: serve.bm25_topk_maxscore(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # STATIC index pruning (impact-ordered per-term posting truncation,
+        # full-index idf) — the lossy serving-tier variant beside the two
+        # lossless dynamic-pruning paths above
+        "bm25_topk_pruned": lambda spark, sf: serve.bm25_topk_pruned(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK, max_postings=64
+        ),
         "tfidf_topk": lambda spark, sf: serve.tfidf_topk(
             spark, gate_index(spark, sf), TFIDF_TERMS, k=TOPK
         ),
@@ -161,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # personalized PageRank: teleport to a seed set — proximity-to-seeds
         # ranking ("related pages"), exact-integer like its uniform sibling
         "ppr_scores": lambda spark, sf: _ppr_scores(spark, sf),
+        # anchor-text propagation: in-link anchor phrases credited to the
+        # TARGET doc (the rank-pages-for-terms-they-don't-contain signal)
+        "anchor_terms": lambda spark, sf: _anchor_terms(spark, sf),
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
         ),
@@ -227,6 +236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the dedup keep-list: one canonical doc (+ cluster size) per
         # near-dup cluster — what downstream stages semi-join against
         "dedup_survivors": lambda spark, sf: _dedup_survivors(spark, sf),
+        # corpus-level line dedup (CCNet/RefinedWeb boilerplate pass): a
+        # line survives only at its globally first occurrence; lines are
+        # seasoned 8-token windows (corpus has no newlines)
+        "line_dedup": lambda spark, sf: dedup.line_dedup(
+            _docs(spark, sf), line_tokens=8
+        ),
         # eval-leakage check: n-gram overlap vs the deterministic benchmark
         # slice of the corpus
         "decontaminate": lambda spark, sf: dedup.decontaminate(_docs(spark, sf), n=5),
@@ -626,6 +641,18 @@ def _ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank_integer(_docs(spark, sf_dir), iterations=5, seed_below=3)
 
 
+def _anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import anchor_terms
+
+    return anchor_terms(_docs(spark, sf_dir), n_anchor_tokens=3)
+
+
+def _anchor_terms_sql() -> str:
+    from searchengine_spark.operators.graph_demo import anchor_terms_sql
+
+    return anchor_terms_sql(n_anchor_tokens=3)
+
+
 def _ppr_scores_sql() -> str:
     from searchengine_spark.operators.graph_demo import personalized_pagerank_sql
 
@@ -653,6 +680,9 @@ def oracle_sql() -> dict[str, str]:
         # compressed index is hash-gated, not just property-tested
         "bm25_topk_wand": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_topk_maxscore": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
+        "bm25_topk_pruned": oracles.bm25_topk_pruned_sql(
+            BM25_TERMS, k=TOPK, max_postings=64
+        ),
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
@@ -705,6 +735,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_bfs": oracles.frontier_bfs_sql(seed_below=5, max_depth=4),
         "next_word_suggest": oracles.next_word_suggest_sql("hash", k=5),
         "dedup_exact": oracles.exact_dedup_sql(),
+        "line_dedup": oracles.line_dedup_sql(line_tokens=8),
+        "anchor_terms": _anchor_terms_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(
             n=3,
             threshold_micros=100_000,

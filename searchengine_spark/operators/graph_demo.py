@@ -291,3 +291,61 @@ pr(it, doc_id, r) AS (
 )
 SELECT doc_id, r AS rank_scaled FROM pr WHERE it = {iterations}
 """
+
+
+def anchor_terms(
+    docs: DataFrame,
+    n_anchor_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, anchor_tf) — anchor-text propagation: the classic
+    web-ranking signal that the words AROUND a link describe its TARGET
+    (what lets engines rank pages for terms they never contain).
+
+    The deterministic anchor analog for the synthetic graph: each edge
+    carries the first ``n_anchor_tokens`` tokens of its SOURCE doc as the
+    link's anchor phrase; ``anchor_tf`` counts, per target doc and term,
+    how many in-links anchor with that term.
+
+    Scale shape: the anchor projection is a slim map over the corpus scan
+    (token array sliced in-Project, no per-element re-split risk — no
+    lambda references the alias); the edge join is a co-partitioned equi
+    join on src; the rollup is one map-side-combinable count. Linear in
+    |edges| * n_anchor_tokens. A hot target (popular page) concentrates
+    rows only in the final count aggregate, which partial-aggregates
+    map-side."""
+    from searchengine_spark.functions.tokenize import tokens_array
+
+    arr = F.filter(tokens_array(F.col(text_col)), lambda t: t != F.lit(""))
+    anchors = docs.select(
+        F.col(id_col).alias("src"), F.slice(arr, 1, n_anchor_tokens).alias("a")
+    )
+    return (
+        synthetic_edges(docs, id_col)
+        .join(anchors, "src")
+        .select(F.col("dst").alias("doc_id"), F.explode("a").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("anchor_tf"))
+    )
+
+
+def anchor_terms_sql(n_anchor_tokens: int = 3) -> str:
+    """DuckDB twin of :func:`anchor_terms` over the shared edge model."""
+    from searchengine_spark.functions.tokenize import TOKEN_SPLIT_RE
+
+    return f"""
+WITH {_EDGES_SQL},
+anch AS (
+  SELECT doc_id AS src,
+         (list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                      x -> x <> ''))[1:{n_anchor_tokens}] AS a
+  FROM documents
+),
+j AS (
+  SELECT e.dst AS doc_id, unnest(an.a) AS term
+  FROM edges e JOIN anch an USING (src)
+)
+SELECT doc_id, term, count(*)::BIGINT AS anchor_tf
+FROM j GROUP BY 1, 2
+"""

@@ -120,6 +120,55 @@ def bm25_topk(
     )
 
 
+def bm25_topk_pruned(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    max_postings: int = 64,
+    salts: int = 8,
+) -> DataFrame:
+    """Static index pruning (Carmel et al. 2001 / impact-ordered lists):
+    each query term contributes only its top ``max_postings`` postings by
+    impact proxy (tf desc, doc_id asc); idf stays the FULL-index value, as
+    in real pruned indexes. The latency/recall trade every web-scale serving
+    tier ships — at 10^12 docs a stopword's posting list is bounded to a
+    constant instead of scanned.
+
+    The per-term truncation is the two-phase salted grouped top-k from
+    :func:`bm25_batch_topk` (no single partition ever holds a hot term's
+    full posting list). Scoring/tie-breaks share the single-definition
+    :func:`_bm25_contrib` micros contract, so the DuckDB oracle replicates
+    the pruned ranking bit-for-bit."""
+    from pyspark.sql import Window
+
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    order = [F.desc("tf"), F.asc("doc_id")]
+    partial = Window.partitionBy("term", F.pmod(F.col("doc_id"), F.lit(salts))).orderBy(
+        *order
+    )
+    final = Window.partitionBy("term").orderBy(*order)
+    pruned = (
+        post.withColumn("_pr", F.row_number().over(partial))
+        .filter(F.col("_pr") <= max_postings)
+        .withColumn("_r", F.row_number().over(final))
+        .filter(F.col("_r") <= max_postings)
+        .drop("_pr", "_r")
+    )
+    contrib = _bm25_contrib(idx["avgdl"])
+    return (
+        pruned.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_batch_topk(
     spark: SparkSession,
     idx: dict,

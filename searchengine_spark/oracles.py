@@ -61,9 +61,14 @@ GROUP BY term, n.n_docs
 """
 
 
-def _bm25_scores_cte(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_scores_cte(
+    terms: list[str], k1: float = 1.2, b: float = 0.75, postings_rel: str = "post"
+) -> str:
     """CTE chain (appended after _TOKENS_CTE) ending in
-    ``scores(doc_id, score_micros)`` — shared by every BM25-scored oracle."""
+    ``scores(doc_id, score_micros)`` — shared by every BM25-scored oracle.
+    ``postings_rel`` swaps the relation the SCORING pass reads (the pruned
+    oracle scores a truncated list while df/idf stay full-index, exactly as
+    static pruning does); it is aliased back to ``post`` inside."""
     return f"""n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
 avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
 q AS (SELECT term FROM {_terms_values(terms)}),
@@ -81,7 +86,7 @@ scored AS (
          CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
                     / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
                     * 1e6) AS BIGINT) AS c_micros
-  FROM post
+  FROM {postings_rel} AS post
   JOIN q ON post.term = q.term
   JOIN idf ON post.term = idf.term
   JOIN dls ON post.doc_id = dls.doc_id
@@ -100,6 +105,73 @@ WITH {_TOKENS_CTE},
 SELECT doc_id, score_micros FROM scores
 ORDER BY score_micros DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def bm25_topk_pruned_sql(
+    terms: list[str],
+    k: int = 10,
+    max_postings: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of serve.bm25_topk_pruned: score over per-term tf-truncated
+    posting lists (rank ``tf DESC, doc_id ASC``), idf from the FULL index."""
+    return f"""
+WITH {_TOKENS_CTE},
+pruned AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT post.*,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM post
+    WHERE term IN (SELECT term FROM {_terms_values(terms)})
+  ) WHERE rn <= {max_postings}
+),
+{_bm25_scores_cte(terms, k1, b, postings_rel="pruned")}
+SELECT doc_id, score_micros FROM scores
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def line_dedup_sql(line_tokens: int = 8) -> str:
+    """Twin of dedup.line_dedup: fixed token windows as synthetic lines, a
+    line survives only at its globally first (doc_id, line_id) occurrence."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+nz AS (SELECT doc_id, arr, len(arr) AS dl FROM toks WHERE len(arr) > 0),
+ln AS (
+  SELECT doc_id, unnest(range(0, (dl - 1) // {line_tokens} + 1)) AS line_id, arr
+  FROM nz
+),
+lines AS (
+  SELECT doc_id, line_id::BIGINT AS line_id,
+         array_to_string(
+           arr[line_id * {line_tokens} + 1 : line_id * {line_tokens} + {line_tokens}],
+           ' ') AS line
+  FROM ln
+),
+rn AS (
+  SELECT doc_id, line_id, line,
+         row_number() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id ASC, line_id ASC) AS rn
+  FROM lines
+),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY 1),
+kept AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY line_id)) AS kept_md5
+  FROM rn WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.kept_md5, md5('')) AS kept_md5
+FROM totals t LEFT JOIN kept k USING (doc_id)
 """
 
 
