@@ -37,6 +37,7 @@ HEADLINE = [
     "bm25_topk",
     "bm25_topk_wand",
     "bm25_topk_maxscore",
+    "bm25_topk_pruned",
     "bm25_batch_topk",
     "compat_topk",
     "search_results",
@@ -48,6 +49,8 @@ HEADLINE = [
     "phrase_match",
     "postings_tf",
     "dedup_exact",
+    "line_dedup",
+    "anchor_terms",
     "dedup_ngram_jaccard",
     "minhash_lsh_pairs",
     "simhash",
