@@ -120,6 +120,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": lambda spark, sf: serve.bm25f_topk(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # passage-level BM25, max-passage doc scoring (MaxP) — fixed token
+        # windows regrouped from the STORED positions, best passage wins
+        "bm25_maxp_topk": lambda spark, sf: serve.bm25_maxp_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
+        # LETOR-style per-(query, doc) ranking-feature export — the
+        # feature-join step of an LTR training pipeline, one index pass
+        "ltr_features": lambda spark, sf: serve.ltr_features(
+            spark, gate_index(spark, sf), BM25_TERMS
+        ),
         # pseudo-relevance-feedback expansion (Rocchio two-pass): top docs
         # of pass 1 donate expansion terms, pass 2 re-ranks with weights
         "prf_expansion_topk": lambda spark, sf: serve.prf_expansion_topk(
@@ -690,6 +700,8 @@ def oracle_sql() -> dict[str, str]:
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),
         "prf_expansion_topk": oracles.prf_expansion_sql(BM25_TERMS, k=TOPK),
         "bm25f_topk": oracles.bm25f_topk_sql(BM25_TERMS, k=TOPK),
+        "bm25_maxp_topk": oracles.bm25_maxp_topk_sql(BM25_TERMS, k=TOPK),
+        "ltr_features": oracles.ltr_features_sql(BM25_TERMS),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "boolean_query": _boolean_query_sql(),

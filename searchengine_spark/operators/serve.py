@@ -955,6 +955,140 @@ def bm25f_topk(
     )
 
 
+def bm25_maxp_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    passage_size: int = 32,
+) -> DataFrame:
+    """Passage-level BM25 with max-passage document scoring (the MaxP
+    aggregation of passage retrieval — Callan SIGIR'94 passage evidence;
+    popularized as "MaxP" by Dai & Callan SIGIR'19): the document is split
+    into fixed non-overlapping ``passage_size``-token windows over the RAW
+    split positions (the same position space the phrase/proximity operators
+    use), each passage is scored independently, and the document's score is
+    its best passage. Long files (the common case in a source-code corpus)
+    stop winning on sheer accumulated tf — a doc must have one locally
+    dense region.
+
+    Served ENTIRELY from the stored positional postings: passage tf is a
+    regrouping of the positions array (``floor(pos / P)``), no corpus scan.
+    Fixed-length windows make BM25's length normalization a constant, so the
+    per-passage contribution reduces to the saturation form
+    ``idf · tf(k1+1)/(tf+k1)``. The per-(doc,term,passage) contribution is
+    rounded to micros BEFORE the passage sum and the per-doc max — integer
+    space end-to-end, bit-identical to the DuckDB oracle. Ties between a
+    doc's equal-scoring passages break to the EARLIEST passage.
+
+    Both shuffles key on doc_id-derived keys, so hot query terms spread
+    across docs (no single-reducer risk at scale).
+
+    Output: (doc_id, passage_id, score_micros) top-k."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame(
+            [], "doc_id long, passage_id long, score_micros long"
+        )
+    post = _pruned_postings(idx, rows)
+    ptf = (
+        post.select("doc_id", "term", F.explode("positions").alias("pos"))
+        .groupBy(
+            "doc_id",
+            "term",
+            F.floor(F.col("pos") / passage_size).cast("long").alias("passage_id"),
+        )
+        .agg(F.count("*").alias("ptf"))
+    )
+    tf = F.col("ptf").cast("double")
+    contrib = F.col("idf_bm25") * (tf * F.lit(BM25_K1 + 1.0)) / (tf + F.lit(BM25_K1))
+    pscores = (
+        ptf.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select(
+            "doc_id",
+            "passage_id",
+            F.round(contrib * 1e6).cast("long").alias("c_micros"),
+        )
+        .groupBy("doc_id", "passage_id")
+        .agg(F.sum("c_micros").alias("s"))
+    )
+    # deterministic per-doc argmax: max score, earliest passage on ties —
+    # a struct max in one hash aggregate (no window, no single partition)
+    best = pscores.groupBy("doc_id").agg(
+        F.max(
+            F.struct(F.col("s").alias("s"), (-F.col("passage_id")).alias("np"))
+        ).alias("m")
+    )
+    return (
+        best.select(
+            "doc_id",
+            (-F.col("m.np")).cast("long").alias("passage_id"),
+            F.col("m.s").alias("score_micros"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def ltr_features(
+    spark: SparkSession, idx: dict, query_terms: list[str]
+) -> DataFrame:
+    """Per-(query, candidate-doc) ranking-feature export — the feature-join
+    step of a learning-to-rank training pipeline (LETOR-style feature
+    vectors): for every doc matching >=1 query term, the classic lexical
+    features a downstream ranker trains on, all from ONE pruned postings
+    scan + broadcast lexicon join + ONE per-doc aggregate:
+
+    - n_matched      distinct query terms present (coordination),
+    - sum_tf         total matched-term frequency,
+    - dl             doc length (kept tokens),
+    - min_pos        earliest raw-split position of any matched term
+                     (title/lead-proximity proxy, cf. the reference's
+                     title boost Ranker.java:52-57),
+    - bm25_micros    the bm25_scores contract (same _bm25_contrib),
+    - tfidf_micros   the reference-compat tf/dl * ln(N/(1+df)) sum.
+
+    The reference computes ad-hoc per-page components at query time
+    (Ranker.aggregatePageData, Ranker.java:30-72); this is that accumulator
+    re-expressed as a distributed feature materialization whose output IS
+    training data. Integer-micros columns keep the export bit-identical
+    across engines and partition counts."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_matched long, sum_tf long, dl long, "
+            "min_pos long, bm25_micros long, tfidf_micros long",
+        )
+    post = _pruned_postings(idx, rows)
+    bm25_c = F.round(_bm25_contrib(idx["avgdl"]) * 1e6).cast("long")
+    tfidf_c = F.round(
+        (F.col("tf").cast("double") / F.col("dl").cast("double"))
+        * F.col("idf_compat")
+        * 1e6
+    ).cast("long")
+    return (
+        post.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select(
+            "doc_id",
+            "tf",
+            "dl",
+            F.element_at("positions", 1).cast("long").alias("first_pos"),
+            bm25_c.alias("bm25_c"),
+            tfidf_c.alias("tfidf_c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),  # postings are unique per (term, doc)
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.max("dl").cast("long").alias("dl"),
+            F.min("first_pos").alias("min_pos"),
+            F.sum("bm25_c").alias("bm25_micros"),
+            F.sum("tfidf_c").alias("tfidf_micros"),
+        )
+    )
+
+
 def prf_expansion_topk(
     spark: SparkSession,
     idx: dict,

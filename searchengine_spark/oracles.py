@@ -134,6 +134,105 @@ LIMIT {k}
 """
 
 
+def bm25_maxp_topk_sql(
+    terms: list[str], k: int = 10, passage_size: int = 32, k1: float = 1.2
+) -> str:
+    """Twin of serve.bm25_maxp_topk: fixed ``passage_size``-token windows
+    over the raw split positions, per-passage saturation BM25
+    (length normalization is constant for fixed windows), per-doc max with
+    earliest-passage tie-break. Micros rounded per (doc, term, passage)
+    BEFORE the passage sum and the doc max — same integer contract."""
+    return f"""
+WITH {_TOKENS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+q AS (SELECT term FROM {_terms_values(terms)}),
+lex AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n WHERE lex.term IN (SELECT term FROM q)
+),
+ptf AS (
+  SELECT doc_id, term, CAST(pos // {passage_size} AS BIGINT) AS passage_id,
+         count(*)::BIGINT AS tf
+  FROM pos WHERE term IN (SELECT term FROM q)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT ptf.doc_id, ptf.passage_id,
+         CAST(round(idf.idf_bm25 * (ptf.tf * {k1 + 1.0}) / (ptf.tf + {k1})
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM ptf JOIN idf ON ptf.term = idf.term
+),
+pscores AS (
+  SELECT doc_id, passage_id, sum(c_micros)::BIGINT AS score_micros
+  FROM scored GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, passage_id, score_micros,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micros DESC, passage_id ASC) AS rn
+  FROM pscores
+)
+SELECT doc_id, passage_id, score_micros FROM best WHERE rn = 1
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def ltr_features_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Twin of serve.ltr_features: per-candidate LETOR-style feature row
+    from the recomputed postings — n_matched / sum_tf / dl / min_pos /
+    bm25_micros / tfidf_micros, micros rounded per (doc, term) before the
+    per-doc sums."""
+    return f"""
+WITH {_TOKENS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+q AS (SELECT term FROM {_terms_values(terms)}),
+lex AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25,
+         ln(n.n_docs / (lex.df + 1.0)) AS idf_compat
+  FROM lex, n WHERE lex.term IN (SELECT term FROM q)
+),
+firstpos AS (
+  SELECT doc_id, term, min(pos)::BIGINT AS first_pos
+  FROM pos WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+),
+feat AS (
+  SELECT post.doc_id, post.tf, dls.dl, firstpos.first_pos,
+         CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS bm25_c,
+         CAST(round((post.tf::DOUBLE / dls.dl::DOUBLE) * idf.idf_compat * 1e6)
+              AS BIGINT) AS tfidf_c
+  FROM post
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  JOIN firstpos ON post.doc_id = firstpos.doc_id AND post.term = firstpos.term
+  CROSS JOIN avg_dl
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_matched,
+       sum(tf)::BIGINT AS sum_tf,
+       max(dl)::BIGINT AS dl,
+       min(first_pos)::BIGINT AS min_pos,
+       sum(bm25_c)::BIGINT AS bm25_micros,
+       sum(tfidf_c)::BIGINT AS tfidf_micros
+FROM feat GROUP BY doc_id
+"""
+
+
 def line_dedup_sql(line_tokens: int = 8) -> str:
     """Twin of dedup.line_dedup: fixed token windows as synthetic lines, a
     line survives only at its globally first (doc_id, line_id) occurrence."""

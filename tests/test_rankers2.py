@@ -173,3 +173,77 @@ def test_exact_substring_spans_full_duplicate_span(spark):
     }
     assert set(out) == {1, 2}
     assert out[1] == (1, 40, 25) and out[2] == (1, 40, 25)
+
+
+def test_maxp_whole_doc_window_is_saturation_bm25(spark, idx):
+    """With passage_size >= every doc length each doc has exactly ONE
+    passage (id 0), so MaxP degenerates to whole-doc saturation BM25
+    (idf·tf(k1+1)/(tf+k1), i.e. BM25 with the length term constant) — checked
+    against an independent recomputation from the stored postings."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.operators.serve import BM25_K1
+
+    big = 1 << 30
+    got = serve.bm25_maxp_topk(spark, idx, TERMS, k=10, passage_size=big).collect()
+    assert got and all(r["passage_id"] == 0 for r in got)
+
+    lex = {
+        r["term"]: r["idf_bm25"]
+        for r in idx["lexicon"].filter(F.col("term").isin(TERMS)).collect()
+    }
+    post = (
+        idx["postings"]
+        .filter(F.col("term").isin(TERMS))
+        .select("term", "doc_id", "tf")
+        .collect()
+    )
+    expected: dict[int, int] = {}
+    for r in post:
+        c = lex[r["term"]] * (r["tf"] * (BM25_K1 + 1.0)) / (r["tf"] + BM25_K1)
+        expected[r["doc_id"]] = expected.get(r["doc_id"], 0) + round(c * 1e6)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["doc_id"], r["score_micros"]) for r in got] == top
+
+
+def test_maxp_score_at_most_whole_doc_saturation(spark, idx):
+    """Splitting a doc into passages can only LOWER its best-passage score
+    versus scoring the whole doc as one window (tf saturation is monotone
+    and per-passage tf <= whole-doc tf)."""
+    from searchengine_spark.operators import serve
+
+    whole = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.bm25_maxp_topk(
+            spark, idx, TERMS, k=1000, passage_size=1 << 30
+        ).collect()
+    }
+    split = serve.bm25_maxp_topk(spark, idx, TERMS, k=1000, passage_size=8).collect()
+    assert split
+    assert all(r["score_micros"] <= whole[r["doc_id"]] for r in split)
+
+
+def test_ltr_features_consistent_with_bm25_and_postings(spark, idx):
+    """The feature export's bm25_micros column must equal bm25_scores for
+    every candidate, and n_matched/sum_tf must match the stored postings."""
+    from searchengine_spark.operators import serve
+
+    feats = {r["doc_id"]: r for r in serve.ltr_features(spark, idx, TERMS).collect()}
+    scores = serve.bm25_scores(spark, idx, TERMS).collect()
+    assert len(feats) == len(scores)
+    assert all(feats[r["doc_id"]]["bm25_micros"] == r["score_micros"] for r in scores)
+
+    post = (
+        idx["postings"]
+        .filter(F.col("term").isin(TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("tf").cast("long").alias("s"),
+        )
+        .collect()
+    )
+    assert all(
+        feats[r["doc_id"]]["n_matched"] == r["n"]
+        and feats[r["doc_id"]]["sum_tf"] == r["s"]
+        for r in post
+    )
