@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eval-leakage check: n-gram overlap vs the deterministic benchmark
         # slice of the corpus
         "decontaminate": lambda spark, sf: dedup.decontaminate(_docs(spark, sf), n=5),
+        # DSIR importance weights: hashed unigram+bigram features, target =
+        # the same benchmark slice, integer log-ratio dot product
+        "dsir_weights": lambda spark, sf: _dsir_weights(spark, sf),
         # deterministic per-language Bernoulli sample (md5-position)
         "stratified_sample": lambda spark, sf: _stratified_sample(spark, sf),
         # alpha=0.5 temperature rebalancing: output shares ∝ sqrt(count)
@@ -461,6 +464,12 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.sampling import stratified_sample
 
     return stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM)
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.sampling import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), n_buckets=64)
 
 
 def _boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,6 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": oracles.dedup_survivors_sql(n_perms=16, rows_per_band=8),
         "exact_substring_spans": oracles.exact_substring_spans_sql(window=16, min_docs=2),
         "decontaminate": oracles.decontaminate_sql(n=5),
+        "dsir_weights": oracles.dsir_weights_sql(n_buckets=64),
         "stratified_sample": oracles.stratified_sample_sql(
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM
         ),

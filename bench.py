@@ -46,6 +46,8 @@ HEADLINE = [
     "qld_topk",
     "prf_expansion_topk",
     "hybrid_rrf_topk",
+    "bm25_maxp_topk",
+    "ltr_features",
     "phrase_match",
     "postings_tf",
     "dedup_exact",
@@ -75,6 +77,7 @@ HEADLINE = [
     "ident_subtokens",
     "ppr_scores",
     "decontaminate",
+    "dsir_weights",
     "stratified_sample",
     "fetch_pages",
     "strip_html",

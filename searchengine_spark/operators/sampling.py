@@ -103,3 +103,104 @@ def temperature_mix(
         .filter(_hash_ppm(F.col(id_col), salt) < F.col("keep_ppm"))
         .select(id_col, stratum_col)
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    bench_mod: int = 17,
+    bench_rem: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — public): score every candidate training
+    doc by how much more likely its hashed-n-gram features are under a
+    small TARGET distribution than under the RAW pool, so the pipeline can
+    resample the pool toward the target domain. The target here is the
+    same deterministic in-corpus slice the decontamination gate uses
+    (``doc_id % bench_mod == bench_rem``); in production it is a separate
+    high-quality table.
+
+    Features are occurrence-counted unigrams ('u:'||term) and
+    position-adjacent bigrams ('b:'||t0||' '||t1) hashed into ``n_buckets``
+    buckets (md5 60-bit → mod 2^31-1 → mod B, the engine-portable
+    dedup._token_hash31 chain). Each distribution is add-one smoothed over
+    the B buckets; the per-bucket log-ratio is frozen to bigint micros —
+    each side rounded separately, so the table is exact — and a doc's
+    weight is the integer dot product count·log_ratio. Everything after
+    the token explode is integer arithmetic: bit-identical across engines
+    and partition counts.
+
+    Plan shape at scale: the feature stream is linear in corpus tokens and
+    aggregates map-side into two B-row tables; the spine/log-ratio frame is
+    B rows broadcast back onto the per-(doc,bucket) counts; the only
+    corpus-sized shuffle keys on (doc_id, bucket) — no hot keys, no driver
+    collect. Output: (doc_id, weight_micros) for every non-target doc.
+    """
+    from searchengine_spark.functions.tokenize import (
+        adjacent_token_pairs,
+        exploded_tokens,
+    )
+    from searchengine_spark.operators.dedup import _token_hash31
+
+    toks = exploded_tokens(docs, id_col, text_col, with_pos=True)
+    uni = toks.select(id_col, F.concat(F.lit("u:"), F.col("term")).alias("feat"))
+    bi = adjacent_token_pairs(toks).select(
+        id_col,
+        F.concat(F.lit("b:"), F.col("t0"), F.lit(" "), F.col("t1")).alias("feat"),
+    )
+    feats = uni.unionByName(bi).select(
+        id_col, (_token_hash31(F.col("feat")) % F.lit(n_buckets)).alias("bucket")
+    )
+    is_bench = F.pmod(F.col(id_col), F.lit(bench_mod)) == F.lit(bench_rem)
+
+    target_b = feats.filter(is_bench).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("pc")
+    )
+    raw_b = feats.filter(~is_bench).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("qc")
+    )
+    spine = docs.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    counts = (
+        spine.join(target_b, "bucket", "left")
+        .join(raw_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("pc", F.lit(0)).cast("long").alias("pc"),
+            F.coalesce("qc", F.lit(0)).cast("long").alias("qc"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("pc").cast("long").alias("pt"), F.sum("qc").cast("long").alias("qt")
+    )
+    smooth = float(n_buckets)
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.round(
+                F.log(
+                    (F.col("pc").cast("double") + F.lit(1.0))
+                    / (F.col("pt").cast("double") + F.lit(smooth))
+                )
+                * F.lit(1e6)
+            ).cast("long")
+            - F.round(
+                F.log(
+                    (F.col("qc").cast("double") + F.lit(1.0))
+                    / (F.col("qt").cast("double") + F.lit(smooth))
+                )
+                * F.lit(1e6)
+            ).cast("long")
+        ).alias("lr_micros"),
+    )
+    doc_feat = (
+        feats.filter(~is_bench)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        doc_feat.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("lr_micros")).cast("long").alias("weight_micros"))
+    )

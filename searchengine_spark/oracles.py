@@ -2029,6 +2029,68 @@ FROM vids
 """
 
 
+def dsir_weights_sql(
+    n_buckets: int = 64, bench_mod: int = 17, bench_rem: int = 3
+) -> str:
+    """Twin of sampling.dsir_weights: hashed unigram+bigram bucket counts,
+    add-one smoothed log-ratio per bucket (each side rounded to micros
+    separately — integer table), weight = integer dot product."""
+    b_f = float(n_buckets)
+    h = "CAST(('0x' || substr(md5({key}), 1, 15)) AS BIGINT)"
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toksarr
+),
+feats AS (
+  SELECT doc_id,
+         {h.format(key="'u:' || term")} % {MERSENNE31} % {n_buckets} AS bucket
+  FROM pos WHERE term <> ''
+  UNION ALL
+  SELECT a.doc_id,
+         {h.format(key="'b:' || a.term || ' ' || b.term")}
+           % {MERSENNE31} % {n_buckets} AS bucket
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> '' AND b.term <> ''
+),
+tb AS (
+  SELECT bucket, count(*)::BIGINT AS pc FROM feats
+  WHERE doc_id % {bench_mod} = {bench_rem} GROUP BY 1
+),
+rb AS (
+  SELECT bucket, count(*)::BIGINT AS qc FROM feats
+  WHERE doc_id % {bench_mod} <> {bench_rem} GROUP BY 1
+),
+spine AS (SELECT range AS bucket FROM range(0, {n_buckets})),
+counts AS (
+  SELECT spine.bucket,
+         coalesce(tb.pc, 0)::BIGINT AS pc,
+         coalesce(rb.qc, 0)::BIGINT AS qc
+  FROM spine
+  LEFT JOIN tb ON spine.bucket = tb.bucket
+  LEFT JOIN rb ON spine.bucket = rb.bucket
+),
+tot AS (SELECT sum(pc)::BIGINT AS pt, sum(qc)::BIGINT AS qt FROM counts),
+lr AS (
+  SELECT bucket,
+         CAST(round(ln((pc + 1.0) / (pt + {b_f})) * 1e6) AS BIGINT)
+         - CAST(round(ln((qc + 1.0) / (qt + {b_f})) * 1e6) AS BIGINT) AS lr_micros
+  FROM counts CROSS JOIN tot
+),
+docfeat AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS cnt FROM feats
+  WHERE doc_id % {bench_mod} <> {bench_rem} GROUP BY 1, 2
+)
+SELECT doc_id, sum(cnt * lr_micros)::BIGINT AS weight_micros
+FROM docfeat JOIN lr ON docfeat.bucket = lr.bucket
+GROUP BY doc_id
+"""
+
+
 def decontaminate_sql(n: int = 5, bench_mod: int = 17, bench_rem: int = 3) -> str:
     """Twin of dedup.decontaminate: distinct token n-gram overlap between
     each training doc and the deterministic benchmark slice."""

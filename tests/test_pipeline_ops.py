@@ -660,3 +660,31 @@ def test_anchor_terms_mass_conservation(spark):
     # the synthetic corpus vocabulary overlaps heavily, so instead assert
     # the per-target aggregation is non-trivial (some anchor_tf > 1)
     assert out.filter(F.col("anchor_tf") > 1).count() > 0
+
+
+def test_dsir_weights_direction_and_coverage(spark):
+    from searchengine_spark.operators.sampling import dsir_weights
+
+    # docs 3 and 20 (% 17 == 3) are the target slice; doc 1 is a verbatim
+    # copy of the target text, doc 2 shares nothing with it
+    rows = [
+        (3, "alpha beta gamma delta epsilon"),
+        (20, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "one two three four five"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["weight_micros"]
+        for r in dsir_weights(docs, n_buckets=64).collect()
+    }
+    # target docs never appear; every non-empty candidate does
+    assert set(got) == {1, 2}
+    # the target-identical doc must outweigh the disjoint doc
+    assert got[1] > got[2]
+    # partition-count invariance (integer contract)
+    again = {
+        r["doc_id"]: r["weight_micros"]
+        for r in dsir_weights(docs.repartition(5), n_buckets=64).collect()
+    }
+    assert again == got
