@@ -403,6 +403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_top_pairs": lambda spark, sf: textstats.pmi_top_pairs(
             _docs(spark, sf), k=20, min_count=5
         ),
+        # interpolated bigram LM surprisal — the 2-gram step toward the
+        # KenLM/CCNet perplexity quality filter (unigram twin serves from
+        # the index; this one needs adjacency, so it scans the corpus once)
+        "bigram_logprob": lambda spark, sf: textstats.bigram_logprob(
+            _docs(spark, sf), lam=0.75
+        ),
     }
 
 
@@ -744,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_scores_sql(),
         "ppr_scores": _ppr_scores_sql(),
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
+        "bigram_logprob": oracles.bigram_logprob_sql(lam=0.75),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),

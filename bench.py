@@ -91,6 +91,7 @@ HEADLINE = [
     "bloom_visited",
     "fuzzy_suggest",
     "unigram_logprob",
+    "bigram_logprob",
     "doc_chunks",
     "doc_keywords",
     "training_chunks",

@@ -590,3 +590,64 @@ def ident_subtokens(
     toks = F.filter(F.split(split, "[_ ]+"), lambda t: t != F.lit(""))
     sub = docs.select(did, F.explode(F.array_distinct(toks)).alias("subtoken"))
     return sub.groupBy("subtoken").agg(F.count(F.lit(1)).alias("df"))
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
+    """Per-document mean bigram surprisal under an interpolated bigram LM —
+    the two-gram step up from ``serve.unigram_logprob`` toward the KenLM
+    perplexity filter of public LM data pipelines (CCNet): each adjacent
+    pair (w0, w1) scores ``-ln(λ·c(w0 w1)/c(w0 ·) + (1-λ)·cf(w1)/total)``
+    with the corpus itself as training counts, and a doc's score is the
+    mean over its bigram positions (``sum div n_bigrams`` in micros).
+    Repetitive/templated docs score low (predictable), gibberish scores
+    high — the usual two-sided quality cut applies downstream.
+
+    Shape at scale: one tokenize pass feeds the bigram, bigram-start, and
+    unigram count tables (map-side-combined aggregates, all term-keyed);
+    the per-position stream then joins those counts back on their own keys
+    — co-keyed shuffles, never a corpus-sized broadcast — and the total is
+    a 1-row in-plan cross join. Per-position surprisal rounds to bigint
+    micros BEFORE the per-doc sum: exact, partition-count-invariant.
+
+    Output: (doc_id, n_bigrams, mean_nll_micros) for docs with >= 2 tokens.
+    """
+    from searchengine_spark.functions.tokenize import (
+        adjacent_token_pairs,
+        exploded_tokens,
+    )
+
+    toks = exploded_tokens(docs, with_pos=True)
+    pairs = adjacent_token_pairs(toks)
+    # aggregate to per-(doc, bigram) occurrence counts FIRST so the count
+    # joins touch distinct triples, not every token position; the per-
+    # position surprisal is identical within a triple, so multiplying the
+    # rounded micros by the occurrence count gives the same integer sum
+    dbi = pairs.groupBy("doc_id", "t0", "t1").agg(F.count(F.lit(1)).alias("dtf"))
+    cb = dbi.groupBy("t0", "t1").agg(F.sum("dtf").alias("cxy"))
+    cs = dbi.groupBy("t0").agg(F.sum("dtf").alias("cx0"))
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    p = F.lit(lam) * (
+        F.col("cxy").cast("double") / F.col("cx0").cast("double")
+    ) + F.lit(1.0 - lam) * (F.col("c").cast("double") / F.col("_total"))
+    scored = (
+        dbi.join(cb, ["t0", "t1"])
+        .join(cs, "t0")
+        .join(cf.withColumnRenamed("term", "t1"), "t1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "dtf",
+            (
+                F.col("dtf") * F.round(-F.log(p) * F.lit(1e6)).cast("long")
+            ).alias("c_micros"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("dtf").cast("long").alias("n_bigrams"),
+            F.sum("c_micros").alias("s"),
+        )
+        .select("doc_id", "n_bigrams", F.expr("s div n_bigrams").alias("mean_nll_micros"))
+    )

@@ -2370,6 +2370,46 @@ FROM contrib GROUP BY doc_id, dl
 """
 
 
+def bigram_logprob_sql(lam: float = 0.75) -> str:
+    """Twin of textstats.bigram_logprob: interpolated bigram surprisal,
+    micros per position before the per-doc mean (sum // n_bigrams)."""
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos FROM toksarr
+),
+tok AS (SELECT doc_id, term, pos FROM pos WHERE term <> ''),
+pairs AS (
+  SELECT a.doc_id, a.pos, a.term AS t0, b.term AS t1
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> '' AND b.term <> ''
+),
+dbi AS (
+  SELECT doc_id, t0, t1, count(*)::BIGINT AS dtf FROM pairs GROUP BY 1, 2, 3
+),
+cb AS (SELECT t0, t1, sum(dtf)::BIGINT AS cxy FROM dbi GROUP BY 1, 2),
+cs AS (SELECT t0, sum(dtf)::BIGINT AS cx0 FROM dbi GROUP BY 1),
+cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+scored AS (
+  SELECT dbi.doc_id, dbi.dtf,
+         dbi.dtf * CAST(round(-ln({lam} * (cb.cxy::DOUBLE / cs.cx0::DOUBLE)
+                        + {1.0 - lam} * (cf.c::DOUBLE / tot.total)) * 1e6)
+              AS BIGINT) AS c_micros
+  FROM dbi
+  JOIN cb USING (t0, t1)
+  JOIN cs USING (t0)
+  JOIN cf ON dbi.t1 = cf.term
+  CROSS JOIN tot
+)
+SELECT doc_id, sum(dtf)::BIGINT AS n_bigrams,
+       (sum(c_micros) // sum(dtf))::BIGINT AS mean_nll_micros
+FROM scored GROUP BY doc_id
+"""
+
+
 def pmi_top_pairs_sql(k: int = 20, min_count: int = 5) -> str:
     return f"""
 WITH toksarr AS (

@@ -688,3 +688,23 @@ def test_dsir_weights_direction_and_coverage(spark):
         for r in dsir_weights(docs.repartition(5), n_buckets=64).collect()
     }
     assert again == got
+
+
+def test_bigram_logprob_prefers_predictable_text(spark):
+    from searchengine_spark.operators.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "q w e r t y")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(got) == {1, 2}
+    # both docs have 6 tokens -> 5 adjacent bigrams
+    assert got[1]["n_bigrams"] == 5 and got[2]["n_bigrams"] == 5
+    # the fully repetitive doc is more predictable under the corpus LM
+    assert got[1]["mean_nll_micros"] < got[2]["mean_nll_micros"]
+    # partition-count invariance (integer contract)
+    again = {
+        r["doc_id"]: r["mean_nll_micros"]
+        for r in bigram_logprob(docs.repartition(4)).collect()
+    }
+    assert again == {d: r["mean_nll_micros"] for d, r in got.items()}
