@@ -130,6 +130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": lambda spark, sf: serve.ltr_features(
             spark, gate_index(spark, sf), BM25_TERMS
         ),
+        # CORI resource ranking over doc_id-mod shards — the shard router
+        # of selective search (query only the most promising shards)
+        "shard_selection": lambda spark, sf: serve.shard_selection(
+            spark, gate_index(spark, sf), BM25_TERMS, n_shards=8
+        ),
         # pseudo-relevance-feedback expansion (Rocchio two-pass): top docs
         # of pass 1 donate expansion terms, pass 2 re-ranks with weights
         "prf_expansion_topk": lambda spark, sf: serve.prf_expansion_topk(
@@ -717,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": oracles.bm25f_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_maxp_topk": oracles.bm25_maxp_topk_sql(BM25_TERMS, k=TOPK),
         "ltr_features": oracles.ltr_features_sql(BM25_TERMS),
+        "shard_selection": oracles.shard_selection_sql(BM25_TERMS, n_shards=8),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "boolean_query": _boolean_query_sql(),

@@ -48,6 +48,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "bm25_maxp_topk",
     "ltr_features",
+    "shard_selection",
     "phrase_match",
     "postings_tf",
     "dedup_exact",

@@ -1263,3 +1263,73 @@ def bm25_topk_maxscore(
     return maxscore_topk_micros(
         spark, idx["segments"], idx["lexicon"], query_terms, idx["avgdl"], k=k
     )
+
+
+def shard_selection(
+    spark: SparkSession, idx: dict, query_terms: list[str], n_shards: int = 8
+) -> DataFrame:
+    """CORI resource ranking (Callan, Lu & Croft SIGIR'95) — the shard
+    router of selective search: score every index shard for a query so a
+    100 TB deployment broadcasts the query only to the most promising
+    shards instead of all of them. Shards here are ``doc_id mod n_shards``
+    (hash allocation — balanced, the policy the segment layout already
+    uses for buckets).
+
+    Per (shard, term): ``T = df_s / (df_s + 50 + 150·cw_s/avg_cw)`` (df
+    saturated by shard size), ``I = ln((S+0.5)/sf_t) / ln(S+1)`` (shard-
+    level idf), belief ``0.4 + 0.6·T·I``; a shard's score is the sum over
+    query terms of the belief in bigint micros (absent terms contribute
+    the 0.4 default belief). Output: (shard_id, score_micros) for all S
+    shards, ranked.
+
+    Shape: the df_s table comes from the pruned postings scan (|q| terms);
+    the shard collection sizes cw_s are one full pass over per-doc lengths
+    — at scale that is an index-BUILD-time statistic published with the
+    manifest, recomputed here per query only because the gate index stores
+    no shard stats table; S and |q| are tiny, so the belief grid is a
+    broadcast cross join. No corpus scan, no hot keys."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], "shard_id long, score_micros long")
+    post = _pruned_postings(idx, rows)
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard_id")
+    dfs = post.groupBy(shard, "term").agg(F.count(F.lit(1)).alias("df_s"))
+    doclen = (
+        idx["postings"].groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    )
+    cw = (
+        doclen.select(shard, "dl")
+        .groupBy("shard_id")
+        .agg(F.sum("dl").cast("long").alias("cw"))
+    )
+    avg_cw = float(idx["sum_dl"]) / float(n_shards)
+    spine = spark.range(n_shards).select(F.col("id").alias("shard_id"))
+    qterms = spark.createDataFrame([(r["term"],) for r in rows], "term string")
+    grid = spine.crossJoin(F.broadcast(qterms))
+    d = grid.join(dfs, ["shard_id", "term"], "left").select(
+        "shard_id", "term", F.coalesce("df_s", F.lit(0)).cast("long").alias("df_s")
+    )
+    sft = (
+        d.filter(F.col("df_s") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("sf_t"))
+    )
+    t_part = F.col("df_s").cast("double") / (
+        F.col("df_s").cast("double")
+        + F.lit(50.0)
+        + F.lit(150.0) * (F.col("cw").cast("double") / F.lit(avg_cw))
+    )
+    i_part = F.log(
+        F.lit(float(n_shards) + 0.5) / F.col("sf_t").cast("double")
+    ) / F.log(F.lit(float(n_shards) + 1.0))
+    belief = F.lit(0.4) + F.lit(0.6) * t_part * i_part
+    return (
+        d.join(F.broadcast(sft), "term")
+        .join(F.broadcast(cw), "shard_id")
+        .select(
+            "shard_id", F.round(belief * 1e6).cast("long").alias("b_micros")
+        )
+        .groupBy("shard_id")
+        .agg(F.sum("b_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("shard_id"))
+    )

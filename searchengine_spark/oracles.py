@@ -184,6 +184,45 @@ LIMIT {k}
 """
 
 
+def shard_selection_sql(terms: list[str], n_shards: int = 8) -> str:
+    """Twin of serve.shard_selection: CORI beliefs per (shard, query term)
+    on doc_id-mod shards, micros rounded per term before the shard sum."""
+    s_f = float(n_shards)
+    return f"""
+WITH {_TOKENS_CTE},
+q AS (SELECT term FROM {_terms_values(terms)}),
+qlex AS (SELECT q.term FROM q WHERE q.term IN (SELECT DISTINCT term FROM post)),
+dfs AS (
+  SELECT doc_id % {n_shards} AS shard_id, term, count(*)::BIGINT AS df_s
+  FROM post WHERE term IN (SELECT term FROM qlex) GROUP BY 1, 2
+),
+cw AS (
+  SELECT doc_id % {n_shards} AS shard_id, sum(dl)::BIGINT AS cw
+  FROM dls GROUP BY 1
+),
+avgcw AS (SELECT sum(dl)::DOUBLE / {s_f} AS a FROM dls),
+spine AS (SELECT range AS shard_id FROM range(0, {n_shards})),
+grid AS (SELECT spine.shard_id, qlex.term FROM spine CROSS JOIN qlex),
+d AS (
+  SELECT grid.shard_id, grid.term, coalesce(dfs.df_s, 0)::BIGINT AS df_s
+  FROM grid LEFT JOIN dfs USING (shard_id, term)
+),
+sft AS (SELECT term, count(*)::BIGINT AS sf_t FROM d WHERE df_s > 0 GROUP BY 1),
+scored AS (
+  SELECT d.shard_id,
+         CAST(round((0.4 + 0.6
+                * (d.df_s::DOUBLE
+                   / (d.df_s::DOUBLE + 50.0 + 150.0 * (cw.cw::DOUBLE / avgcw.a)))
+                * (ln(({s_f} + 0.5) / sft.sf_t::DOUBLE) / ln({s_f} + 1.0)))
+               * 1e6) AS BIGINT) AS b_micros
+  FROM d JOIN sft USING (term) JOIN cw USING (shard_id) CROSS JOIN avgcw
+)
+SELECT shard_id, sum(b_micros)::BIGINT AS score_micros
+FROM scored GROUP BY 1
+ORDER BY score_micros DESC, shard_id ASC
+"""
+
+
 def ltr_features_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     """Twin of serve.ltr_features: per-candidate LETOR-style feature row
     from the recomputed postings — n_matched / sum_tf / dl / min_pos /

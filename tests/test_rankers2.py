@@ -247,3 +247,29 @@ def test_ltr_features_consistent_with_bm25_and_postings(spark, idx):
         and feats[r["doc_id"]]["sum_tf"] == r["s"]
         for r in post
     )
+
+
+def test_shard_selection_beliefs_bounded_and_ranked(spark, idx):
+    from searchengine_spark.operators import serve
+
+    out = serve.shard_selection(spark, idx, TERMS, n_shards=8).collect()
+    assert [r["shard_id"] for r in out] != [] and len(out) == 8
+    scores = [r["score_micros"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # each present term contributes a belief in (0.4, 1.0); all TERMS exist
+    # in this corpus, so per-shard score is bounded by those rails
+    n_terms = len(TERMS)
+    assert all(400_000 * n_terms <= s <= 1_000_000 * n_terms for s in scores)
+    # the shard with the most matching postings should not rank last:
+    # belief grows with df_s, all else roughly equal on a balanced corpus
+    from pyspark.sql import functions as F
+
+    dfs = (
+        idx["postings"]
+        .filter(F.col("term").isin(TERMS))
+        .groupBy(F.pmod(F.col("doc_id"), F.lit(8)).alias("shard_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hottest = max(dfs, key=lambda r: (r["n"], -r["shard_id"]))["shard_id"]
+    assert out[-1]["shard_id"] != hottest
