@@ -96,6 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_topk": lambda spark, sf: serve.bm25_batch_topk(
             spark, gate_index(spark, sf), BATCH_QUERIES, k=TOPK
         ),
+        # DPR-style hard-negative mining: per-query BM25 top-k minus the
+        # deterministic positive (lowest doc matching all query terms)
+        "hard_negatives": lambda spark, sf: serve.hard_negatives(
+            spark, gate_index(spark, sf), BATCH_QUERIES, k=TOPK
+        ),
         "term_search_all": lambda spark, sf: serve.term_search_all(
             spark, gate_index(spark, sf), ALL_TERMS
         ),
@@ -715,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
+        "hard_negatives": oracles.hard_negatives_sql(BATCH_QUERIES, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),

@@ -39,6 +39,7 @@ HEADLINE = [
     "bm25_topk_maxscore",
     "bm25_topk_pruned",
     "bm25_batch_topk",
+    "hard_negatives",
     "compat_topk",
     "search_results",
     "tfidf_topk",

@@ -195,8 +195,20 @@ def bm25_batch_topk(
     per query_id. Scores are the same bigint-micros contract as
     :func:`bm25_scores`, so the batch output row for a query equals the
     single-query ``bm25_topk`` output."""
-    from pyspark.sql import Window
+    scored = _batch_scores(spark, idx, queries)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score_micros long"
+        )
+    return _grouped_topk(scored, k, salts)
 
+
+def _batch_scores(
+    spark: SparkSession, idx: dict, queries: dict[str, list[str]]
+) -> DataFrame | None:
+    """(query_id, doc_id, score_micros) for the whole query set in one
+    pruned index pass — the shared scoring core of bm25_batch_topk and
+    hard_negatives. None when no query term exists in the lexicon."""
     qmap = [
         (qid, t)
         for qid, terms in sorted(queries.items())
@@ -204,13 +216,11 @@ def bm25_batch_topk(
     ]
     rows = _qlex(spark, idx, [t for _, t in qmap])
     if not rows:
-        return spark.createDataFrame(
-            [], "query_id string, rank int, doc_id long, score_micros long"
-        )
+        return None
     post = _pruned_postings(idx, rows)
     qdf = spark.createDataFrame(qmap, "query_id string, term string")
     contrib = _bm25_contrib(idx["avgdl"])
-    scored = (
+    return (
         post.join(F.broadcast(_lex_df(spark, rows)), "term")
         .join(F.broadcast(qdf), "term")
         .select(
@@ -219,6 +229,14 @@ def bm25_batch_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c_micros").alias("score_micros"))
     )
+
+
+def _grouped_topk(scored: DataFrame, k: int, salts: int = 8) -> DataFrame:
+    """Two-phase per-query top-k (rank within (query_id, doc_id mod salts)
+    slots, then per query) — no single partition ever holds a hot query's
+    full candidate set."""
+    from pyspark.sql import Window
+
     order = [F.desc("score_micros"), F.asc("doc_id")]
     partial = Window.partitionBy(
         "query_id", F.pmod(F.col("doc_id"), F.lit(salts))
@@ -1333,3 +1351,59 @@ def shard_selection(
         .agg(F.sum("b_micros").alias("score_micros"))
         .orderBy(F.desc("score_micros"), F.asc("shard_id"))
     )
+
+
+def hard_negatives(
+    spark: SparkSession,
+    idx: dict,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    salts: int = 8,
+) -> DataFrame:
+    """BM25 hard-negative mining — the negative-sampling pass of a
+    dense-retriever / LTR training pipeline (as in public DPR-style
+    recipes: the strongest lexically-matching non-relevant docs make the
+    best training negatives): for every query, the top-k BM25 candidates
+    EXCLUDING the query's positive document.
+
+    The positive is derived deterministically (no external labels in this
+    sandbox): the lowest doc_id matching ALL the query's requested terms
+    (conjunctive semantics; if any term is corpus-absent the query has no
+    positive and its top-k is unfiltered — mirrored by the oracle).
+
+    One pruned index pass serves the whole query set: the shared
+    :func:`_batch_scores` aggregate, a per-query 1-row positive aggregate
+    broadcast into an anti-join, and the salted two-phase grouped top-k —
+    no corpus scan, no single-reducer hot spots.
+
+    Output: (query_id, rank, doc_id, score_micros)."""
+    scored = _batch_scores(spark, idx, queries)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score_micros long"
+        )
+    qmap = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    ]
+    rows = _qlex(spark, idx, [t for _, t in qmap])
+    post = _pruned_postings(idx, rows)
+    qdf = spark.createDataFrame(qmap, "query_id string, term string")
+    n_req = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
+    matched = (
+        post.select("term", "doc_id")
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))  # postings unique per (term, doc)
+    )
+    positives = (
+        matched.join(F.broadcast(n_req), "query_id")
+        .filter(F.col("n_hit") == F.col("n_req"))
+        .groupBy("query_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    negatives = scored.join(
+        F.broadcast(positives), ["query_id", "doc_id"], "left_anti"
+    )
+    return _grouped_topk(negatives, k, salts)

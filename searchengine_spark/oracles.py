@@ -2480,6 +2480,75 @@ LIMIT {k}
 """
 
 
+def hard_negatives_sql(
+    queries: dict[str, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of serve.hard_negatives: the bm25_batch scoring block, minus
+    each query's deterministic positive (lowest doc_id matching ALL the
+    query's terms), re-ranked per query."""
+    esc = lambda s: s.replace("'", "''")
+    pairs = ", ".join(
+        f"('{esc(qid)}', '{esc(t)}')"
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+qmap(query_id, term) AS (VALUES {pairs}),
+nreq AS (SELECT query_id, count(*)::BIGINT AS n_req FROM qmap GROUP BY 1),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM qmap)
+),
+matched AS (
+  SELECT qmap.query_id, post.doc_id, count(*)::BIGINT AS n_hit
+  FROM post JOIN qmap ON post.term = qmap.term GROUP BY 1, 2
+),
+pos AS (
+  SELECT matched.query_id, min(matched.doc_id)::BIGINT AS doc_id
+  FROM matched JOIN nreq USING (query_id)
+  WHERE matched.n_hit = nreq.n_req GROUP BY 1
+),
+scored AS (
+  SELECT qmap.query_id, post.doc_id,
+         CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM post
+  JOIN qmap ON post.term = qmap.term
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+),
+agg AS (
+  SELECT query_id, doc_id, sum(c_micros)::BIGINT AS score_micros
+  FROM scored GROUP BY 1, 2
+),
+neg AS (
+  SELECT agg.query_id, agg.doc_id, agg.score_micros
+  FROM agg LEFT JOIN pos
+    ON agg.query_id = pos.query_id AND agg.doc_id = pos.doc_id
+  WHERE pos.doc_id IS NULL
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_micros DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, score_micros
+  FROM neg
+)
+SELECT query_id, rank, doc_id, score_micros FROM ranked WHERE rank <= {k}
+"""
+
+
 def bm25_batch_topk_sql(
     queries: dict[str, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
 ) -> str:

@@ -273,3 +273,38 @@ def test_shard_selection_beliefs_bounded_and_ranked(spark, idx):
     )
     hottest = max(dfs, key=lambda r: (r["n"], -r["shard_id"]))["shard_id"]
     assert out[-1]["shard_id"] != hottest
+
+
+def test_hard_negatives_is_batch_minus_positive(spark, idx):
+    from searchengine_spark.operators import serve
+
+    queries = {"qa": TERMS, "qb": ["spark", "stream"]}
+    full = serve.bm25_batch_topk(spark, idx, queries, k=100000).collect()
+    # independent positive derivation: lowest doc matching ALL query terms
+    positives = {}
+    for qid, terms in queries.items():
+        matched = (
+            idx["postings"]
+            .filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n"))
+            .filter(F.col("n") == len(set(terms)))
+            .agg(F.min("doc_id").alias("d"))
+            .collect()[0]["d"]
+        )
+        positives[qid] = matched
+    assert all(v is not None for v in positives.values())
+    expected = {}
+    for qid in queries:
+        rows = [r for r in full if r["query_id"] == qid and r["doc_id"] != positives[qid]]
+        rows.sort(key=lambda r: (-r["score_micros"], r["doc_id"]))
+        expected[qid] = [(i + 1, r["doc_id"], r["score_micros"]) for i, r in enumerate(rows[:10])]
+    got = serve.hard_negatives(spark, idx, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score_micros"])
+        )
+    for qid in queries:
+        assert sorted(by_q[qid]) == expected[qid]
+        assert positives[qid] not in {d for _, d, _ in by_q[qid]}
