@@ -101,6 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": lambda spark, sf: serve.hard_negatives(
             spark, gate_index(spark, sf), BATCH_QUERIES, k=TOPK
         ),
+        # TREC-style offline evaluation: hit@k / MRR / nDCG per query
+        # against the same deterministic conjunctive-positive qrels
+        # (k=1000 so the positive's actual rank shows up in the metrics —
+        # at k=10 every row is zero and the gate would prove nothing)
+        "rank_metrics": lambda spark, sf: serve.rank_metrics(
+            spark, gate_index(spark, sf), BATCH_QUERIES, k=1000
+        ),
         "term_search_all": lambda spark, sf: serve.term_search_all(
             spark, gate_index(spark, sf), ALL_TERMS
         ),
@@ -721,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
         "hard_negatives": oracles.hard_negatives_sql(BATCH_QUERIES, k=TOPK),
+        "rank_metrics": oracles.rank_metrics_sql(BATCH_QUERIES, k=1000),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),

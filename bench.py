@@ -40,6 +40,7 @@ HEADLINE = [
     "bm25_topk_pruned",
     "bm25_batch_topk",
     "hard_negatives",
+    "rank_metrics",
     "compat_topk",
     "search_results",
     "tfidf_topk",

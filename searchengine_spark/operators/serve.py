@@ -1353,6 +1353,35 @@ def shard_selection(
     )
 
 
+def _conjunctive_positives(
+    spark: SparkSession, idx: dict, queries: dict[str, list[str]]
+) -> DataFrame:
+    """(query_id, doc_id) deterministic pseudo-qrels: per query, the lowest
+    doc_id matching ALL requested terms (queries with a corpus-absent term
+    have no positive). Shared by hard_negatives and rank_metrics."""
+    qmap = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    ]
+    rows = _qlex(spark, idx, [t for _, t in qmap])
+    post = _pruned_postings(idx, rows)
+    qdf = spark.createDataFrame(qmap, "query_id string, term string")
+    n_req = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
+    matched = (
+        post.select("term", "doc_id")
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))  # postings unique per (term, doc)
+    )
+    return (
+        matched.join(F.broadcast(n_req), "query_id")
+        .filter(F.col("n_hit") == F.col("n_req"))
+        .groupBy("query_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
 def hard_negatives(
     spark: SparkSession,
     idx: dict,
@@ -1382,28 +1411,61 @@ def hard_negatives(
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score_micros long"
         )
-    qmap = [
-        (qid, t)
-        for qid, terms in sorted(queries.items())
-        for t in dict.fromkeys(terms)
-    ]
-    rows = _qlex(spark, idx, [t for _, t in qmap])
-    post = _pruned_postings(idx, rows)
-    qdf = spark.createDataFrame(qmap, "query_id string, term string")
-    n_req = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
-    matched = (
-        post.select("term", "doc_id")
-        .join(F.broadcast(qdf), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))  # postings unique per (term, doc)
-    )
-    positives = (
-        matched.join(F.broadcast(n_req), "query_id")
-        .filter(F.col("n_hit") == F.col("n_req"))
-        .groupBy("query_id")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
+    positives = _conjunctive_positives(spark, idx, queries)
     negatives = scored.join(
         F.broadcast(positives), ["query_id", "doc_id"], "left_anti"
     )
     return _grouped_topk(negatives, k, salts)
+
+
+def rank_metrics(
+    spark: SparkSession,
+    idx: dict,
+    queries: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """Offline ranking evaluation — the relevance-sweep step a search team
+    runs on every ranker change (TREC-style hit@k / MRR@k / nDCG@k): score
+    the whole query set in one index pass (:func:`_batch_scores`), find
+    each query's relevant doc in the top-k, and emit per-query metrics.
+
+    Qrels are the deterministic :func:`_conjunctive_positives` pseudo-
+    labels (one relevant doc per query), so with a single positive
+    ``rr = 1/rank`` and ``ndcg = ln(2)/ln(rank+1)`` (ideal DCG = 1); both
+    freeze to bigint micros. Queries whose positive misses the top-k (or
+    that have no positive) emit zeros — the spine is the query list, so
+    every query gets exactly one row.
+
+    Output: (query_id, hit, rr_micros, ndcg_micros)."""
+    spine = spark.createDataFrame(
+        [(qid,) for qid in sorted(queries)], "query_id string"
+    )
+    scored = _batch_scores(spark, idx, queries)
+    if scored is None:
+        return spine.select(
+            "query_id",
+            F.lit(0).cast("long").alias("hit"),
+            F.lit(0).cast("long").alias("rr_micros"),
+            F.lit(0).cast("long").alias("ndcg_micros"),
+        )
+    ranked = _grouped_topk(scored, k)
+    positives = _conjunctive_positives(spark, idx, queries)
+    hits = ranked.join(F.broadcast(positives), ["query_id", "doc_id"]).select(
+        "query_id",
+        F.lit(1).cast("long").alias("hit"),
+        F.round(F.lit(1e6) / F.col("rank").cast("double"))
+        .cast("long")
+        .alias("rr_micros"),
+        F.round(
+            (F.log(F.lit(2.0)) / F.log(F.col("rank").cast("double") + F.lit(1.0)))
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("ndcg_micros"),
+    )
+    return spine.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce("hit", F.lit(0)).cast("long").alias("hit"),
+        F.coalesce("rr_micros", F.lit(0)).cast("long").alias("rr_micros"),
+        F.coalesce("ndcg_micros", F.lit(0)).cast("long").alias("ndcg_micros"),
+    )

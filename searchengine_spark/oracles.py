@@ -2549,6 +2549,85 @@ SELECT query_id, rank, doc_id, score_micros FROM ranked WHERE rank <= {k}
 """
 
 
+def rank_metrics_sql(
+    queries: dict[str, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of serve.rank_metrics: the bm25_batch ranked CTE, the
+    conjunctive-positive qrels, and per-query hit/MRR/nDCG micros with a
+    zero row for queries whose positive misses the top-k."""
+    esc = lambda s: s.replace("'", "''")
+    pairs = ", ".join(
+        f"('{esc(qid)}', '{esc(t)}')"
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    )
+    spine = ", ".join(f"('{esc(qid)}')" for qid in sorted(queries))
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+qmap(query_id, term) AS (VALUES {pairs}),
+spine(query_id) AS (VALUES {spine}),
+nreq AS (SELECT query_id, count(*)::BIGINT AS n_req FROM qmap GROUP BY 1),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM qmap)
+),
+matched AS (
+  SELECT qmap.query_id, post.doc_id, count(*)::BIGINT AS n_hit
+  FROM post JOIN qmap ON post.term = qmap.term GROUP BY 1, 2
+),
+pos AS (
+  SELECT matched.query_id, min(matched.doc_id)::BIGINT AS doc_id
+  FROM matched JOIN nreq USING (query_id)
+  WHERE matched.n_hit = nreq.n_req GROUP BY 1
+),
+scored AS (
+  SELECT qmap.query_id, post.doc_id,
+         CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM post
+  JOIN qmap ON post.term = qmap.term
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+),
+agg AS (
+  SELECT query_id, doc_id, sum(c_micros)::BIGINT AS score_micros
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_micros DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id
+  FROM agg
+),
+hits AS (
+  SELECT ranked.query_id,
+         1::BIGINT AS hit,
+         CAST(round(1e6 / ranked.rank::DOUBLE) AS BIGINT) AS rr_micros,
+         CAST(round((ln(2.0) / ln(ranked.rank + 1.0)) * 1e6) AS BIGINT)
+           AS ndcg_micros
+  FROM ranked JOIN pos
+    ON ranked.query_id = pos.query_id AND ranked.doc_id = pos.doc_id
+  WHERE ranked.rank <= {k}
+)
+SELECT spine.query_id,
+       coalesce(hits.hit, 0)::BIGINT AS hit,
+       coalesce(hits.rr_micros, 0)::BIGINT AS rr_micros,
+       coalesce(hits.ndcg_micros, 0)::BIGINT AS ndcg_micros
+FROM spine LEFT JOIN hits USING (query_id)
+"""
+
+
 def bm25_batch_topk_sql(
     queries: dict[str, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
 ) -> str:

@@ -308,3 +308,30 @@ def test_hard_negatives_is_batch_minus_positive(spark, idx):
     for qid in queries:
         assert sorted(by_q[qid]) == expected[qid]
         assert positives[qid] not in {d for _, d, _ in by_q[qid]}
+
+
+def test_rank_metrics_consistent_with_batch_rank(spark, idx):
+    from searchengine_spark.operators import serve
+    import math
+
+    queries = {"qa": TERMS, "qb": ["spark", "stream"]}
+    run = serve.bm25_batch_topk(spark, idx, queries, k=100000).collect()
+    positives = {
+        r["query_id"]: r["doc_id"]
+        for r in serve._conjunctive_positives(spark, idx, queries).collect()
+    }
+    got = {r["query_id"]: r for r in serve.rank_metrics(spark, idx, queries, k=10).collect()}
+    assert set(got) == set(queries)
+    for qid in queries:
+        rank = next(
+            (r["rank"] for r in run if r["query_id"] == qid and r["doc_id"] == positives[qid]),
+            None,
+        )
+        if rank is not None and rank <= 10:
+            assert got[qid]["hit"] == 1
+            assert got[qid]["rr_micros"] == round(1e6 / rank)
+            assert got[qid]["ndcg_micros"] == round(
+                math.log(2.0) / math.log(rank + 1.0) * 1e6
+            )
+        else:
+            assert got[qid]["hit"] == 0 and got[qid]["rr_micros"] == 0
