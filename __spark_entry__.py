@@ -364,6 +364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": lambda spark, sf: textstats.doc_chunks(
             _docs(spark, sf), chunk_size=64, stride=48
         ),
+        # contrastive (anchor, positive) training pairs: successor chunks
+        # of the same doc, md5-identical (zero-signal) pairs dropped
+        "contrastive_pairs": lambda spark, sf: textstats.contrastive_pairs(
+            _docs(spark, sf), chunk_size=64, stride=48
+        ),
         # concat-then-split sequence packing into fixed token budgets via a
         # two-phase distributed prefix sum (per-language streams)
         "pack_chunks": lambda spark, sf: textstats.pack_chunks(
@@ -820,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.pii_scrub_sql(),
         "quality_score": oracles.quality_score_sql(),
         "doc_chunks": oracles.doc_chunks_sql(chunk_size=64, stride=48),
+        "contrastive_pairs": oracles.contrastive_pairs_sql(chunk_size=64, stride=48),
         "pack_chunks": oracles.pack_chunks_sql(budget=512, chunk_size=64, stride=48),
         "training_chunks": oracles.training_chunks_sql(
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM

@@ -96,6 +96,7 @@ HEADLINE = [
     "unigram_logprob",
     "bigram_logprob",
     "doc_chunks",
+    "contrastive_pairs",
     "doc_keywords",
     "training_chunks",
     "pmi_top_pairs",

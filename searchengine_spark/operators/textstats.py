@@ -651,3 +651,49 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
         )
         .select("doc_id", "n_bigrams", F.expr("s div n_bigrams").alias("mean_nll_micros"))
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, anchor_chunk_id, positive_chunk_id, anchor_md5,
+    positive_md5) — self-supervised training pairs for a dense retriever /
+    embedding model: the anchor chunk paired with its successor chunk from
+    the SAME document (the adjacent-window positive of public contrastive
+    pretraining recipes — partial overlap included, as in independent-
+    cropping positives; in-batch docs provide the negatives downstream).
+    Degenerate pairs whose two chunks have identical content (md5-equal,
+    e.g. fully repetitive docs) are dropped — they carry no training
+    signal.
+
+    Shape: reuses :func:`doc_chunks` (zero-shuffle chunking behind the
+    Generate barrier), then ONE self-join keyed on (doc_id, chunk_id) —
+    co-partitioned, linear in the chunk count; nothing is quadratic in
+    doc length because only successor pairs join."""
+    ch = doc_chunks(docs, chunk_size, stride, id_col, text_col)
+    a = ch.select(
+        "doc_id",
+        F.col("chunk_id").alias("anchor_chunk_id"),
+        F.col("chunk_md5").alias("anchor_md5"),
+    )
+    b = ch.select(
+        F.col("doc_id").alias("_d"),
+        (F.col("chunk_id") - 1).alias("_c"),
+        F.col("chunk_id").alias("positive_chunk_id"),
+        F.col("chunk_md5").alias("positive_md5"),
+    )
+    return (
+        a.join(b, (a.doc_id == b._d) & (a.anchor_chunk_id == b._c))
+        .filter(F.col("anchor_md5") != F.col("positive_md5"))
+        .select(
+            "doc_id",
+            "anchor_chunk_id",
+            "positive_chunk_id",
+            "anchor_md5",
+            "positive_md5",
+        )
+    )

@@ -2711,6 +2711,40 @@ FROM ch
 """
 
 
+def contrastive_pairs_sql(chunk_size: int = 64, stride: int = 48) -> str:
+    """Twin of textstats.contrastive_pairs: the doc_chunks windows
+    self-joined on successor chunk ids, md5-identical pairs dropped."""
+    lo = f"chunk_id * {stride} + 1"
+    hi = f"chunk_id * {stride} + {chunk_size}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+nz AS (SELECT doc_id, arr, len(arr) AS dl FROM toks WHERE len(arr) > 0),
+ch AS (
+  SELECT doc_id, arr,
+         unnest(range(0, (dl - 1) // {stride} + 1)) AS chunk_id
+  FROM nz
+),
+chunks AS (
+  SELECT doc_id, chunk_id::INT AS chunk_id,
+         md5(array_to_string(arr[{lo} : {hi}], ' ')) AS chunk_md5
+  FROM ch
+)
+SELECT a.doc_id,
+       a.chunk_id AS anchor_chunk_id,
+       b.chunk_id AS positive_chunk_id,
+       a.chunk_md5 AS anchor_md5,
+       b.chunk_md5 AS positive_md5
+FROM chunks a
+JOIN chunks b ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
+WHERE a.chunk_md5 <> b.chunk_md5
+"""
+
+
 def pack_chunks_sql(budget: int = 512, chunk_size: int = 64, stride: int = 48) -> str:
     """Single-window twin of textstats.pack_chunks: the two-phase distributed
     prefix sum equals one per-lang cumulative window because bucket =

@@ -708,3 +708,26 @@ def test_bigram_logprob_prefers_predictable_text(spark):
         for r in bigram_logprob(docs.repartition(4)).collect()
     }
     assert again == {d: r["mean_nll_micros"] for d, r in got.items()}
+
+
+def test_contrastive_pairs_successor_structure(spark):
+    from searchengine_spark.operators.textstats import contrastive_pairs, doc_chunks
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = contrastive_pairs(docs, chunk_size=8, stride=8).collect()
+    assert pairs
+    # every pair is (i, i+1) within one doc and never content-identical
+    assert all(r["positive_chunk_id"] == r["anchor_chunk_id"] + 1 for r in pairs)
+    assert all(r["anchor_md5"] != r["positive_md5"] for r in pairs)
+    # pair count = successor pairs minus the md5-identical ones
+    ch = doc_chunks(docs, chunk_size=8, stride=8).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_md5"]
+    expected = sum(
+        1
+        for d, cs in by_doc.items()
+        for i in cs
+        if i + 1 in cs and cs[i] != cs[i + 1]
+    )
+    assert len(pairs) == expected
