@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # personalized PageRank: teleport to a seed set — proximity-to-seeds
         # ranking ("related pages"), exact-integer like its uniform sibling
         "ppr_scores": lambda spark, sf: _ppr_scores(spark, sf),
+        # degree-orientation triangle counting (clustering-coefficient
+        # numerator) over the same synthetic link graph
+        "graph_triangles": lambda spark, sf: _graph_triangles(spark, sf),
         # anchor-text propagation: in-link anchor phrases credited to the
         # TARGET doc (the rank-pages-for-terms-they-don't-contain signal)
         "anchor_terms": lambda spark, sf: _anchor_terms(spark, sf),
@@ -407,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": relational.orders_rollup,
         "events_hourly": relational.events_hourly,
         "events_sessionize": relational.events_sessionize,
+        # first-touch conversion funnel view -> click -> purchase
+        "events_funnel": relational.events_funnel,
         "events_asof_prior": relational.events_asof_prior,
         "events_quantiles": relational.events_quantiles,
         "events_pivot_by_type": relational.events_pivot_by_type,
@@ -676,6 +681,18 @@ def _pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(_docs(spark, sf_dir), iterations=5)
 
 
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import triangle_count
+
+    return triangle_count(_docs(spark, sf_dir))
+
+
+def _graph_triangles_sql() -> str:
+    from searchengine_spark.operators.graph_demo import triangle_count_sql
+
+    return triangle_count_sql()
+
+
 def _hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.graph_demo import hits_integer
 
@@ -774,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": oracles.doc_keywords_sql(k=3),
         "hits_scores": _hits_scores_sql(),
         "ppr_scores": _ppr_scores_sql(),
+        "graph_triangles": _graph_triangles_sql(),
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "bigram_logprob": oracles.bigram_logprob_sql(lam=0.75),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
@@ -846,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": oracles.orders_rollup_sql(),
         "events_hourly": oracles.events_hourly_sql(),
         "events_sessionize": oracles.events_sessionize_sql(),
+        "events_funnel": oracles.events_funnel_sql(),
         "events_asof_prior": oracles.events_asof_prior_sql(),
         "events_quantiles": oracles.events_quantiles_sql(),
         "events_pivot_by_type": oracles.events_pivot_sql(),

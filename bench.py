@@ -101,9 +101,11 @@ HEADLINE = [
     "training_chunks",
     "pmi_top_pairs",
     "hits_scores",
+    "graph_triangles",
     "q1_pricing_summary",
     "q3_top_orders",
     "events_sessionize",
+    "events_funnel",
 ]
 
 

@@ -349,3 +349,87 @@ j AS (
 SELECT doc_id, term, count(*)::BIGINT AS anchor_tf
 FROM j GROUP BY 1, 2
 """
+
+
+def triangle_count(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Global triangle count over the (undirected) link graph — the classic
+    distributed graph-analytics kernel beside PageRank/HITS, and the usual
+    clustering-coefficient numerator.
+
+    Degree-orientation algorithm (the MapReduce-era standard, cf. Suri &
+    Vassilvitskii WWW'11): orient every undirected edge from its lower-
+    (degree, id) endpoint to the higher one, generate wedges only at each
+    edge's SOURCE, and close them against the oriented edge set. Wedge
+    work is Σ out_deg², and orientation caps out-degree by O(sqrt(|E|))
+    on any graph — a star's hub generates NO wedges because all its edges
+    point away from the leaves into it. Both the wedge self-join and the
+    closing join are equi-joins on node keys.
+
+    Output: one row (n_nodes, n_edges, n_triangles)."""
+    e = synthetic_edges(docs, id_col)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = j.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    w1 = orient.select("u", F.col("v").alias("x"))
+    w2 = orient.select("u", F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") != F.col("y")).select("x", "y")
+    tri = wedges.join(
+        orient.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    n_nodes = docs.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def triangle_count_sql() -> str:
+    """Twin of triangle_count: degree-orientation wedge close over the
+    shared synthetic edge model (_EDGES_SQL)."""
+    return f"""
+WITH {_EDGES_SQL},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+deg AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY 1
+),
+orient AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+              THEN und.a ELSE und.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+              THEN und.b ELSE und.a END AS v
+  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+),
+wedges AS (
+  SELECT e1.v AS x, e2.v AS y
+  FROM orient e1 JOIN orient e2 ON e1.u = e2.u
+  WHERE e1.v <> e2.v
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM wedges JOIN orient ON wedges.x = orient.u AND wedges.y = orient.v
+)
+SELECT (SELECT count(*)::BIGINT FROM documents) AS n_nodes,
+       (SELECT count(*)::BIGINT FROM und) AS n_edges,
+       tri.n_triangles
+FROM tri
+"""

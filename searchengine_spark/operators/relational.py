@@ -393,3 +393,43 @@ def events_moving_avg(spark: SparkSession, sf_dir: str, hours: int = 1) -> DataF
         )
         .withColumn("avg_micros", F.expr("sum_micros div n_trailing"))
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream — the product-
+    analytics staple (view → click → purchase): a user advances to a step
+    only with an event at-or-after their entry into the previous step
+    (first-touch semantics: min timestamps).
+
+    Every join is user-keyed (co-partitioned aggregates, no windows, no
+    skew: a user's events are bounded); the three stage counts are 1-row
+    aggregates unioned in-plan. Output: (step, step_name, n_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+    return stage(v, 1, "view").unionByName(stage(c, 2, "click")).unionByName(
+        stage(p, 3, "purchase")
+    )

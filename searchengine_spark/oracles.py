@@ -1232,6 +1232,33 @@ LIMIT {k}
 """
 
 
+def events_funnel_sql() -> str:
+    """Twin of relational.events_funnel: first-touch min-timestamp chain
+    view -> click -> purchase."""
+    return """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1
+)
+SELECT 1::BIGINT AS step, 'view' AS step_name,
+       (SELECT count(*) FROM v)::BIGINT AS n_users
+UNION ALL
+SELECT 2::BIGINT, 'click', (SELECT count(*) FROM c)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM p)::BIGINT
+"""
+
+
 def user_daily_activity_sql() -> str:
     return """
 WITH daily AS (

@@ -731,3 +731,37 @@ def test_contrastive_pairs_successor_structure(spark):
         if i + 1 in cs and cs[i] != cs[i + 1]
     )
     assert len(pairs) == expected
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from searchengine_spark.operators.graph_demo import triangle_count
+
+    n = 37
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    row = triangle_count(docs).collect()[0]
+    # brute force on the same synthetic edge model
+    und = set()
+    for i in range(n):
+        for dst in ((i * 31 + 7) % n, (i * 17 + 3) % n):
+            if dst != i:
+                und.add((min(i, dst), max(i, dst)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in und:
+        tri += len(adj[a] & adj[b] - {a, b})
+    tri //= 3  # each triangle counted once per edge
+    assert row["n_nodes"] == n
+    assert row["n_edges"] == len(und)
+    assert row["n_triangles"] == tri and tri > 0
+
+
+def test_events_funnel_monotone(spark):
+    from searchengine_spark.operators.relational import events_funnel
+
+    rows = {r["step"]: r for r in events_funnel(spark, SF_SMALL).collect()}
+    assert [rows[s]["step_name"] for s in (1, 2, 3)] == ["view", "click", "purchase"]
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[1]["n_users"] > 0 and rows[3]["n_users"] > 0
