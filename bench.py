@@ -97,6 +97,7 @@ HEADLINE = [
     "bigram_logprob",
     "doc_chunks",
     "contrastive_pairs",
+    "mask_spans",
     "doc_keywords",
     "training_chunks",
     "pmi_top_pairs",

@@ -697,3 +697,46 @@ def contrastive_pairs(
             "positive_md5",
         )
     )
+
+
+def mask_spans(
+    docs: DataFrame,
+    mask_ppm: int = 150_000,
+    salt: str = "mask:",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, start_pos, span_len) — deterministic span-corruption masks,
+    the noising step of T5/BART-style denoising pretraining data (~15% of
+    tokens masked, adjacent masked positions merged into spans the model
+    reconstructs). Spark's RNG is partition-seeded, so masks instead come
+    from the engine-portable md5-position trick (the stratified_sample
+    contract): a token is masked iff hash('mask:'||doc||':'||pos) lands
+    under ``mask_ppm`` — reruns and both engines mask identical positions,
+    so the export is resumable and hash-gated.
+
+    Runs of consecutive masked raw-split positions merge gaps-and-islands
+    style (pos − row_number per doc); the only window is per-doc and
+    bounded by doc length — no global ordering, no skew."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.operators.sampling import _hash_ppm
+
+    toks = exploded_tokens(docs, id_col, text_col, with_pos=True)
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    masked = toks.filter(_hash_ppm(key, salt) < F.lit(mask_ppm)).select(
+        id_col, "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = masked.withColumn("_g", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.count(F.lit(1)).cast("long").alias("span_len"),
+        )
+        .select(id_col, "start_pos", "span_len")
+    )

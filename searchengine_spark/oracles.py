@@ -2738,6 +2738,34 @@ FROM ch
 """
 
 
+def mask_spans_sql(mask_ppm: int = 150_000, salt: str = "mask:") -> str:
+    """Twin of textstats.mask_spans: md5-position mask decisions merged
+    gaps-and-islands into spans."""
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toksarr
+),
+tok AS (SELECT doc_id, pos FROM pos WHERE term <> ''),
+masked AS (
+  SELECT doc_id, pos FROM tok
+  WHERE CAST(('0x' || substr(md5('{salt}' || doc_id || ':' || pos), 1, 15))
+             AS BIGINT) % 1000000 < {mask_ppm}
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM masked
+)
+SELECT doc_id, min(pos)::BIGINT AS start_pos, count(*)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, g
+"""
+
+
 def contrastive_pairs_sql(chunk_size: int = 64, stride: int = 48) -> str:
     """Twin of textstats.contrastive_pairs: the doc_chunks windows
     self-joined on successor chunk ids, md5-identical pairs dropped."""

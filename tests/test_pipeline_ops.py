@@ -765,3 +765,31 @@ def test_events_funnel_monotone(spark):
     assert [rows[s]["step_name"] for s in (1, 2, 3)] == ["view", "click", "purchase"]
     assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
     assert rows[1]["n_users"] > 0 and rows[3]["n_users"] > 0
+
+
+def test_mask_spans_rate_and_islands(spark):
+    from searchengine_spark.operators.textstats import mask_spans, token_stats
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    spans = mask_spans(docs, mask_ppm=150_000).collect()
+    assert spans
+    masked_tokens = sum(r["span_len"] for r in spans)
+    total_tokens = sum(
+        r["n_tokens"] for r in token_stats(docs).collect()
+    )
+    # mask rate ~15% (md5 positions are uniform; allow wide slack)
+    assert 0.10 < masked_tokens / total_tokens < 0.20
+    # spans within one doc never touch (they would have merged)
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append((r["start_pos"], r["span_len"]))
+    for d, ss in by_doc.items():
+        ss.sort()
+        for (s1, l1), (s2, _) in zip(ss, ss[1:]):
+            assert s1 + l1 < s2
+    # determinism across partition counts
+    again = sorted(
+        (r["doc_id"], r["start_pos"], r["span_len"])
+        for r in mask_spans(docs.repartition(9), mask_ppm=150_000).collect()
+    )
+    assert again == sorted((r["doc_id"], r["start_pos"], r["span_len"]) for r in spans)
