@@ -417,6 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": relational.events_sessionize,
         # first-touch conversion funnel view -> click -> purchase
         "events_funnel": relational.events_funnel,
+        # weekly signup-cohort retention matrix
+        "retention_cohorts": relational.retention_cohorts,
         "events_asof_prior": relational.events_asof_prior,
         "events_quantiles": relational.events_quantiles,
         "events_pivot_by_type": relational.events_pivot_by_type,
@@ -871,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": oracles.events_hourly_sql(),
         "events_sessionize": oracles.events_sessionize_sql(),
         "events_funnel": oracles.events_funnel_sql(),
+        "retention_cohorts": oracles.retention_cohorts_sql(),
         "events_asof_prior": oracles.events_asof_prior_sql(),
         "events_quantiles": oracles.events_quantiles_sql(),
         "events_pivot_by_type": oracles.events_pivot_sql(),

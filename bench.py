@@ -107,6 +107,7 @@ HEADLINE = [
     "q3_top_orders",
     "events_sessionize",
     "events_funnel",
+    "retention_cohorts",
 ]
 
 

@@ -433,3 +433,40 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(v, 1, "view").unionByName(stage(c, 2, "click")).unionByName(
         stage(p, 3, "purchase")
     )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix — the second product-analytics
+    staple beside the funnel: users cohorted by their signup week, counted
+    once per later week in which they show ANY activity.
+
+    ``week_offset`` = whole weeks between the cohort week and the activity
+    week (both Monday-truncated, day-diff // 7 — pure date arithmetic, no
+    epoch conversions, so TIMESTAMP_NTZ parity is trivial). The distinct
+    (user, week) dedup and the count are user-keyed map-side-combined
+    aggregates; the signup table joins back on user_id — co-partitioned,
+    no windows.
+
+    Output: (cohort_week, week_offset, n_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cw"))
+    )
+    act = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("aw"))
+        .join(su, "user_id")
+        .filter(F.col("aw") >= F.col("cw"))
+        .select(
+            "user_id",
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("aw"), F.to_date("cw")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -1259,6 +1259,27 @@ SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM p)::BIGINT
 """
 
 
+def retention_cohorts_sql() -> str:
+    """Twin of relational.retention_cohorts: signup-week cohorts, distinct
+    active (user, week), Monday-truncated day-diff // 7 offsets."""
+    return """
+WITH su AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cw FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id,
+         strftime(su.cw, '%Y-%m-%d') AS cohort_week,
+         (date_diff('day', su.cw::DATE, date_trunc('week', e.ts)::DATE) // 7)::BIGINT
+           AS week_offset
+  FROM events e JOIN su USING (user_id)
+  WHERE date_trunc('week', e.ts) >= su.cw
+)
+SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+FROM act GROUP BY 1, 2
+"""
+
+
 def user_daily_activity_sql() -> str:
     return """
 WITH daily AS (

@@ -793,3 +793,19 @@ def test_mask_spans_rate_and_islands(spark):
         for r in mask_spans(docs.repartition(9), mask_ppm=150_000).collect()
     )
     assert again == sorted((r["doc_id"], r["start_pos"], r["span_len"]) for r in spans)
+
+
+def test_retention_cohorts_week_zero_covers_signups(spark):
+    from searchengine_spark.operators.relational import retention_cohorts
+
+    rows = retention_cohorts(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["week_offset"] >= 0 for r in rows)
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_users"]
+    for cw, m in by_cohort.items():
+        # signup week itself is activity -> offset 0 exists and is the max
+        # (retention can only shrink or equal the cohort size)
+        assert 0 in m
+        assert all(n <= m[0] for n in m.values())
