@@ -366,3 +366,75 @@ def test_exact_substring_spans_windows_by_doc_only(spark):
     for line in plan.splitlines():
         if "Window" in line and "partition" in line.lower():
             assert "doc_id" in line
+
+
+def test_maxp_serves_from_pruned_postings_no_window(spark):
+    """Passage MaxP: bucket-pruned postings scan, broadcast lexicon, the
+    per-doc best passage via hash aggregate (struct max) — no corpus scan,
+    no window, bounded top-k."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.bm25_maxp_topk(spark, idx, ["spark", "hash"], k=10))
+    assert "documents.parquet" not in plan
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ltr_features_one_pass_no_corpus(spark):
+    """LTR export: one pruned postings pass + broadcast lexicon + one
+    per-doc aggregate; the corpus is never scanned."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.ltr_features(spark, idx, ["spark", "hash"]))
+    assert "documents.parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_broadcasts_logratio_table(spark):
+    """DSIR: the B-row log-ratio table joins back broadcast; the per-doc
+    weight is a hash aggregate (no window, no sort-merge join)."""
+    from searchengine_spark.operators.sampling import dsir_weights
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(dsir_weights(docs, n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_shard_selection_grid_is_broadcast(spark):
+    """CORI: the S×|q| belief grid joins tiny broadcast sides; nothing big
+    is sort-merge joined and no window appears."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.shard_selection(spark, idx, ["spark", "hash"], n_shards=8))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mask_spans_single_per_doc_window(spark):
+    """Span masks: the only window is the per-doc gaps-and-islands rank —
+    partitioned by doc_id, never unkeyed."""
+    from searchengine_spark.operators.textstats import mask_spans
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(mask_spans(docs))
+    assert "No Partition Defined" not in plan
+    spec_lines = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert spec_lines and all("doc_id" in line for line in spec_lines)
