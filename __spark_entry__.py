@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": relational.events_funnel,
         # weekly signup-cohort retention matrix
         "retention_cohorts": relational.retention_cohorts,
+        # schema-on-read JSON property extraction + exact histogram
+        "events_json_stats": relational.events_json_stats,
         "events_asof_prior": relational.events_asof_prior,
         "events_quantiles": relational.events_quantiles,
         "events_pivot_by_type": relational.events_pivot_by_type,
@@ -874,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": oracles.events_sessionize_sql(),
         "events_funnel": oracles.events_funnel_sql(),
         "retention_cohorts": oracles.retention_cohorts_sql(),
+        "events_json_stats": oracles.events_json_stats_sql(bucket_width=10),
         "events_asof_prior": oracles.events_asof_prior_sql(),
         "events_quantiles": oracles.events_quantiles_sql(),
         "events_pivot_by_type": oracles.events_pivot_sql(),

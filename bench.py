@@ -108,6 +108,7 @@ HEADLINE = [
     "events_sessionize",
     "events_funnel",
     "retention_cohorts",
+    "events_json_stats",
 ]
 
 

@@ -470,3 +470,29 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str, bucket_width: int = 10) -> DataFrame:
+    """Semi-structured extraction — the schema-on-read pass every event
+    pipeline runs over a JSON properties column: pull ``$.k`` out of the
+    ``props`` string (Spark ``get_json_object``; JSON never leaves the
+    executors) and aggregate a per-(event_type, k-bucket) histogram with
+    exact integer sums.
+
+    One map + one map-side-combined aggregate; extraction is a row-local
+    scalar, so the shuffle carries only the (type, bucket) partials.
+    Output: (event_type, k_bucket, n, sum_k)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("k") - F.pmod(F.col("k"), F.lit(bucket_width))).alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )

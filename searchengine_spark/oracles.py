@@ -1259,6 +1259,23 @@ SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM p)::BIGINT
 """
 
 
+def events_json_stats_sql(bucket_width: int = 10) -> str:
+    """Twin of relational.events_json_stats: JSON $.k extraction + exact
+    per-(type, bucket) integer histogram."""
+    return f"""
+WITH ks AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       (k - (k % {bucket_width}))::BIGINT AS k_bucket,
+       count(*)::BIGINT AS n,
+       sum(k)::BIGINT AS sum_k
+FROM ks WHERE k IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def retention_cohorts_sql() -> str:
     """Twin of relational.retention_cohorts: signup-week cohorts, distinct
     active (user, week), Monday-truncated day-diff // 7 offsets."""
