@@ -60,6 +60,10 @@ class SearchAPI:
         self.spark = spark
         self.idx = gate_index(spark, sf_dir)
         self.documents = load_table(spark, sf_dir, "documents")
+        try:
+            self.embeddings = load_table(spark, sf_dir, "embeddings")
+        except Exception:  # corpus dirs without an embeddings table
+            self.embeddings = None
 
     @staticmethod
     def parse_query(raw: str) -> tuple[list[str], bool]:
@@ -161,6 +165,38 @@ class SearchAPI:
             changed = changed or dist > 0
         return " ".join(out) if changed else None
 
+    def suggest_prefix(self, prefix: str, k: int = 5) -> list[dict]:
+        """Autocomplete: top-k lexicon terms under a prefix (the A9/O3
+        suggestion path as a live route — one dictionary range scan)."""
+        from searchengine_spark.operators import serve
+
+        prefix = prefix.strip().lower()
+        if not prefix:
+            return []
+        rows = serve.prefix_suggest(self.spark, self.idx, prefix, k=k).collect()
+        return [{"term": r[0], "count": int(r[1])} for r in rows]
+
+    def similar(self, vec_id: int, k: int = 5) -> list[dict]:
+        """Vector similar-items route: exact cosine top-k neighbors of one
+        stored embedding (the single-query form of ann_bruteforce_topk —
+        the query vector is a driver constant, the corpus side is one
+        Arrow-batched integer matmul pass)."""
+        from searchengine_spark.operators import similarity
+
+        if self.embeddings is None:
+            return []
+        rows = similarity.ann_bruteforce_topk(
+            self.embeddings, k=k, query_ids=[int(vec_id)]
+        ).collect()
+        return [
+            {
+                "neighbor_id": int(r["neighbor_id"]),
+                "rank": int(r["rank"]),
+                "cosine_micros": int(r["cosine_micros"]),
+            }
+            for r in rows
+        ]
+
     def start(self, port: int = 0) -> ThreadingHTTPServer:
         """Bind and serve on a daemon thread; returns the server (port via
         ``server.server_address[1]``, stop via ``server.shutdown()``)."""
@@ -186,16 +222,37 @@ def _make_handler(api: SearchAPI):
 
         def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
             parsed = urllib.parse.urlparse(self.path)
-            if parsed.path != "/api/search":
-                self._send(404, {"error": "not found"})
-                return
             qs = urllib.parse.parse_qs(parsed.query)
-            query = qs.get("query", [""])[0]
             try:
                 k = min(MAX_K, max(1, int(qs.get("k", ["10"])[0])))
             except ValueError:
                 self._send(400, {"error": "bad k"})
                 return
+            if parsed.path == "/api/suggest":
+                try:
+                    terms = api.suggest_prefix(qs.get("prefix", [""])[0], k=k)
+                except Exception as exc:
+                    self._send(500, {"error": str(exc)})
+                    return
+                self._send(200, {"suggestions": terms, "total": len(terms)})
+                return
+            if parsed.path == "/api/similar":
+                try:
+                    vec_id = int(qs.get("id", [""])[0])
+                except ValueError:
+                    self._send(400, {"error": "bad id"})
+                    return
+                try:
+                    neighbors = api.similar(vec_id, k=k)
+                except Exception as exc:
+                    self._send(500, {"error": str(exc)})
+                    return
+                self._send(200, {"neighbors": neighbors, "total": len(neighbors)})
+                return
+            if parsed.path != "/api/search":
+                self._send(404, {"error": "not found"})
+                return
+            query = qs.get("query", [""])[0]
             try:
                 results = api.search(query, k=k)
             except Exception as exc:  # surface, don't kill the server

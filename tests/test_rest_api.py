@@ -124,3 +124,46 @@ def test_wildcard_query_expands_prefix(api_server):
     assert status == 200 and body["total"] > 0
     # every result's best term starts with the prefix
     assert all(r["term"].startswith("spar") for r in body["results"])
+
+
+def test_suggest_route_matches_lexicon_prefix(spark, api_server):
+    from pyspark.sql import functions as F
+
+    api, base = api_server
+    code, payload = _get(base, "/api/suggest?prefix=s&k=5")
+    assert code == 200 and payload["total"] == len(payload["suggestions"]) > 0
+    expected = [
+        (r["term"], r["n"])
+        for r in api.idx["lexicon"]
+        .filter(F.col("term").startswith("s"))
+        .select("term", F.col("cf").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(5)
+        .collect()
+    ]
+    assert [(s["term"], s["count"]) for s in payload["suggestions"]] == expected
+    # every suggestion honors the prefix
+    assert all(s["term"].startswith("s") for s in payload["suggestions"])
+
+
+def test_similar_route_matches_ann_bruteforce(spark, api_server):
+    from searchengine_spark.operators import similarity
+
+    api, base = api_server
+    code, payload = _get(base, "/api/similar?id=3&k=4")
+    assert code == 200 and payload["total"] == len(payload["neighbors"]) == 4
+    expected = [
+        (r["rank"], r["neighbor_id"], r["cosine_micros"])
+        for r in similarity.ann_bruteforce_topk(
+            api.embeddings, k=4, query_ids=[3]
+        ).collect()
+    ]
+    got = [
+        (n["rank"], n["neighbor_id"], n["cosine_micros"])
+        for n in payload["neighbors"]
+    ]
+    assert got == expected
+    assert all(n["neighbor_id"] != 3 for n in payload["neighbors"])  # self excluded
+    # bad id is a 400, not a crash
+    code, _ = _get(base, "/api/similar?id=abc")
+    assert code == 400
