@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": relational.events_json_stats,
         "events_asof_prior": relational.events_asof_prior,
         "events_quantiles": relational.events_quantiles,
+        # mergeable equi-width histogram sketch + interpolated quantiles
+        # (the distributed alternative to the exact sort-based gate above)
+        "hist_quantiles": lambda spark, sf: _hist_quantiles(spark, sf),
         "events_pivot_by_type": relational.events_pivot_by_type,
         "heavy_hitter_terms": relational.heavy_hitter_terms,
         "lineitem_moments": relational.lineitem_moments,
@@ -530,6 +533,12 @@ def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.sketches import hll_registers
 
     return hll_registers(_docs(spark, sf_dir))
+
+
+def _hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.sketches import hist_quantiles
+
+    return hist_quantiles(load_table(spark, sf_dir, "events"))
 
 
 def _bloom_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": oracles.events_json_stats_sql(bucket_width=10),
         "events_asof_prior": oracles.events_asof_prior_sql(),
         "events_quantiles": oracles.events_quantiles_sql(),
+        "hist_quantiles": oracles.hist_quantiles_sql(),
         "events_pivot_by_type": oracles.events_pivot_sql(),
         "heavy_hitter_terms": oracles.heavy_hitter_terms_sql(),
         "lineitem_moments": oracles.lineitem_moments_sql(),

@@ -109,6 +109,7 @@ HEADLINE = [
     "events_funnel",
     "retention_cohorts",
     "events_json_stats",
+    "hist_quantiles",
 ]
 
 

@@ -1259,6 +1259,41 @@ SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM p)::BIGINT
 """
 
 
+def hist_quantiles_sql(
+    bin_micros: int = 10_000_000,
+    q_ppms: tuple[int, ...] = (250_000, 500_000, 900_000, 990_000),
+) -> str:
+    """Twin of sketches.hist_quantiles: equi-width micro-bins, integer
+    ceil-rank targets, within-bin interpolation."""
+    qvals = ", ".join(f"({q})" for q in q_ppms)
+    return f"""
+WITH bins AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) // {bin_micros} AS bin,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT bin, n,
+         sum(n) OVER (ORDER BY bin)::BIGINT AS cum,
+         (sum(n) OVER (ORDER BY bin) - n)::BIGINT AS cum_before
+  FROM bins
+),
+tot AS (SELECT sum(n)::BIGINT AS total FROM bins),
+q(q_ppm) AS (VALUES {qvals}),
+targets AS (
+  SELECT q_ppm::BIGINT AS q_ppm,
+         ((q_ppm * tot.total + 999999) // 1000000)::BIGINT AS r
+  FROM q CROSS JOIN tot
+)
+SELECT targets.q_ppm,
+       (cum.bin * {bin_micros}
+        + CAST(round({float(bin_micros)} * (targets.r - cum.cum_before)
+                     / cum.n::DOUBLE) AS BIGINT))::BIGINT AS est_micros
+FROM cum CROSS JOIN targets
+WHERE cum.cum >= targets.r AND cum.cum_before < targets.r
+"""
+
+
 def events_json_stats_sql(bucket_width: int = 10) -> str:
     """Twin of relational.events_json_stats: JSON $.k extraction + exact
     per-(type, bucket) integer histogram."""

@@ -809,3 +809,21 @@ def test_retention_cohorts_week_zero_covers_signups(spark):
         # (retention can only shrink or equal the cohort size)
         assert 0 in m
         assert all(n <= m[0] for n in m.values())
+
+
+def test_hist_quantiles_bounded_error_and_monotone(spark):
+    from searchengine_spark.operators.sketches import hist_quantiles
+
+    ev = load_table(spark, SF_SMALL, "events")
+    W = 10_000_000
+    got = {r["q_ppm"]: r["est_micros"] for r in hist_quantiles(ev, bin_micros=W).collect()}
+    assert set(got) == {250_000, 500_000, 900_000, 990_000}
+    # estimates are monotone in q
+    qs = sorted(got)
+    assert all(got[a] <= got[b] for a, b in zip(qs, qs[1:]))
+    # each estimate is within one bin width of the exact quantile
+    vals = sorted(round(v * 1e6) for (v,) in ev.select("value").collect())
+    import math
+    for q, est in got.items():
+        exact = vals[min(len(vals) - 1, math.ceil(q * len(vals) / 1e6) - 1)]
+        assert abs(est - exact) <= W, (q, est, exact)
