@@ -372,6 +372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": lambda spark, sf: textstats.contrastive_pairs(
             _docs(spark, sf), chunk_size=64, stride=48
         ),
+        # percolation / reverse search: match the stored query set against
+        # incoming docs BEFORE indexing (alerting/subscription primitive)
+        "percolate_matches": lambda spark, sf: textstats.percolate_matches(
+            _docs(spark, sf), BATCH_QUERIES
+        ),
         # T5-style span-corruption masks: deterministic md5-position token
         # masking merged into spans (gaps-and-islands per doc)
         "mask_spans": lambda spark, sf: textstats.mask_spans(
@@ -863,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": oracles.doc_chunks_sql(chunk_size=64, stride=48),
         "contrastive_pairs": oracles.contrastive_pairs_sql(chunk_size=64, stride=48),
         "mask_spans": oracles.mask_spans_sql(mask_ppm=150_000),
+        "percolate_matches": oracles.percolate_matches_sql(BATCH_QUERIES),
         "pack_chunks": oracles.pack_chunks_sql(budget=512, chunk_size=64, stride=48),
         "training_chunks": oracles.training_chunks_sql(
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM

@@ -98,6 +98,7 @@ HEADLINE = [
     "doc_chunks",
     "contrastive_pairs",
     "mask_spans",
+    "percolate_matches",
     "doc_keywords",
     "training_chunks",
     "pmi_top_pairs",

@@ -740,3 +740,47 @@ def mask_spans(
         )
         .select(id_col, "start_pos", "span_len")
     )
+
+
+def percolate_matches(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reverse search / percolation (the Elasticsearch percolate-query
+    pattern): match a STORED query set against incoming documents — the
+    alerting/subscription primitive ("notify me when a doc matching my
+    query arrives"). A query matches a doc when ALL its terms occur
+    (the same conjunctive semantics as term_search_all).
+
+    One tokenize pass over the incoming batch; the query map is a
+    broadcast |Q·terms|-row literal; the distinct-hit count aggregates
+    map-side keyed by (doc, query) — linear in batch tokens, no corpus
+    or index access at all (this is the operator you run on the ingest
+    stream BEFORE indexing).
+
+    Output: (doc_id, query_id) for every matching pair."""
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    qmap = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    ]
+    if not qmap:
+        return docs.sparkSession.createDataFrame([], "doc_id long, query_id string")
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(qmap, "query_id string, term string")
+    n_req = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
+    toks = exploded_tokens(docs, id_col, text_col).distinct()
+    hits = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy(id_col, "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(F.broadcast(n_req), "query_id")
+        .filter(F.col("n_hit") == F.col("n_req"))
+        .select(id_col, "query_id")
+    )

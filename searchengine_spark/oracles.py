@@ -2168,6 +2168,30 @@ FROM vids
 """
 
 
+def percolate_matches_sql(queries: dict[str, list[str]]) -> str:
+    """Twin of textstats.percolate_matches: conjunctive stored-query match
+    over the incoming docs' distinct token sets."""
+    esc = lambda s: s.replace("'", "''")
+    pairs = ", ".join(
+        f"('{esc(qid)}', '{esc(t)}')"
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+qmap(query_id, term) AS (VALUES {pairs}),
+nreq AS (SELECT query_id, count(*)::BIGINT AS n_req FROM qmap GROUP BY 1),
+dt AS (SELECT DISTINCT doc_id, term FROM terms),
+hits AS (
+  SELECT dt.doc_id, qmap.query_id, count(*)::BIGINT AS n_hit
+  FROM dt JOIN qmap USING (term) GROUP BY 1, 2
+)
+SELECT hits.doc_id, hits.query_id
+FROM hits JOIN nreq USING (query_id)
+WHERE hits.n_hit = nreq.n_req
+"""
+
+
 def dsir_weights_sql(
     n_buckets: int = 64, bench_mod: int = 17, bench_rem: int = 3
 ) -> str:

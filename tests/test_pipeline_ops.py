@@ -827,3 +827,23 @@ def test_hist_quantiles_bounded_error_and_monotone(spark):
     for q, est in got.items():
         exact = vals[min(len(vals) - 1, math.ceil(q * len(vals) / 1e6) - 1)]
         assert abs(est - exact) <= W, (q, est, exact)
+
+
+def test_percolate_equals_term_search_all(spark):
+    """Percolation over the corpus must equal the index-served conjunctive
+    search for each stored query (same semantics, opposite direction)."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.operators.textstats import percolate_matches
+    from searchengine_spark.plans.gate_index import gate_index
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    idx = gate_index(spark, SF_SMALL)
+    queries = {"qa": ["spark", "hash", "join"], "qb": ["spark", "stream"]}
+    got = {}
+    for r in percolate_matches(docs, queries).collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid, terms in queries.items():
+        expected = {
+            r["doc_id"] for r in serve.term_search_all(spark, idx, terms).collect()
+        }
+        assert got.get(qid, set()) == expected and expected
