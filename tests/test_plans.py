@@ -363,9 +363,13 @@ def test_exact_substring_spans_windows_by_doc_only(spark):
     docs = load_table(spark, SF_DIR, "documents")
     plan = plan_of(exact_substring_spans(docs, window=16))
     assert "No Partition Defined" not in plan
-    for line in plan.splitlines():
-        if "Window" in line and "partition" in line.lower():
-            assert "doc_id" in line
+    # Spark 4 formatted plans carry the partition key on the
+    # windowspecdefinition argument lines (a line containing "Window"
+    # never also says "partition", so matching on that would be vacuous)
+    spec_lines = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert spec_lines and all("doc_id" in line for line in spec_lines)
 
 
 def test_maxp_serves_from_pruned_postings_no_window(spark):
