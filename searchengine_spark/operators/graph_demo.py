@@ -21,10 +21,15 @@ DAMP_NUM, DAMP_DEN = 85, 100
 
 
 def synthetic_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    # reduce BEFORE multiplying: ids from hashed/sparse key spaces would
+    # overflow ANSI long arithmetic in `id * 31` (for the dense 0..n-1 gate
+    # corpus `id % n == id`, so edge values — and the SQL twin — are
+    # unchanged)
     n = docs.count()
     ids = docs.select(F.col(id_col).alias("src"))
-    e1 = ids.select("src", ((F.col("src") * 31 + 7) % n).alias("dst"))
-    e2 = ids.select("src", ((F.col("src") * 17 + 3) % n).alias("dst"))
+    m = F.col("src") % n
+    e1 = ids.select("src", ((m * 31 + 7) % n).alias("dst"))
+    e2 = ids.select("src", ((m * 17 + 3) % n).alias("dst"))
     return e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
 
 
@@ -172,9 +177,11 @@ n AS (SELECT count(*)::BIGINT AS n FROM documents),
 nodes AS (SELECT doc_id FROM documents),
 edges AS (
   SELECT DISTINCT src, dst FROM (
-    SELECT doc_id AS src, (doc_id * 31 + 7) % n.n AS dst FROM documents, n
+    SELECT doc_id AS src, ((doc_id % n.n) * 31 + 7) % n.n AS dst
+    FROM documents, n
     UNION ALL
-    SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+    SELECT doc_id AS src, ((doc_id % n.n) * 17 + 3) % n.n AS dst
+    FROM documents, n
   ) WHERE src <> dst
 )"""
 
