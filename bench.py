@@ -616,6 +616,31 @@ downstream scan bytes compounds across every stage that reads the index
 back (gate serving, compaction, incremental merge), while the extra
 compression CPU lands on cores the high-parallelism cells leave idle.
 
+## Pipeline-operator scaling (8 vs 32 cores, 200k docs)
+
+The index build above is the north-rule headline; this table evidences the
+TRAINING-DATA operator families the same way (same input, clean pretouched
+subprocesses, interleaved 8/32 x 2 rounds, per-cell BEST — round-0 cells
+hit a host stall storm 2-3x worse than round 1, reaffirming the
+best-of-N rule). Probes count full materializations; pair-enumeration ops
+are probed via their linear stage (signatures), matching how the engine
+itself consumes them at scale (star-edge clustering, never m^2 pairs).
+
+| operator | local[8] best (s) | local[32] best (s) | speedup | raw rounds 8 | raw rounds 32 |
+|---|---|---|---|---|---|
+| dsir_weights (uni+bigram features) | 36.81 | 22.61 | 1.63x | [77.64, 36.81] | [68.29, 22.61] |
+| minhash_signatures (16 perms) | 8.33 | 7.20 | 1.16x | [20.73, 8.33] | [24.94, 7.2] |
+| mask_spans (15% + islands) | 5.00 | 3.98 | 1.26x | [12.7, 5.0] | [5.58, 3.98] |
+| triangle_count (degree-oriented) | 5.10 | 5.58 | 0.91x | [6.92, 5.1] | [8.28, 5.58] |
+
+Read against the machine ceilings above (pure-CPU 8->32 ceiling ~2.0x,
+parallel-copy ceiling <1x): the heaviest op (dsir, ~160M feature rows)
+reaches 1.63x = 0.81 of the CPU ceiling; the sub-10s ops are dominated by
+fixed per-job overhead (session scheduling + tiny-shuffle latency) that
+more cores cannot amortize at this input size — their plans (one map +
+map-side-combined aggregates) add executors without new barriers, which is
+what matters at the 100 TB point.
+
 ## spark-submit --py-files (north rule submission mode)
 
 Verified working, with the package supplied ONLY via --py-files (run from
