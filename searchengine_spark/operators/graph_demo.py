@@ -20,7 +20,17 @@ SCALE = 1_000_000_000_000  # rank unit: 1e-12 of total mass
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
-def synthetic_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+DEFAULT_GENERATORS = ((31, 7), (17, 3))
+# affine maps alone never close triangles; the local chords (i+1, i+2)
+# make the triangle family's graph clustered (ring + chords)
+TRIANGLE_GENERATORS = ((31, 7), (17, 3), (1, 1), (1, 2))
+
+
+def synthetic_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    generators: tuple[tuple[int, int], ...] = DEFAULT_GENERATORS,
+) -> DataFrame:
     # reduce BEFORE multiplying: ids from hashed/sparse key spaces would
     # overflow ANSI long arithmetic in `id * 31` (for the dense 0..n-1 gate
     # corpus `id % n == id`, so edge values — and the SQL twin — are
@@ -28,9 +38,13 @@ def synthetic_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     n = docs.count()
     ids = docs.select(F.col(id_col).alias("src"))
     m = F.col("src") % n
-    e1 = ids.select("src", ((m * 31 + 7) % n).alias("dst"))
-    e2 = ids.select("src", ((m * 17 + 3) % n).alias("dst"))
-    return e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    arms = [
+        ids.select("src", ((m * a + b) % n).alias("dst")) for a, b in generators
+    ]
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
 def pagerank_integer(
@@ -172,18 +186,27 @@ def hits_integer(
     )
 
 
-_EDGES_SQL = """
+def _edges_sql(
+    generators: tuple[tuple[int, int], ...] = DEFAULT_GENERATORS,
+) -> str:
+    """The shared synthetic edge model as DuckDB CTEs, one UNION ALL arm
+    per affine generator — the single source the graph twins build on."""
+    arms = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id AS src, ((doc_id % n.n) * {a} + {b}) % n.n AS dst\n"
+        f"    FROM documents, n"
+        for a, b in generators
+    )
+    return f"""
 n AS (SELECT count(*)::BIGINT AS n FROM documents),
 nodes AS (SELECT doc_id FROM documents),
 edges AS (
   SELECT DISTINCT src, dst FROM (
-    SELECT doc_id AS src, ((doc_id % n.n) * 31 + 7) % n.n AS dst
-    FROM documents, n
-    UNION ALL
-    SELECT doc_id AS src, ((doc_id % n.n) * 17 + 3) % n.n AS dst
-    FROM documents, n
+{arms}
   ) WHERE src <> dst
 )"""
+
+
+_EDGES_SQL = _edges_sql()
 
 
 def hits_integer_sql(iterations: int = 5) -> str:
@@ -358,7 +381,11 @@ FROM j GROUP BY 1, 2
 """
 
 
-def triangle_count(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def triangle_count(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    generators: tuple[tuple[int, int], ...] = TRIANGLE_GENERATORS,
+) -> DataFrame:
     """Global triangle count over the (undirected) link graph — the classic
     distributed graph-analytics kernel beside PageRank/HITS, and the usual
     clustering-coefficient numerator.
@@ -372,8 +399,10 @@ def triangle_count(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     point away from the leaves into it. Both the wedge self-join and the
     closing join are equi-joins on node keys.
 
-    Output: one row (n_nodes, n_edges, n_triangles)."""
-    e = synthetic_edges(docs, id_col)
+    Output: one row (n_nodes, n_edges, n_triangles). The default edge set
+    adds the local chords (TRIANGLE_GENERATORS) — the two affine maps
+    alone form a triangle-free graph, which would gate nothing."""
+    e = synthetic_edges(docs, id_col, generators)
     und = (
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
@@ -406,11 +435,13 @@ def triangle_count(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
 
 
-def triangle_count_sql() -> str:
+def triangle_count_sql(
+    generators: tuple[tuple[int, int], ...] = TRIANGLE_GENERATORS,
+) -> str:
     """Twin of triangle_count: degree-orientation wedge close over the
-    shared synthetic edge model (_EDGES_SQL)."""
+    shared synthetic edge model (chord-augmented by default)."""
     return f"""
-WITH {_EDGES_SQL},
+WITH {_edges_sql(generators)},
 und AS (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
 ),

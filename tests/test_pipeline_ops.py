@@ -736,13 +736,16 @@ def test_contrastive_pairs_successor_structure(spark):
 def test_triangle_count_matches_bruteforce(spark):
     from searchengine_spark.operators.graph_demo import triangle_count
 
+    from searchengine_spark.operators.graph_demo import TRIANGLE_GENERATORS
+
     n = 37
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     row = triangle_count(docs).collect()[0]
     # brute force on the same synthetic edge model
     und = set()
     for i in range(n):
-        for dst in ((i * 31 + 7) % n, (i * 17 + 3) % n):
+        for a, b in TRIANGLE_GENERATORS:
+            dst = (i * a + b) % n
             if dst != i:
                 und.add((min(i, dst), max(i, dst)))
     adj = {}
