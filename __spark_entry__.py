@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_metrics": lambda spark, sf: serve.rank_metrics(
             spark, gate_index(spark, sf), BATCH_QUERIES, k=1000
         ),
+        # pre-retrieval query difficulty prediction from lexicon stats only
+        "qpp_predictors": lambda spark, sf: serve.qpp_predictors(
+            spark, gate_index(spark, sf), BATCH_QUERIES
+        ),
         "term_search_all": lambda spark, sf: serve.term_search_all(
             spark, gate_index(spark, sf), ALL_TERMS
         ),
@@ -774,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
         "hard_negatives": oracles.hard_negatives_sql(BATCH_QUERIES, k=TOPK),
         "rank_metrics": oracles.rank_metrics_sql(BATCH_QUERIES, k=1000),
+        "qpp_predictors": oracles.qpp_predictors_sql(BATCH_QUERIES),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),

@@ -41,6 +41,7 @@ HEADLINE = [
     "bm25_batch_topk",
     "hard_negatives",
     "rank_metrics",
+    "qpp_predictors",
     "compat_topk",
     "search_results",
     "tfidf_topk",

@@ -1469,3 +1469,83 @@ def rank_metrics(
         F.coalesce("rr_micros", F.lit(0)).cast("long").alias("rr_micros"),
         F.coalesce("ndcg_micros", F.lit(0)).cast("long").alias("ndcg_micros"),
     )
+
+
+def qpp_predictors(
+    spark: SparkSession, idx: dict, queries: dict[str, list[str]]
+) -> DataFrame:
+    """Pre-retrieval query performance prediction (the QPP literature's
+    dictionary-statistics predictors — avgIDF, maxIDF, avgICTF, SCQ): score
+    how hard each query looks BEFORE running it, from lexicon statistics
+    alone. A serving tier uses this to route queries (easy → pruned/tier-1
+    index, hard → full index + feedback), so the predictor must cost one
+    dictionary point lookup — this one touches |Q·terms| lexicon rows and
+    nothing else (no postings, no corpus).
+
+    Per present term: ``idf`` is the BM25 idf, ``ictf = ln(total/cf)``,
+    ``scq = (1 + ln(cf)) · idf``; each freezes to micros before the
+    per-query aggregates (integer sums/avgs, ``div`` floor). Queries whose
+    terms are all corpus-absent emit a zero row (n_terms = 0).
+
+    Output: (query_id, n_terms, avg_idf_micros, max_idf_micros,
+    avg_ictf_micros, scq_sum_micros)."""
+    qmap = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    ]
+    spine = spark.createDataFrame(
+        [(qid,) for qid in sorted(queries)], "query_id string"
+    )
+    if not qmap:
+        return spine.select(
+            "query_id",
+            *[
+                F.lit(0).cast("long").alias(c)
+                for c in (
+                    "n_terms",
+                    "avg_idf_micros",
+                    "max_idf_micros",
+                    "avg_ictf_micros",
+                    "scq_sum_micros",
+                )
+            ],
+        )
+    qdf = spark.createDataFrame(qmap, "query_id string, term string")
+    total = F.lit(float(idx["sum_dl"]))
+    # term predicate pushed into the lexicon scan; the |Q·terms| query map
+    # is the broadcast side (never the dictionary)
+    lex = (
+        idx["lexicon"]
+        .filter(F.col("term").isin([t for _, t in qmap]))
+        .select("term", "cf", "idf_bm25")
+    )
+    cf = F.col("cf").cast("double")
+    per_term = lex.join(F.broadcast(qdf), "term").select(
+        "query_id",
+        F.round(F.col("idf_bm25") * 1e6).cast("long").alias("idf_m"),
+        F.round(F.log(total / cf) * 1e6).cast("long").alias("ictf_m"),
+        F.round((F.lit(1.0) + F.log(cf)) * F.col("idf_bm25") * 1e6)
+        .cast("long")
+        .alias("scq_m"),
+    )
+    agg = per_term.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.expr("sum(idf_m) div count(*)").alias("avg_idf_micros"),
+        F.max("idf_m").alias("max_idf_micros"),
+        F.expr("sum(ictf_m) div count(*)").alias("avg_ictf_micros"),
+        F.sum("scq_m").alias("scq_sum_micros"),
+    )
+    return spine.join(F.broadcast(agg), "query_id", "left").select(
+        "query_id",
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in (
+                "n_terms",
+                "avg_idf_micros",
+                "max_idf_micros",
+                "avg_ictf_micros",
+                "scq_sum_micros",
+            )
+        ],
+    )

@@ -2673,6 +2673,54 @@ SELECT query_id, rank, doc_id, score_micros FROM ranked WHERE rank <= {k}
 """
 
 
+def qpp_predictors_sql(queries: dict[str, list[str]]) -> str:
+    """Twin of serve.qpp_predictors: per-term micros frozen before the
+    per-query integer aggregates; absent-only queries emit a zero row."""
+    esc = lambda s: s.replace("'", "''")
+    pairs = ", ".join(
+        f"('{esc(qid)}', '{esc(t)}')"
+        for qid, terms in sorted(queries.items())
+        for t in dict.fromkeys(terms)
+    )
+    spine = ", ".join(f"('{esc(qid)}')" for qid in sorted(queries))
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dls),
+qmap(query_id, term) AS (VALUES {pairs}),
+spine(query_id) AS (VALUES {spine}),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM post GROUP BY 1
+),
+per_term AS (
+  SELECT qmap.query_id,
+         CAST(round(ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) * 1e6)
+              AS BIGINT) AS idf_m,
+         CAST(round(ln(tot.t / lex.cf::DOUBLE) * 1e6) AS BIGINT) AS ictf_m,
+         CAST(round((1.0 + ln(lex.cf::DOUBLE))
+                    * ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+                    * 1e6) AS BIGINT) AS scq_m
+  FROM qmap JOIN lex USING (term) CROSS JOIN n CROSS JOIN tot
+),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS n_terms,
+         (sum(idf_m) // count(*))::BIGINT AS avg_idf_micros,
+         max(idf_m)::BIGINT AS max_idf_micros,
+         (sum(ictf_m) // count(*))::BIGINT AS avg_ictf_micros,
+         sum(scq_m)::BIGINT AS scq_sum_micros
+  FROM per_term GROUP BY 1
+)
+SELECT spine.query_id,
+       coalesce(agg.n_terms, 0)::BIGINT AS n_terms,
+       coalesce(agg.avg_idf_micros, 0)::BIGINT AS avg_idf_micros,
+       coalesce(agg.max_idf_micros, 0)::BIGINT AS max_idf_micros,
+       coalesce(agg.avg_ictf_micros, 0)::BIGINT AS avg_ictf_micros,
+       coalesce(agg.scq_sum_micros, 0)::BIGINT AS scq_sum_micros
+FROM spine LEFT JOIN agg USING (query_id)
+"""
+
+
 def rank_metrics_sql(
     queries: dict[str, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
 ) -> str:

@@ -335,3 +335,23 @@ def test_rank_metrics_consistent_with_batch_rank(spark, idx):
             )
         else:
             assert got[qid]["hit"] == 0 and got[qid]["rr_micros"] == 0
+
+
+def test_qpp_rare_terms_predict_harder_than_stopword_terms(spark, idx):
+    from searchengine_spark.operators import serve
+
+    # a query of rarer terms must show higher avgIDF than one of the
+    # corpus's most frequent terms
+    lex = idx["lexicon"].orderBy("df").collect()
+    rare = [r["term"] for r in lex[:2]]
+    common = [r["term"] for r in lex[-2:]]
+    out = {
+        r["query_id"]: r
+        for r in serve.qpp_predictors(
+            spark, idx, {"q_rare": rare, "q_common": common, "q_absent": ["zzzq"]}
+        ).collect()
+    }
+    assert out["q_rare"]["avg_idf_micros"] > out["q_common"]["avg_idf_micros"]
+    assert out["q_rare"]["n_terms"] == 2 and out["q_common"]["n_terms"] == 2
+    # absent-only query emits the zero row, not nothing
+    assert out["q_absent"]["n_terms"] == 0 and out["q_absent"]["scq_sum_micros"] == 0
