@@ -43,6 +43,16 @@ TOPK = 10
 BOOL_QUERY = "(spark AND stream) OR (hash AND NOT join)"
 # synonym-group gate: two macro-terms over the corpus vocabulary
 SYNONYM_GROUPS = {"g_sortmerge": ["sort", "merge"], "g_streamwin": ["stream", "window"]}
+# MoreLikeThis gate: any corpus doc works; 3 exists at every sf
+MLT_DOC = 3
+# rendezvous-routing gate: shard count (the S→S+1 property is pytest-only)
+N_SHARDS_ROUTE = 5
+
+
+def _shard_routing(spark: SparkSession, sf: str) -> DataFrame:
+    from searchengine_spark.operators.routing import rendezvous_route
+
+    return rendezvous_route(_docs(spark, sf), N_SHARDS_ROUTE)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -182,6 +192,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_diversified": lambda spark, sf: serve.search_diversified(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK, per_host=2, n_hosts=7
         ),
+        # field collapsing (Lucene/ES `collapse`): one winner per source,
+        # argmax as a map-side-combinable hash agg — never a window
+        "collapse_topk": lambda spark, sf: serve.collapse_topk(
+            spark, gate_index(spark, sf), _docs(spark, sf), BM25_TERMS, k=TOPK
+        ),
+        # MoreLikeThis: a document as the query — top tf·idf terms of the
+        # source doc (micros-selected), BM25 over them, source excluded
+        "more_like_this": lambda spark, sf: serve.more_like_this(
+            spark, gate_index(spark, sf), _docs(spark, sf), MLT_DOC, k=TOPK
+        ),
+        # rendezvous (HRW) shard routing: stateless argmax over md5
+        # weights; grow S→S+1 moves only ≈1/(S+1) of keys, never between
+        # old shards (tests/test_pipeline_ops.py asserts the property)
+        "shard_routing": lambda spark, sf: _shard_routing(spark, sf),
         # the reference's own ranking formula (Ranker.java:74-97: weighted
         # tfidf/pagerank/title/header-cap), gated end-to-end incl. url/title
         # result assembly
@@ -794,6 +818,9 @@ def oracle_sql() -> dict[str, str]:
         "search_diversified": oracles.search_diversified_sql(
             BM25_TERMS, k=TOPK, per_host=2, n_hosts=7
         ),
+        "collapse_topk": oracles.collapse_topk_sql(BM25_TERMS, k=TOPK),
+        "more_like_this": oracles.more_like_this_sql(MLT_DOC, k=TOPK),
+        "shard_routing": oracles.shard_routing_sql(N_SHARDS_ROUTE),
         "ann_ivf_topk": oracles.ann_ivf_sql(n_queries=8, k=5, centroid_stride=64, nprobe=2),
         # the approximate LSH path is deterministic (integer plane dots), so
         # even recall<1 output is hash-checkable — no more rows-only gate

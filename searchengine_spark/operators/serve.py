@@ -1549,3 +1549,105 @@ def qpp_predictors(
             )
         ],
     )
+
+
+def collapse_topk(
+    spark: SparkSession,
+    idx: dict,
+    docs: DataFrame,
+    query_terms: list[str],
+    field: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Field-collapsed top-k (Lucene / Elasticsearch ``collapse``): at most
+    ONE result per value of ``field`` — the best-scoring doc of each group
+    (ties: lowest doc_id) — then the global top-k of the group winners.
+    The one-result-per-site SERP rule the reference's UI would need the
+    moment two crawled pages share a host.
+
+    Plan: index-served BM25 candidate scores → one doc-side equi-join to
+    fetch the collapse key → per-group ``max(struct(score, -doc_id))``
+    argmax — a map-side-combinable hash aggregate, NOT a row_number window,
+    so a hot group never funnels its full candidate set through one task —
+    → bounded top-k heap. Output: (group_key, doc_id, score_micros)."""
+    scores = bm25_scores(spark, idx, query_terms)
+    best = (
+        scores.join(docs.select("doc_id", F.col(field).alias("group_key")), "doc_id")
+        .groupBy("group_key")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score_micros"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id"),
+                )
+            ).alias("w")
+        )
+        .select(
+            "group_key",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.score_micros").alias("score_micros"),
+        )
+    )
+    return best.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)
+
+
+def more_like_this(
+    spark: SparkSession,
+    idx: dict,
+    docs: DataFrame,
+    src_doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Lucene-style MoreLikeThis: treat a document as the query. Select the
+    source doc's ``max_query_terms`` most representative terms by
+    round(tf · idf_bm25 · 1e6) (ties: term asc) among terms with
+    df >= ``min_df``, then BM25-rank the corpus with that term set,
+    excluding the source doc itself — the "similar pages" link beside every
+    search result.
+
+    The term-vector fetch is a doc_id point lookup on ``documents``
+    (parquet predicate pushdown) re-tokenized — the same bounded step class
+    as the lexicon point lookup, never an index scan by doc_id; at scale a
+    forward index / term-vector store makes it a true point read. The
+    selection keys are bigint micros (round-half-away-from-zero over the
+    identical float expression), so the chosen term set — and therefore the
+    final ranking — is bit-identical to the SQL twin.
+
+    Output: (doc_id, score_micros) top-k over the rest of the corpus."""
+    import math
+
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    src_tf = (
+        exploded_tokens(docs.filter(F.col("doc_id") == src_doc_id))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    if not src_tf:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    tf_map = {r["term"]: int(r["tf"]) for r in src_tf}
+    lex = _qlex(spark, idx, sorted(tf_map))
+
+    def _micros(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    ranked = sorted(
+        (
+            (-_micros(tf_map[r["term"]] * r["idf_bm25"] * 1e6), r["term"])
+            for r in lex
+            if int(r["df"]) >= min_df
+        ),
+    )[:max_query_terms]
+    terms = [t for _, t in ranked]
+    if not terms:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    return (
+        bm25_scores(spark, idx, terms)
+        .filter(F.col("doc_id") != src_doc_id)
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -3404,3 +3404,96 @@ def bpe_encode_sql(n_merges: int = 6) -> str:
 SELECT word, n,
        array_to_string(string_split(trim(seq, '|'), '||'), ' ') AS segmented
 FROM seq_{n_merges}"""
+
+
+def collapse_topk_sql(
+    terms: list[str], field: str = "source", k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Twin of serve.collapse_topk: BM25 scores → one winner per ``field``
+    value (score desc, doc_id asc) → global top-k of the winners."""
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms, k1, b)},
+keyed AS (
+  SELECT s.doc_id, s.score_micros, d.{field} AS group_key
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+),
+best AS (
+  SELECT group_key, doc_id, score_micros FROM (
+    SELECT group_key, doc_id, score_micros,
+           row_number() OVER (PARTITION BY group_key
+                              ORDER BY score_micros DESC, doc_id ASC) AS r
+    FROM keyed
+  ) WHERE r = 1
+)
+SELECT group_key, doc_id, score_micros FROM best
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def more_like_this_sql(
+    src_doc_id: int, k: int = 10, max_query_terms: int = 5, min_df: int = 2,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Twin of serve.more_like_this: the WHOLE pipeline in SQL — source-doc
+    term vector → top max_query_terms by round(tf·idf·1e6) (term-asc ties,
+    df >= min_df) → BM25 over that term set excluding the source doc."""
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+src AS (SELECT term, tf FROM post WHERE doc_id = {src_doc_id}),
+cand AS (
+  SELECT src.term, src.tf,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM src JOIN lex USING (term) CROSS JOIN n
+  WHERE lex.df >= {min_df}
+),
+q AS (
+  SELECT term, idf_bm25 FROM (
+    SELECT term, idf_bm25,
+           row_number() OVER (
+             ORDER BY CAST(round(tf * idf_bm25 * 1e6) AS BIGINT) DESC, term ASC
+           ) AS r
+    FROM cand
+  ) WHERE r <= {max_query_terms}
+),
+mscored AS (
+  SELECT post.doc_id,
+         CAST(round(q.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS c
+  FROM post JOIN q ON post.term = q.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+  WHERE post.doc_id <> {src_doc_id}
+)
+SELECT doc_id, sum(c)::BIGINT AS score_micros
+FROM mscored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def shard_routing_sql(n_shards: int) -> str:
+    """Twin of routing.rendezvous_route: per-doc argmax over the md5-derived
+    60-bit (doc, shard) weights; ties (never observed) toward larger s."""
+    return f"""
+WITH spine AS (SELECT unnest(range(0, {n_shards})) AS s),
+w AS (
+  SELECT d.doc_id, spine.s,
+         CAST(('0x' || substr(md5('route:' || d.doc_id || ':' || spine.s), 1, 15))
+              AS BIGINT) AS wt
+  FROM documents d CROSS JOIN spine
+)
+SELECT doc_id, s::INT AS shard FROM (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s DESC) AS r
+  FROM w
+) WHERE r = 1
+"""

@@ -850,3 +850,97 @@ def test_percolate_equals_term_search_all(spark):
             r["doc_id"] for r in serve.term_search_all(spark, idx, terms).collect()
         }
         assert got.get(qid, set()) == expected and expected
+
+
+def test_rendezvous_stability(spark):
+    """HRW's defining property: growing S -> S+1 moves keys ONLY to the new
+    shard (old pairwise weights are untouched), and moves ~1/(S+1) of them."""
+    from searchengine_spark.operators.routing import rendezvous_route
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    s = 5
+    a = {r["doc_id"]: r["shard"] for r in rendezvous_route(docs, s).collect()}
+    b = {r["doc_id"]: r["shard"] for r in rendezvous_route(docs, s + 1).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    moved = [d for d in a if a[d] != b[d]]
+    # every moved key landed on the NEW shard, never between old shards
+    assert all(b[d] == s for d in moved)
+    # expected fraction 1/(S+1); allow generous binomial slack at n=500
+    frac = len(moved) / len(a)
+    assert 0.05 < frac < 0.35, frac
+    # and the load is roughly balanced across shards at S
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert set(counts) == set(range(s))
+    assert max(counts.values()) < 3 * min(counts.values())
+
+
+def test_more_like_this_excludes_source_and_matches_manual_terms(spark):
+    """MLT's term selection equals the hand-computed top tf·idf terms, and
+    the source doc never appears in its own neighbors."""
+    import math
+
+    from searchengine_spark.operators import serve
+    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    src = 3
+    out = serve.more_like_this(spark, idx, docs, src, k=10).collect()
+    assert out and all(r["doc_id"] != src for r in out)
+
+    # manual selection twin
+    tf = {
+        r["term"]: r["n"]
+        for r in exploded_tokens(docs.filter(F.col("doc_id") == src))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    lex = {
+        r["term"]: (int(r["df"]), float(r["idf_bm25"]))
+        for r in idx["lexicon"].filter(F.col("term").isin(list(tf))).collect()
+    }
+    manual = sorted(
+        (
+            (-int(math.floor(abs(tf[t] * lex[t][1] * 1e6) + 0.5)), t)
+            for t in tf
+            if lex[t][0] >= 2
+        ),
+    )[:5]
+    terms = [t for _, t in manual]
+    expect = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.bm25_scores(spark, idx, terms)
+        .filter(F.col("doc_id") != src)
+        .collect()
+    }
+    for r in out:
+        assert expect[r["doc_id"]] == r["score_micros"]
+
+
+def test_collapse_topk_one_per_group(spark):
+    """Collapse winners: at most one doc per group, each the group's true
+    argmax of the full BM25 candidate score set."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    terms = ["spark", "hash", "join"]
+    out = serve.collapse_topk(spark, idx, docs, terms, k=10).collect()
+    keys = [r["group_key"] for r in out]
+    assert len(keys) == len(set(keys)) and out
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    scores = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.bm25_scores(spark, idx, terms).collect()
+    }
+    for r in out:
+        assert src[r["doc_id"]] == r["group_key"]
+        best = max(
+            (s, -d) for d, s in scores.items() if src[d] == r["group_key"]
+        )
+        assert (r["score_micros"], -r["doc_id"]) == best
