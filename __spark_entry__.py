@@ -55,6 +55,19 @@ def _shard_routing(spark: SparkSession, sf: str) -> DataFrame:
     return rendezvous_route(_docs(spark, sf), N_SHARDS_ROUTE)
 
 
+def _epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    from searchengine_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf), epoch=0)
+
+
+def _quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    from searchengine_spark.operators.sampling import quality_tiers
+    from searchengine_spark.plans.gate_index import gate_index as _gi
+
+    return quality_tiers(spark, _gi(spark, sf), _docs(spark, sf))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: BM25 top-k over documents at sf0.001, served from the
     prebuilt gate index (build-or-load, then a pruned postings lookup)."""
@@ -206,6 +219,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weights; grow S→S+1 moves only ≈1/(S+1) of keys, never between
         # old shards (tests/test_pipeline_ops.py asserts the property)
         "shard_routing": lambda spark, sf: _shard_routing(spark, sf),
+        # scatter-gather serving over the rendezvous shards: per-shard
+        # bounded top-k with global stats, broker merge — provably equal to
+        # the single-index top-k, so the oracle IS bm25_topk's SQL
+        "federated_topk": lambda spark, sf: serve.federated_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, n_shards=N_SHARDS_ROUTE, k=TOPK
+        ),
+        # deterministic epoch shuffle: global training order as a two-phase
+        # bucket prefix-sum rank over md5(epoch, doc) — no global window
+        "epoch_shuffle": lambda spark, sf: _epoch_shuffle(spark, sf),
+        # CCNet-style per-language perplexity terciles (head/middle/tail)
+        "quality_tiers": lambda spark, sf: _quality_tiers(spark, sf),
         # the reference's own ranking formula (Ranker.java:74-97: weighted
         # tfidf/pagerank/title/header-cap), gated end-to-end incl. url/title
         # result assembly
@@ -821,6 +845,10 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": oracles.collapse_topk_sql(BM25_TERMS, k=TOPK),
         "more_like_this": oracles.more_like_this_sql(MLT_DOC, k=TOPK),
         "shard_routing": oracles.shard_routing_sql(N_SHARDS_ROUTE),
+        # federated scatter-gather must reproduce the single-index ranking
+        "federated_topk": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
+        "epoch_shuffle": oracles.epoch_shuffle_sql(0),
+        "quality_tiers": oracles.quality_tiers_sql(),
         "ann_ivf_topk": oracles.ann_ivf_sql(n_queries=8, k=5, centroid_stride=64, nprobe=2),
         # the approximate LSH path is deterministic (integer plane dots), so
         # even recall<1 output is hash-checkable — no more rows-only gate

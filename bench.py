@@ -70,6 +70,12 @@ HEADLINE = [
     "boolean_query",
     "facet_counts",
     "search_diversified",
+    "collapse_topk",
+    "more_like_this",
+    "shard_routing",
+    "federated_topk",
+    "epoch_shuffle",
+    "quality_tiers",
     "pack_chunks",
     "temperature_mix",
     "dedup_clusters",

@@ -34,10 +34,9 @@ def _weight(doc_id: Column, shard: int) -> Column:
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
 
 
-def rendezvous_route(
-    docs: DataFrame, n_shards: int, id_col: str = "doc_id"
-) -> DataFrame:
-    """(doc_id, shard) — each doc routed to argmax_s weight(doc, s).
+def route_expr(id_col: Column, n_shards: int) -> Column:
+    """The rendezvous argmax as a plain column expression, for fusing the
+    route into any scan/projection (e.g. federated serving's scatter key).
 
     ``array_max`` over (weight, shard) structs is the argmax: struct
     comparison is lexicographic, so equal weights (never observed with a
@@ -45,11 +44,18 @@ def rendezvous_route(
     mirrored by the SQL twin's ``ORDER BY wt DESC, s DESC``."""
     pairs = F.array(
         *[
-            F.struct(_weight(F.col(id_col), s).alias("w"), F.lit(s).alias("s"))
+            F.struct(_weight(id_col, s).alias("w"), F.lit(s).alias("s"))
             for s in range(n_shards)
         ]
     )
+    return F.array_max(pairs)["s"].cast("int")
+
+
+def rendezvous_route(
+    docs: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shard) — each doc routed to argmax_s weight(doc, s)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_max(pairs)["s"].cast("int").alias("shard"),
+        route_expr(F.col(id_col), n_shards).alias("shard"),
     )

@@ -204,3 +204,104 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("lr_micros")).cast("long").alias("weight_micros"))
     )
+
+
+def epoch_shuffle(docs: DataFrame, epoch: int, n_buckets: int = 256) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch is a fixed
+    permutation of the corpus, reproducible on any cluster size — the
+    "seeded epoch shuffle" every large-scale training run needs so a
+    restarted job resumes mid-epoch at the same position.
+
+    The sort key is md5('epoch:<e>:<doc_id>') — uniform and engine-portable.
+    The global rank is computed WITHOUT a single-partition window: the key's
+    first byte is an ORDERED bucket (hex-string order == bucket-value
+    order), so rank = per-bucket row_number + a broadcast prefix-sum of the
+    256 bucket counts (the pack_chunks two-phase pattern). At 10^12 docs
+    this is one hash exchange on the bucket plus a 256-row driver job.
+
+    Output: (pos, doc_id) with pos = 1..N in shuffled order."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    h = F.md5(F.concat(F.lit(f"epoch:{epoch}:"), F.col("doc_id").cast("string")))
+    # first two hex chars = 256 ordered buckets (prefix of the sort key)
+    keyed = docs.select(
+        F.col("doc_id"),
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
+    )
+    counts = sorted(
+        (r["b"], r["n"])
+        for r in keyed.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    off = spark.createDataFrame(offsets, "b int, off long")
+    w = Window.partitionBy("b").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(off), "b")
+        .select(
+            (F.col("off") + F.col("r")).cast("long").alias("pos"),
+            "doc_id",
+        )
+    )
+
+
+def quality_tiers(spark, idx: dict, docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    document inside its language by mean unigram surprisal (lower = more
+    fluent) and split into exact terciles — tier 0 = head, 1 = middle,
+    2 = tail. The head/middle/tail split is how CommonCrawl-scale corpora
+    gate what reaches training.
+
+    The per-language rank avoids a one-partition-per-language sort: the
+    surprisal in micros is bucketed equi-width (bucket = value div 1e5 — a
+    prefix of the sort key, so bucket order == value order), rank =
+    row_number within (lang, bucket) + a broadcast prefix-sum of the
+    (lang, bucket) counts. A hot language therefore never funnels through
+    a single task; the offsets job is |langs| × |buckets| rows.
+
+    Docs with no kept tokens have no surprisal and are excluded (same rows
+    absent in the SQL twin). Output: (doc_id, lang, mean_nll_micros, tier).
+    """
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.serve import unigram_logprob
+
+    width = 100_000
+    nll = unigram_logprob(spark, idx).select("doc_id", "mean_nll_micros")
+    keyed = nll.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "vb", F.expr(f"mean_nll_micros div {width}")
+    )
+    counts = (
+        keyed.groupBy("lang", "vb").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    by_lang: dict = {}
+    for r in sorted(counts, key=lambda r: (r["lang"], r["vb"])):
+        by_lang.setdefault(r["lang"], []).append((r["vb"], r["n"]))
+    rows, totals = [], {}
+    for lang, buckets in by_lang.items():
+        acc = 0
+        for vb, n in buckets:
+            rows.append((lang, vb, acc))
+            acc += n
+        totals[lang] = acc
+    off = spark.createDataFrame(rows, "lang string, vb long, off long")
+    tot = spark.createDataFrame(list(totals.items()), "lang string, n_lang long")
+    w = Window.partitionBy("lang", "vb").orderBy(
+        F.asc("mean_nll_micros"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(off), ["lang", "vb"])
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_nll_micros",
+            F.expr("CAST((off + r - 1) * 3 div n_lang AS INT)").alias("tier"),
+        )
+    )

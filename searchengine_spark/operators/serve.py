@@ -1651,3 +1651,36 @@ def more_like_this(
         .orderBy(F.desc("score_micros"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def federated_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    n_shards: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Scatter-gather distributed serving: the corpus is routed onto
+    ``n_shards`` index shards (rendezvous hashing on doc_id — the exact
+    routing the index builder would use), each shard computes its own
+    bounded top-k using GLOBAL collection statistics (df/idf/avgdl travel
+    with the query, as web serving tiers ship them from the broker), and
+    the broker merges the S small lists. Because every doc lives on exactly
+    one shard and per-doc scores don't depend on the shard, the merged
+    result EQUALS the single-index top-k — the oracle is bm25_topk's own
+    SQL, so the gate proves the scatter-gather plan lossless.
+
+    The per-shard top-k is the two-phase salted grouped heap (never a
+    single partition per shard); the merge is a bounded S·k-row sort.
+    Output: (doc_id, score_micros)."""
+    from searchengine_spark.operators.routing import route_expr
+
+    scored = bm25_scores(spark, idx, query_terms).withColumn(
+        "query_id", route_expr(F.col("doc_id"), n_shards).cast("string")
+    )
+    local = _grouped_topk(scored, k)  # per-shard bounded lists
+    return (
+        local.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score_micros")
+    )

@@ -3497,3 +3497,47 @@ SELECT doc_id, s::INT AS shard FROM (
   FROM w
 ) WHERE r = 1
 """
+
+
+def epoch_shuffle_sql(epoch: int) -> str:
+    """Twin of sampling.epoch_shuffle: global rank over the md5 epoch key
+    (lowercase-hex string order is identical in both engines)."""
+    return f"""
+SELECT row_number() OVER (
+         ORDER BY md5('epoch:{epoch}:' || doc_id), doc_id
+       )::BIGINT AS pos,
+       doc_id
+FROM documents
+"""
+
+
+def quality_tiers_sql() -> str:
+    """Twin of sampling.quality_tiers: the unigram_logprob gate SQL embedded
+    as a stage, then exact per-language tercile ranks."""
+    return f"""
+WITH {_TOKENS_CTE},
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dls),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+contrib AS (
+  SELECT post.doc_id, dls.dl,
+         CAST(round(post.tf::DOUBLE * ln(tot.t / cf.cf::DOUBLE) * 1e6) AS BIGINT) AS c
+  FROM post JOIN cf USING (term) JOIN dls USING (doc_id) CROSS JOIN tot
+),
+nll AS (
+  SELECT doc_id, (sum(c) // dl)::BIGINT AS mean_nll_micros
+  FROM contrib GROUP BY doc_id, dl
+),
+keyed AS (
+  SELECT n.doc_id, d.lang, n.mean_nll_micros
+  FROM nll n JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, mean_nll_micros,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY mean_nll_micros ASC, doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY lang) AS nl
+  FROM keyed
+)
+SELECT doc_id, lang, mean_nll_micros, CAST((r - 1) * 3 // nl AS INT) AS tier
+FROM ranked
+"""

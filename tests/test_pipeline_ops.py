@@ -944,3 +944,63 @@ def test_collapse_topk_one_per_group(spark):
             (s, -d) for d, s in scores.items() if src[d] == r["group_key"]
         )
         assert (r["score_micros"], -r["doc_id"]) == best
+
+
+def test_epoch_shuffle_is_distinct_permutations(spark):
+    """Each epoch is a full 1..N permutation; different epochs disagree."""
+    from searchengine_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    e0 = {r["doc_id"]: r["pos"] for r in epoch_shuffle(docs, 0).collect()}
+    e1 = {r["doc_id"]: r["pos"] for r in epoch_shuffle(docs, 1).collect()}
+    n = len(e0)
+    assert set(e0.values()) == set(range(1, n + 1))
+    assert set(e1.values()) == set(range(1, n + 1))
+    assert set(e0) == set(e1)
+    assert sum(1 for d in e0 if e0[d] != e1[d]) > n // 2  # genuinely reshuffled
+
+
+def test_quality_tiers_ordered_and_balanced(spark):
+    """Within each language: tier sizes differ by <=1 and tier boundaries
+    respect the surprisal order (head <= middle <= tail)."""
+    from collections import Counter
+
+    from searchengine_spark.operators.sampling import quality_tiers
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = quality_tiers(spark, idx, docs).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["tier"], r["mean_nll_micros"]))
+    for lang, pairs in by_lang.items():
+        sizes = Counter(t for t, _ in pairs)
+        assert set(sizes) <= {0, 1, 2}
+        if len(pairs) >= 3:
+            assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        for lo, hi in ((0, 1), (1, 2)):
+            a = [m for t, m in pairs if t == lo]
+            b = [m for t, m in pairs if t == hi]
+            if a and b:
+                assert max(a) <= min(b), (lang, lo, hi)
+
+
+def test_federated_topk_matches_single_index_for_any_shards(spark):
+    """Scatter-gather with global stats is lossless at every shard count."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_SMALL)
+    terms = ["spark", "hash", "join"]
+    want = [
+        (r["doc_id"], r["score_micros"])
+        for r in serve.bm25_topk(spark, idx, terms, k=10).collect()
+    ]
+    for s in (1, 3, 7):
+        got = [
+            (r["doc_id"], r["score_micros"])
+            for r in serve.federated_topk(spark, idx, terms, n_shards=s, k=10).collect()
+        ]
+        assert got == want, s
