@@ -442,3 +442,74 @@ def test_mask_spans_single_per_doc_window(spark):
         line for line in plan.splitlines() if "windowspecdefinition" in line
     ]
     assert spec_lines and all("doc_id" in line for line in spec_lines)
+
+
+def test_routing_is_scan_only_projection(spark):
+    """Rendezvous routing must be a pure per-row projection: no exchange,
+    no join, no window — at 10^12 docs it fuses into the feeding scan."""
+    from searchengine_spark.operators.routing import rendezvous_route
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(rendezvous_route(docs, 5))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_epoch_shuffle_two_phase_prefix_sum(spark):
+    """Epoch shuffle: per-bucket windows only (never an unkeyed global
+    rank) and the 256-row offset table joins back broadcast."""
+    from searchengine_spark.operators.sampling import epoch_shuffle
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(epoch_shuffle(docs, 0))
+    assert "BroadcastHashJoin" in plan
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and all("b#" in s for s in specs)
+
+
+def test_quality_tiers_bucketed_windows_and_broadcasts(spark):
+    """Quality tiers: the rank window is keyed by (lang, value-bucket) —
+    a hot language never collapses to one partition — and both driver-side
+    tables (offsets, totals) join back broadcast."""
+    from searchengine_spark.operators.sampling import quality_tiers
+    from searchengine_spark.plans.gate_index import gate_index
+    from searchengine_spark.sources.tables import load_table
+
+    idx = gate_index(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(quality_tiers(spark, idx, docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and all("vb#" in s for s in specs)
+
+
+def test_federated_topk_bounded_merge(spark):
+    """Federated serving: per-shard two-phase windows (salt slot then
+    shard) and a bounded TakeOrderedAndProject merge — never a global sort
+    of the candidate set."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.federated_topk(spark, idx, ["spark", "hash"], n_shards=5))
+    assert "TakeOrderedAndProject" in plan
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(specs) >= 2 and all("query_id" in s for s in specs)
+    assert "Sort [score_micros" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_collapse_topk_is_hash_agg_not_window(spark):
+    """Field collapsing: the per-group argmax must be a hash aggregate
+    (map-side combinable), never a row_number window over the candidates."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+    from searchengine_spark.sources.tables import load_table
+
+    idx = gate_index(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(serve.collapse_topk(spark, idx, docs, ["spark", "hash"], k=10))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan and "TakeOrderedAndProject" in plan
