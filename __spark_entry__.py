@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # error (no false negatives), probed with present + absent keys
         "bloom_visited": _bloom_visited,
         "doc_fingerprints": lambda spark, sf: textstats.doc_fingerprints(_docs(spark, sf)),
+        # winnowing (MOSS) fingerprint selection: per-window k-gram minima,
+        # zero-shuffle array-side selection, ~2/(w+1) storage
+        "winnowing_fingerprints": lambda spark, sf: dedup.winnowing_fingerprints(
+            _docs(spark, sf)
+        ),
         # --- relational coverage (joins/aggs/windows/rollup/events) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -941,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_term_counters": oracles.cms_counters_sql(),
         "bloom_visited": oracles.bloom_visited_sql(),
         "doc_fingerprints": oracles.doc_fingerprints_sql(),
+        "winnowing_fingerprints": oracles.winnowing_sql(),
         "q1_pricing_summary": oracles.q1_pricing_sql(),
         "q3_top_orders": oracles.q3_top_orders_sql(),
         "top_orders_per_customer": oracles.top_orders_per_customer_sql(),

@@ -76,6 +76,7 @@ HEADLINE = [
     "federated_topk",
     "epoch_shuffle",
     "quality_tiers",
+    "winnowing_fingerprints",
     "pack_chunks",
     "temperature_mix",
     "dedup_clusters",

@@ -3541,3 +3541,36 @@ ranked AS (
 SELECT doc_id, lang, mean_nll_micros, CAST((r - 1) * 3 // nl AS INT) AS tier
 FROM ranked
 """
+
+
+def winnowing_sql(k: int = 5, w: int = 4) -> str:
+    """Twin of dedup.winnowing_fingerprints: same fixed-width
+    '<15-hex-md5>-<lpad pos>' keys, per-window list_min, distinct."""
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+keys AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k} THEN
+           list_transform(range(1, len(t) - {k - 1} + 1),
+             i -> substr(md5(array_to_string(t[i:i+{k - 1}], ' ')), 1, 15)
+                  || '-' || lpad(CAST(i AS VARCHAR), 8, '0'))
+         ELSE CAST([] AS VARCHAR[]) END AS ks
+  FROM toksarr
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(1, len(ks) - {w - 1}) + 1),
+                          j -> list_min(ks[j:j+{w - 1}]))) AS s
+  FROM keys WHERE len(ks) >= 1
+)
+SELECT doc_id,
+       CAST(substr(key, 17, 8) AS BIGINT) AS pos,
+       substr(key, 1, 15) AS fp
+FROM (SELECT doc_id, unnest(s) AS key FROM sel)
+"""

@@ -1004,3 +1004,33 @@ def test_federated_topk_matches_single_index_for_any_shards(spark):
             for r in serve.federated_topk(spark, idx, terms, n_shards=s, k=10).collect()
         ]
         assert got == want, s
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing's theorem: two docs sharing >= w+k-1 consecutive tokens
+    share at least one selected fingerprint; and selection keeps roughly
+    2/(w+1) of the k-gram hashes (far fewer than all of them)."""
+    from searchengine_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 5, 4
+    shared = " ".join(f"common{i}" for i in range(k + w - 1 + 2))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one two three"),
+            (2, "head zero nine eight " + shared),
+            (3, " ".join(f"tok{i}" for i in range(200))),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnowing_fingerprints(docs, k=k, w=w).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    # density on the long doc: 196 grams -> expect ~0.4 selected
+    n_grams = 200 - (k - 1)
+    frac = len(by_doc[3]) / n_grams
+    assert 0.15 < frac < 0.7, frac
+    # doc shorter than k tokens selects nothing
+    assert 4 not in by_doc
