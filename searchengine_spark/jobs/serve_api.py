@@ -197,6 +197,36 @@ class SearchAPI:
             for r in rows
         ]
 
+    def more_like(self, doc_id: int, k: int = 5) -> list[dict]:
+        """"Similar pages" route: MoreLikeThis over the gate index — the
+        source doc's top tf·idf terms as the query, source excluded. The
+        <=k winners' metadata comes from one isin-pruned documents fetch."""
+        from pyspark.sql import functions as F
+
+        from searchengine_spark.operators import serve
+
+        rows = serve.more_like_this(
+            self.spark, self.idx, self.documents, int(doc_id), k=k
+        ).collect()
+        if not rows:
+            return []
+        meta = {
+            r["doc_id"]: r["source"]
+            for r in self.documents.filter(
+                F.col("doc_id").isin([r["doc_id"] for r in rows])
+            )
+            .select("doc_id", "source")
+            .collect()
+        }
+        return [
+            {
+                "doc_id": int(r["doc_id"]),
+                "score_micros": int(r["score_micros"]),
+                "source": meta.get(r["doc_id"]),
+            }
+            for r in rows
+        ]
+
     def start(self, port: int = 0) -> ThreadingHTTPServer:
         """Bind and serve on a daemon thread; returns the server (port via
         ``server.server_address[1]``, stop via ``server.shutdown()``)."""
@@ -248,6 +278,19 @@ def _make_handler(api: SearchAPI):
                     self._send(500, {"error": str(exc)})
                     return
                 self._send(200, {"neighbors": neighbors, "total": len(neighbors)})
+                return
+            if parsed.path == "/api/mlt":
+                try:
+                    doc_id = int(qs.get("id", [""])[0])
+                except ValueError:
+                    self._send(400, {"error": "bad id"})
+                    return
+                try:
+                    similar_docs = api.more_like(doc_id, k=k)
+                except Exception as exc:
+                    self._send(500, {"error": str(exc)})
+                    return
+                self._send(200, {"similar": similar_docs, "total": len(similar_docs)})
                 return
             if parsed.path != "/api/search":
                 self._send(404, {"error": "not found"})

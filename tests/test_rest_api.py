@@ -167,3 +167,26 @@ def test_similar_route_matches_ann_bruteforce(spark, api_server):
     # bad id is a 400, not a crash
     code, _ = _get(base, "/api/similar?id=abc")
     assert code == 400
+
+
+def test_mlt_route_matches_dataframe_path(spark, api_server):
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+    from searchengine_spark.sources.tables import load_table
+
+    api, base = api_server
+    code, payload = _get(base, "/api/mlt?id=3&k=4")
+    assert code == 200 and payload["total"] == len(payload["similar"]) > 0
+    idx = gate_index(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    want = [
+        (r["doc_id"], r["score_micros"])
+        for r in serve.more_like_this(spark, idx, docs, 3, k=4).collect()
+    ]
+    got = [(r["doc_id"], r["score_micros"]) for r in payload["similar"]]
+    assert got == want
+    assert all(r["doc_id"] != 3 and r["source"] for r in payload["similar"])
+    code, _ = _get(base, "/api/mlt?id=abc")
+    assert code == 400
+    code, payload = _get(base, "/api/mlt?id=999999999")
+    assert code == 200 and payload["total"] == 0
