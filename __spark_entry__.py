@@ -32,6 +32,7 @@ PHRASE = ["hash", "join"]
 COMPAT_QUERY = "hash join window"
 COMPAT_TERMS = ["hash", "join", "window"]
 FUZZY_WORD = "spack"  # ED-1 from "spark" (and "stack"): exercises substitution
+COMPOUND_WORD = "hashjoin"  # OOV concatenation of two dictionary terms
 # batch-evaluation gate: three queries (incl. overlapping terms) in one pass
 BATCH_QUERIES = {
     "q_bm25": BM25_TERMS,
@@ -282,6 +283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle brute-forces levenshtein over the vocabulary
         "fuzzy_suggest": lambda spark, sf: serve.fuzzy_suggest(
             spark, gate_index(spark, sf), FUZZY_WORD, k=5
+        ),
+        # query segmentation: OOV word split into two dictionary terms,
+        # ranked by the weaker half's corpus frequency
+        "compound_split": lambda spark, sf: serve.compound_split(
+            spark, gate_index(spark, sf), COMPOUND_WORD, k=5
         ),
         # LM-perplexity-proxy quality signal, served from postings+lexicon
         "unigram_logprob": lambda spark, sf: serve.unigram_logprob(
@@ -875,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "symbol_definitions": oracles.symbol_definitions_sql(),
         "ident_subtokens": oracles.ident_subtokens_sql(),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
+        "compound_split": oracles.compound_split_sql(COMPOUND_WORD, k=5),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "doc_keywords": oracles.doc_keywords_sql(k=3),
         "hits_scores": _hits_scores_sql(),

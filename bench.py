@@ -77,6 +77,7 @@ HEADLINE = [
     "epoch_shuffle",
     "quality_tiers",
     "winnowing_fingerprints",
+    "compound_split",
     "pack_chunks",
     "temperature_mix",
     "dedup_clusters",

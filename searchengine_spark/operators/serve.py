@@ -1684,3 +1684,43 @@ def federated_topk(
         .limit(k)
         .select("doc_id", "score_micros")
     )
+
+
+def compound_split(
+    spark: SparkSession, idx: dict, word: str, k: int = 5
+) -> DataFrame:
+    """Dictionary compound-word splitting (query segmentation — the Lucene
+    DictionaryCompoundWordTokenFilter analog): split an out-of-vocabulary
+    query word into two in-dictionary terms ("hashjoin" → hash + join),
+    ranked by the weaker half's corpus frequency (least(cf1, cf2) — a rare
+    half makes the whole segmentation implausible), ties by p1 asc.
+
+    The |word|-1 split candidates are a driver constant; each side is one
+    isin-pruned lexicon point lookup joined back broadcast — the same
+    bounded dictionary-step class as fuzzy_suggest's deletion keys. No
+    corpus access at all. Output: (p1, p2, cf_min) top-k."""
+    word = word.strip().lower()
+    pairs = [(word[:i], word[i:]) for i in range(1, len(word))]
+    if not pairs:
+        return spark.createDataFrame([], "p1 string, p2 string, cf_min long")
+    cand = spark.createDataFrame(pairs, "p1 string, p2 string")
+    lex = idx["lexicon"].select("term", "cf")
+    l1 = (
+        lex.filter(F.col("term").isin([p for p, _ in pairs]))
+        .withColumnRenamed("term", "p1")
+        .withColumnRenamed("cf", "cf1")
+    )
+    l2 = (
+        lex.filter(F.col("term").isin([s for _, s in pairs]))
+        .withColumnRenamed("term", "p2")
+        .withColumnRenamed("cf", "cf2")
+    )
+    return (
+        cand.join(F.broadcast(l1), "p1")
+        .join(F.broadcast(l2), "p2")
+        .select(
+            "p1", "p2", F.least("cf1", "cf2").cast("long").alias("cf_min")
+        )
+        .orderBy(F.desc("cf_min"), F.asc("p1"))
+        .limit(k)
+    )

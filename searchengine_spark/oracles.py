@@ -3574,3 +3574,21 @@ SELECT doc_id,
        substr(key, 1, 15) AS fp
 FROM (SELECT doc_id, unnest(s) AS key FROM sel)
 """
+
+
+def compound_split_sql(word: str, k: int = 5) -> str:
+    """Twin of serve.compound_split: all split points of ``word`` joined
+    twice against the dictionary, ranked by least corpus frequency."""
+    n = len(word)
+    return f"""
+WITH {_TOKENS_CTE},
+lex AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+splits AS (
+  SELECT substr('{word}', 1, i) AS p1, substr('{word}', i + 1) AS p2
+  FROM (SELECT unnest(range(1, {n})) AS i)
+)
+SELECT s.p1, s.p2, least(a.cf, b.cf)::BIGINT AS cf_min
+FROM splits s JOIN lex a ON s.p1 = a.term JOIN lex b ON s.p2 = b.term
+ORDER BY cf_min DESC, p1 ASC
+LIMIT {k}
+"""

@@ -1034,3 +1034,18 @@ def test_winnowing_guarantee_and_density(spark):
     assert 0.15 < frac < 0.7, frac
     # doc shorter than k tokens selects nothing
     assert 4 not in by_doc
+
+
+def test_compound_split_ranks_by_weaker_half(spark):
+    """Ambiguous segmentations order by the rarer half's corpus frequency."""
+    from searchengine_spark.operators import serve
+
+    lex = spark.createDataFrame(
+        [("a", 100), ("bc", 50), ("ab", 30), ("c", 80)], "term string, cf long"
+    )
+    out = serve.compound_split(spark, {"lexicon": lex}, "abc", k=5).collect()
+    assert [(r["p1"], r["p2"], r["cf_min"]) for r in out] == [
+        ("a", "bc", 50),
+        ("ab", "c", 30),
+    ]
+    assert serve.compound_split(spark, {"lexicon": lex}, "x", k=5).count() == 0
