@@ -47,27 +47,40 @@ def build_postings(documents: DataFrame) -> DataFrame:
 
 
 def build_lexicon(postings: DataFrame, n_docs: int, n_salts: int = DEFAULT_SALTS) -> DataFrame:
-    """(term, df, idf_compat, idf_bm25) via salted two-phase aggregation.
+    """(term, df, cf, idf_compat, idf_bm25) via salted two-phase aggregation.
 
     Phase 1 groups by (term, salt) where salt = pmod(hash(doc_id), S) —
     every reducer sees at most |postings(term)|/S rows of a hot term.
     Phase 2 sums the S partials per term. Postings are unique per (term,
     doc), so count == countDistinct(doc) (the reference's df double-count on
     re-index, quirk Q7, is structurally impossible here).
+
+    ``cf`` (collection frequency, sum of tf) rides the same shuffle for
+    free; sum(cf) over the tiny lexicon equals sum(tf) over all postings
+    equals sum(doc_len) over all docs (every kept token adds 1 to both), so
+    the build derives avgdl from the lexicon footprint instead of paying a
+    second full postings scan.
     """
     partial = (
         postings.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(n_salts)))
         .groupBy("term", "_salt")
-        .agg(F.count(F.lit(1)).alias("_partial_df"))
+        .agg(
+            F.count(F.lit(1)).alias("_partial_df"),
+            F.sum("tf").alias("_partial_cf"),
+        )
     )
     n = F.lit(float(n_docs))
     df_ = F.col("df").cast("double")
     return (
         partial.groupBy("term")
-        .agg(F.sum("_partial_df").alias("df"))
+        .agg(
+            F.sum("_partial_df").alias("df"),
+            F.sum("_partial_cf").alias("cf"),
+        )
         .select(
             "term",
             "df",
+            "cf",
             F.log(n / (df_ + 1.0)).alias("idf_compat"),  # Indexer.java:184 (Q9)
             F.log(F.lit(1.0) + (n - df_ + 0.5) / (df_ + 0.5)).alias("idf_bm25"),
         )

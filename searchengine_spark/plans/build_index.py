@@ -85,24 +85,25 @@ def build_index(
         with lin.StageTimer() as t:
             lex = postings_ops.build_lexicon(post, n_docs, salts)
             lin.publish_stage(lex, index_dir, "lexicon")
-            # one tiny narrow agg for avgdl + term-bucket skew (the lineage
-            # skew_ratio the north rule asks for): postings per term-hash
-            # bucket, max/mean — derived from the lexicon df counts
+            # one tiny narrow agg over the WRITTEN lexicon for both scalars:
+            # term-bucket skew (the lineage skew_ratio the north rule asks
+            # for) from the df counts, and avgdl from sum(cf) — cf rode the
+            # lexicon shuffle, and sum(cf) == sum(tf) over all postings ==
+            # sum(doc_len) (every kept token adds 1 to both, textproc
+            # .index_tokenize), so the stage never re-scans postings.
             stats = (
                 spark.read.parquet(stage_path("lexicon"))
                 .groupBy(F.pmod(F.hash("term"), F.lit(32)).alias("b"))
-                .agg(F.sum("df").alias("n"))
-                .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
+                .agg(F.sum("df").alias("n"), F.sum("cf").alias("c"))
+                .agg(
+                    F.max("n").alias("mx"),
+                    F.avg("n").alias("mean"),
+                    F.sum("c").alias("sum_tf"),
+                )
                 .collect()[0]
             )
-            # avgdl without re-shuffling postings by doc: every kept token
-            # contributes exactly 1 to some tf AND 1 to its doc's doc_len
-            # (textproc.index_tokenize), so sum(tf) == sum over docs of
-            # doc_len — a narrow map-side aggregate instead of the full
-            # groupBy('doc_id') exchange this stage used to pay.
-            dl = post.agg(F.sum("tf").alias("s")).collect()[0]
         skew = float(stats["mx"]) / float(stats["mean"]) if stats["mean"] else 1.0
-        avgdl = float(dl["s"] or 0) / n_docs if n_docs else 1.0
+        avgdl = float(stats["sum_tf"] or 0) / n_docs if n_docs else 1.0
         parts = lin.partition_metrics(stage_path("lexicon"))
         lin.append_lineage(spark, index_dir, "lexicon", fp, parts, 0, 0, skew, t.wall_ms)
         manifest.mark_done(

@@ -51,6 +51,7 @@ LEXICON = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),  # collection freq (sum tf)
         T.StructField("idf_compat", T.DoubleType(), False),  # ln(N/(1+df)) Q9
         T.StructField("idf_bm25", T.DoubleType(), False),  # Robertson
     ]
