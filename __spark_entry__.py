@@ -390,6 +390,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": lambda spark, sf: dedup.embedding_cosine_dups(
             emb(spark, sf), threshold_micros=350_000
         ),
+        # SemDeDup (cluster-then-dedup-within): pairwise cost O(Σ|cluster|²)
+        # — k grows with N at scale so per-group memory stays bounded
+        "semdedup": lambda spark, sf: dedup.semdedup(
+            emb(spark, sf), n_clusters=4, iterations=2, threshold_micros=350_000
+        ),
+        # Johnson–Lindenstrauss signed random projection: map-only integer
+        # plane dots — the distance-preserving sketch for two-stage ANN
+        "embedding_rp_project": lambda spark, sf: similarity.rp_project(
+            emb(spark, sf), out_dim=16
+        ),
+        # scalar int8 quantization (SQ8): per-dimension corpus min/max +
+        # integer scaling — 4× smaller vectors, pure codegen
+        "embedding_sq8": lambda spark, sf: similarity.sq8_codes(emb(spark, sf)),
         # --- multimodal plumbing (deterministic-fake decode; the Spark-side
         # schema/partitioning/Arrow machinery is real, the media libs are
         # stubbed — SURVEY/VERDICT multimodal row) ---
@@ -874,6 +887,11 @@ def oracle_sql() -> dict[str, str]:
             n_queries=8, k=5, n_centroids=16, centroid_stride=16
         ),
         "embedding_cosine_dups": oracles.embedding_cosine_dups_sql(threshold_micros=350_000),
+        "semdedup": oracles.semdedup_sql(
+            n_clusters=4, iterations=2, threshold_micros=350_000
+        ),
+        "embedding_rp_project": oracles.rp_project_sql(out_dim=16),
+        "embedding_sq8": oracles.sq8_codes_sql(),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
         "wildcard_search": oracles.wildcard_search_sql("s"),
         "substring_search": oracles.substring_search_sql("park"),

@@ -65,6 +65,9 @@ HEADLINE = [
     "ann_lsh_multiprobe_topk",
     "ann_pq_topk",
     "embedding_cosine_dups",
+    "semdedup",
+    "embedding_rp_project",
+    "embedding_sq8",
     "simhash_hamming_pairs",
     "wildcard_search",
     "boolean_query",

@@ -753,3 +753,79 @@ def ann_filtered_topk(
         vec_col=vec_col,
         corpus=embeddings.filter(F.col(label_col) == label_value),
     )
+
+
+def rp_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson–Lindenstrauss signed random projection (Achlioptas 2003):
+    reduce each embedding to ``out_dim`` coordinates ``y_j = <v, r_j>``
+    using the SAME deterministic integer plane family as the LSH signatures
+    (functions/planes.py — md5-derived components, no RNG state). The LSH
+    sign bit is ``y_j > 0``; this operator keeps the full integer dot, so
+    downstream consumers (coarse ANN, visualization, cheap pre-filters in a
+    two-stage cosine pipeline) get a distance-preserving sketch at
+    ``out_dim/dim`` of the storage and matmul cost.
+
+    Map-only: the (out_dim × dim) matrix is a compile-time constant inside
+    the Arrow kernel (one numpy int64 matmul per batch, no shuffle, no
+    per-row Python) — at 100 TB this runs at scan speed and is
+    embarrassingly parallel. Exact integer output, hash-gated against a
+    DuckDB twin whose plane rows are the same compile-time literals.
+
+    Output: (vec_id, j, val) — one row per reduced coordinate."""
+    R = np.array(plane_ints(out_dim, dim), dtype=np.int64)  # (out_dim, dim)
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = _quantize_np(np.stack(pdf[vec_col].to_numpy()))  # (n, dim)
+            P = Q @ R.T  # exact int64: |plane| <= 2^24, |q| <= ~2^31, 64 dims
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), out_dim),
+                    "j": np.tile(np.arange(out_dim, dtype=np.int32), n),
+                    "val": P.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, j int, val long"
+    )
+
+
+def sq8_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization (the SQ8 of FAISS/vector stores): per-
+    DIMENSION corpus min/max, each value mapped to a 0..255 code with
+    half-up integer rounding — 4× smaller vectors, table scans become
+    byte reads, exactly reconstructible bounds for re-ranking.
+
+    Two passes, both cheap: (1) one map-side-combined aggregate produces
+    the 64-row (dim) stats table; (2) the stats broadcast back onto the
+    exploded values and the code is a pure integer expression
+    (``(2*255*(v-lo) + span) div (2*span)``), so both passes stay inside
+    whole-stage codegen — no Python, no skew (keys are dimensions), and
+    the only shuffle carries dim-sized partials. Output:
+    (vec_id, i, code) with code in [0, 255]."""
+    rows = embeddings.select(
+        F.col(id_col), F.posexplode(_quantized(F.col(vec_col))).alias("i", "val")
+    )
+    stats = rows.groupBy("i").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    code = F.when(span == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("(2 * 255 * (val - lo) + (hi - lo)) div (2 * (hi - lo))")
+    )
+    return (
+        rows.join(F.broadcast(stats), "i")
+        .select(id_col, "i", code.alias("code"))
+    )

@@ -3592,3 +3592,92 @@ FROM splits s JOIN lex a ON s.p1 = a.term JOIN lex b ON s.p2 = b.term
 ORDER BY cf_min DESC, p1 ASC
 LIMIT {k}
 """
+
+
+def rp_project_sql(out_dim: int = 16, dim: int = 64) -> str:
+    """Twin of similarity.rp_project: the (out_dim × dim) integer plane
+    matrix is the same functions/planes.py compile-time constant, embedded
+    as list literals; each reduced coordinate is an exact integer dot."""
+    from searchengine_spark.functions.planes import plane_ints
+
+    dots = []
+    for comps in plane_ints(out_dim, dim):
+        lit = "[" + ", ".join(str(c) for c in comps) + "]::BIGINT[]"
+        dots.append(
+            f"list_sum(list_transform(list_zip(v, {lit}), p -> p[1] * p[2]))"
+        )
+    proj = "[" + ", ".join(dots) + "]"
+    return f"""
+WITH qv AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+proj AS (SELECT vec_id, {proj} AS p FROM qv)
+SELECT vec_id, generate_subscripts(p, 1)::INT - 1 AS j, unnest(p)::BIGINT AS val
+FROM proj
+"""
+
+
+def sq8_codes_sql() -> str:
+    """Twin of similarity.sq8_codes: per-dimension min/max over the
+    quantized values, half-up integer scaling to 0..255 (numerator is
+    non-negative, so floor == truncate and `//` matches Spark `div`)."""
+    return f"""
+WITH qv AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+vrows AS (SELECT vec_id, generate_subscripts(v, 1)::INT - 1 AS i, unnest(v) AS val
+          FROM qv),
+stats AS (SELECT i, min(val) AS lo, max(val) AS hi FROM vrows GROUP BY 1)
+SELECT v.vec_id, v.i,
+       (CASE WHEN s.hi = s.lo THEN 0
+             ELSE (2 * 255 * (v.val - s.lo) + (s.hi - s.lo)) // (2 * (s.hi - s.lo))
+        END)::BIGINT AS code
+FROM vrows v JOIN stats s ON v.i = s.i
+"""
+
+
+def semdedup_sql(
+    n_clusters: int = 4,
+    iterations: int = 2,
+    threshold_micros: int = 350_000,
+) -> str:
+    """Twin of dedup.semdedup: the k-means oracle embedded verbatim as the
+    centroid source, integer-cosine assignment (ties → smallest cid), and
+    the within-cluster upper-triangle drop rule over the (centroid_cosine
+    ASC, id ASC) priority order."""
+    cos = _cos_micros_sql("x.v", "y.v")
+    return f"""
+WITH cents AS (SELECT cid, i, val FROM ({kmeans_sql(n_clusters, iterations)})),
+qv AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+vrows AS (SELECT vec_id, generate_subscripts(v, 1)::INT - 1 AS i, unnest(v) AS val
+          FROM qv),
+vn AS (SELECT vec_id, sum(val * val) AS n2 FROM vrows GROUP BY 1),
+cn AS (SELECT cid, sum(val * val) AS n2 FROM cents GROUP BY 1),
+dotc AS (
+  SELECT v.vec_id, c.cid, sum(v.val * c.val) AS d
+  FROM vrows v JOIN cents c ON v.i = c.i GROUP BY 1, 2
+),
+cm AS (
+  SELECT dotc.vec_id, dotc.cid,
+         CAST(round(1e6 * dotc.d::DOUBLE
+              / (sqrt(vn.n2::DOUBLE) * sqrt(cn.n2::DOUBLE))) AS BIGINT) AS cm
+  FROM dotc JOIN vn ON dotc.vec_id = vn.vec_id JOIN cn ON dotc.cid = cn.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell, cm AS cent_cm FROM (
+    SELECT vec_id, cid, cm,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, cid ASC) AS rn
+    FROM cm
+  ) WHERE rn = 1
+),
+simpairs AS (
+  SELECT b.vec_id AS dropped
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell
+    AND (a.cent_cm < b.cent_cm
+         OR (a.cent_cm = b.cent_cm AND a.vec_id < b.vec_id))
+  JOIN qv x ON x.vec_id = a.vec_id
+  JOIN qv y ON y.vec_id = b.vec_id
+  WHERE {cos} >= {threshold_micros}
+),
+dups AS (SELECT DISTINCT dropped AS vec_id FROM simpairs)
+SELECT a.vec_id, a.cell::INT AS cell, a.cent_cm::BIGINT AS cent_cos_micros,
+       (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM assign a LEFT JOIN dups d USING (vec_id)
+"""

@@ -143,3 +143,67 @@ def test_multiprobe_dominates_single_probe(spark, emb_pdf):
     pos = {int(v): i for i, v in enumerate(ids)}
     for r in multi_rows:
         assert r.cosine_micros == M[pos[r.query_id], pos[r.neighbor_id]]
+
+
+def test_semdedup_kept_pairs_separated(spark, emb_pdf):
+    """The SemDeDup invariant: within a cluster, any two KEPT vectors are
+    < threshold apart (if both were >= threshold-similar, the lower-priority
+    one would have been dropped by the triangle rule); and every cluster
+    keeps at least its highest-priority member."""
+    emb = load_table(spark, SF, "embeddings")
+    rows = dedup.semdedup(emb, threshold_micros=THRESH).collect()
+    M = _exact_micros_matrix(emb_pdf)
+    ids = emb_pdf["vec_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(rows) == len(ids)  # full decision table
+    for cell, members in by_cell.items():
+        kept = [r for r in members if r.keep == 1]
+        assert kept, f"cluster {cell} kept nothing"
+        # highest-priority member (min cent_cos, tie min id) always survives
+        top = min(members, key=lambda r: (r.cent_cos_micros, r.vec_id))
+        assert top.keep == 1
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                assert M[pos[a.vec_id], pos[b.vec_id]] < THRESH
+
+
+def test_rp_project_is_plane_dot(spark, emb_pdf):
+    """Reduced coordinate (vec, j) == exact integer <quantized vec, plane_j>
+    from the shared plane family; sq8 codes stay in [0, 255] and are
+    monotone in the raw value within each dimension."""
+    from searchengine_spark.functions.planes import plane_ints
+
+    emb = load_table(spark, SF, "embeddings")
+    out = {(r.vec_id, r.j): r.val for r in similarity.rp_project(emb, out_dim=4).collect()}
+    R = np.array(plane_ints(4, 64), dtype=np.int64)
+    V = similarity._quantize_np(np.stack(emb_pdf["embedding"].to_numpy()))
+    P = V @ R.T
+    ids = emb_pdf["vec_id"].to_numpy()
+    for i, vid in enumerate(ids[:50]):
+        for j in range(4):
+            assert out[(int(vid), j)] == P[i, j]
+
+    codes = similarity.sq8_codes(emb).toPandas()
+    assert codes["code"].between(0, 255).all()
+    joined = codes.merge(
+        pd_vrows(emb_pdf), on=["vec_id", "i"], validate="one_to_one"
+    ).sort_values(["i", "val"])
+    for _, grp in joined.groupby("i"):
+        assert grp["code"].is_monotonic_increasing
+
+
+def pd_vrows(emb_pdf):
+    import pandas as pd
+
+    V = similarity._quantize_np(np.stack(emb_pdf["embedding"].to_numpy()))
+    n, d = V.shape
+    return pd.DataFrame(
+        {
+            "vec_id": np.repeat(emb_pdf["vec_id"].to_numpy(), d),
+            "i": np.tile(np.arange(d), n),
+            "val": V.reshape(-1),
+        }
+    )
