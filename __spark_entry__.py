@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchor-text propagation: in-link anchor phrases credited to the
         # TARGET doc (the rank-pages-for-terms-they-don't-contain signal)
         "anchor_terms": lambda spark, sf: _anchor_terms(spark, sf),
+        # Adamic-Adar link prediction: non-edge pairs scored by
+        # Σ 1/ln(deg) over common neighbors (integer micros credits)
+        "link_prediction_aa": lambda spark, sf: _link_prediction(spark, sf),
+        # deterministic label-propagation communities (most-frequent
+        # neighbor label, ties to smallest), fixed 5 rounds
+        "graph_communities": lambda spark, sf: _graph_communities(spark, sf),
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
         ),
@@ -786,10 +792,34 @@ def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_docs(spark, sf_dir))
 
 
+def _link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import link_prediction_aa
+
+    return link_prediction_aa(_docs(spark, sf_dir), k=20)
+
+
+def _graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import label_propagation
+
+    return label_propagation(_docs(spark, sf_dir), iterations=5)
+
+
 def _graph_triangles_sql() -> str:
     from searchengine_spark.operators.graph_demo import triangle_count_sql
 
     return triangle_count_sql()
+
+
+def _link_prediction_sql() -> str:
+    from searchengine_spark.operators.graph_demo import link_prediction_aa_sql
+
+    return link_prediction_aa_sql(k=20)
+
+
+def _graph_communities_sql() -> str:
+    from searchengine_spark.operators.graph_demo import label_propagation_sql
+
+    return label_propagation_sql(iterations=5)
 
 
 def _hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,6 +935,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_scores_sql(),
         "ppr_scores": _ppr_scores_sql(),
         "graph_triangles": _graph_triangles_sql(),
+        "link_prediction_aa": _link_prediction_sql(),
+        "graph_communities": _graph_communities_sql(),
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "bigram_logprob": oracles.bigram_logprob_sql(lam=0.75),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),

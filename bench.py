@@ -116,6 +116,8 @@ HEADLINE = [
     "pmi_top_pairs",
     "hits_scores",
     "graph_triangles",
+    "link_prediction_aa",
+    "graph_communities",
     "q1_pricing_summary",
     "q3_top_orders",
     "events_sessionize",

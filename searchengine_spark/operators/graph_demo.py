@@ -471,3 +471,189 @@ SELECT (SELECT count(*)::BIGINT FROM documents) AS n_nodes,
        tri.n_triangles
 FROM tri
 """
+
+
+def link_prediction_aa(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    generators: tuple[tuple[int, int], ...] = TRIANGLE_GENERATORS,
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over the undirected
+    chord graph: score every NON-edge pair by the sum of 1/ln(degree) over
+    its common neighbors, and return the top-k predicted links — the
+    "pages that should link but don't" / related-pages-by-structure signal
+    beside the content-based MoreLikeThis.
+
+    Per-neighbor credit is pre-rounded to integer micros
+    (``round(1e6/ln(deg))``) so the pair score is an exact integer sum —
+    associative under any partitioning and bit-identical in the DuckDB
+    twin. Common neighbors have degree ≥ 2 by construction, so ln > 0.
+
+    Shape: wedges are generated at each common neighbor (one equi-join on
+    the neighbor key), existing edges are removed with a left-anti join,
+    and the pair aggregate is one hash agg. Wedge work is Σ deg² — at web
+    scale the standard defusal applies (cap or sample hub adjacency; hubs
+    contribute ≈0 credit anyway since 1/ln(deg)→0, so a degree cap changes
+    scores by a bounded ε while removing the quadratic key).
+
+    Output: (src, dst, common_neighbors, aa_micros), src < dst, top-k by
+    (aa_micros DESC, src, dst)."""
+    e = synthetic_edges(docs, id_col, generators)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    credit = deg.select(
+        "z", F.round(F.lit(1e6) / F.log(F.col("d").cast("double"))).cast("long").alias("c")
+    )
+    wedges = (
+        adj.join(adj.select("z", F.col("x").alias("y")), "z")
+        .filter(F.col("x") < F.col("y"))
+        .join(credit, "z")
+    )
+    non_edges = wedges.join(
+        und, (wedges.x == und.a) & (wedges.y == und.b), "left_anti"
+    )
+    scored = non_edges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("c").alias("aa_micros"),
+    )
+    return (
+        scored.orderBy(F.desc("aa_micros"), F.asc("x"), F.asc("y"))
+        .limit(k)
+        .select(
+            F.col("x").alias("src"), F.col("y").alias("dst"),
+            "common_neighbors", "aa_micros",
+        )
+    )
+
+
+def link_prediction_aa_sql(
+    k: int = 20,
+    generators: tuple[tuple[int, int], ...] = TRIANGLE_GENERATORS,
+) -> str:
+    """Twin of link_prediction_aa over the shared synthetic edge model."""
+    return f"""
+WITH {_edges_sql(generators)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+adj AS (
+  SELECT a AS z, b AS x FROM und UNION ALL SELECT b AS z, a AS x FROM und
+),
+credit AS (
+  SELECT z, CAST(round(1e6 / ln(count(*)::DOUBLE)) AS BIGINT) AS c
+  FROM adj GROUP BY 1
+),
+wedges AS (
+  SELECT a1.x AS x, a2.x AS y, credit.c
+  FROM adj a1 JOIN adj a2 ON a1.z = a2.z JOIN credit ON credit.z = a1.z
+  WHERE a1.x < a2.x
+),
+non_edges AS (
+  SELECT w.* FROM wedges w
+  LEFT JOIN und ON w.x = und.a AND w.y = und.b
+  WHERE und.a IS NULL
+)
+SELECT x AS src, y AS dst, count(*)::BIGINT AS common_neighbors,
+       sum(c)::BIGINT AS aa_micros
+FROM non_edges
+GROUP BY 1, 2
+ORDER BY aa_micros DESC, src ASC, dst ASC
+LIMIT {k}
+"""
+
+
+def label_propagation(
+    docs: DataFrame,
+    iterations: int = 5,
+    id_col: str = "doc_id",
+    generators: tuple[tuple[int, int], ...] = TRIANGLE_GENERATORS,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), made deterministic: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors, ties to
+    the SMALLEST label; isolated nodes keep their own. A fixed iteration
+    count (not convergence) keeps the output a pure function of the graph —
+    the same determinism contract as the exact-integer PageRank/HITS twins,
+    so the gate hash-checks community assignments directly.
+
+    One edges⋈labels join + one (node, label) count + one per-node argmax
+    per round — the PageRank iteration shape; at scale labels are long ids,
+    state is one row per node, and AQE's skew handling covers hub fan-in.
+
+    Output: (doc_id, community)."""
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    e = synthetic_edges(docs, id_col, generators)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
+    for i in range(iterations):
+        nbr = adj.join(
+            labels.select(F.col("doc_id").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        counts = nbr.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("v").orderBy(F.desc("n"), F.asc("lbl"))
+        mode = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("v").alias("doc_id"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(mode, "doc_id", "left")
+            .select("doc_id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+        )
+        if (i + 1) % 3 == 0:
+            labels = labels.localCheckpoint()  # cap the iterative lineage
+    return labels.select("doc_id", F.col("lbl").alias("community"))
+
+
+def label_propagation_sql(
+    iterations: int = 5,
+    generators: tuple[tuple[int, int], ...] = TRIANGLE_GENERATORS,
+) -> str:
+    """Twin of label_propagation: the rounds unrolled as CTEs (the
+    HITS/k-means oracle pattern), same most-frequent/min-label tie rule."""
+    parts = [
+        f"""{_edges_sql(generators)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+adj AS (
+  SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und
+),
+l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)"""
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"""m{t} AS (
+  SELECT v AS doc_id, lbl AS new_lbl FROM (
+    SELECT adj.v, l.lbl, count(*) AS n,
+           row_number() OVER (PARTITION BY adj.v
+                              ORDER BY count(*) DESC, l.lbl ASC) AS rn
+    FROM adj JOIN l{t} l ON adj.u = l.doc_id
+    GROUP BY adj.v, l.lbl
+  ) WHERE rn = 1
+),
+l{t + 1} AS (
+  SELECT l.doc_id, coalesce(m.new_lbl, l.lbl) AS lbl
+  FROM l{t} l LEFT JOIN m{t} m USING (doc_id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT doc_id, lbl AS community FROM l{iterations}"
+    )

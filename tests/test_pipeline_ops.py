@@ -1049,3 +1049,60 @@ def test_compound_split_ranks_by_weaker_half(spark):
         ("ab", "c", 30),
     ]
     assert serve.compound_split(spark, {"lexicon": lex}, "x", k=5).count() == 0
+
+
+def test_link_prediction_aa_bruteforce(spark):
+    """AA top-k on a 37-node graph == brute force over the same edge model;
+    predicted pairs are never existing edges."""
+    import math
+
+    from searchengine_spark.operators.graph_demo import (
+        TRIANGLE_GENERATORS,
+        link_prediction_aa,
+    )
+
+    n = 37
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    rows = link_prediction_aa(docs, k=10).collect()
+    und, adj = set(), {}
+    for i in range(n):
+        for a, b in TRIANGLE_GENERATORS:
+            dst = (i * a + b) % n
+            if dst != i:
+                und.add((min(i, dst), max(i, dst)))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def credit(z):
+        v = 1e6 / math.log(len(adj[z]))
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    scores = {}
+    for x in range(n):
+        for y in range(x + 1, n):
+            if (x, y) in und:
+                continue
+            common = adj.get(x, set()) & adj.get(y, set())
+            if common:
+                scores[(x, y)] = (len(common), sum(credit(z) for z in common))
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    got = [((r.src, r.dst), (r.common_neighbors, r.aa_micros)) for r in rows]
+    assert got == expect
+    for (x, y), _ in got:
+        assert (x, y) not in und
+
+
+def test_label_propagation_coarsens(spark):
+    """LPA on the chord graph: full decision table, communities strictly
+    coarser than singletons, every community label is a member's id."""
+    from searchengine_spark.operators.graph_demo import label_propagation
+
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    rows = label_propagation(docs, iterations=5).collect()
+    assert len(rows) == n
+    comms = {r.community for r in rows}
+    assert 1 < len(comms) < n  # non-trivial coarsening
+    ids = {r.doc_id for r in rows}
+    assert comms <= ids  # labels are node ids (propagated, never invented)
