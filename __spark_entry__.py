@@ -276,6 +276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": lambda spark, sf: textstats.regex_search(
             _docs(spark, sf), "spark|merge"
         ),
+        # the same two queries served from the MATERIALIZED trigram index
+        # (Zoekt/Code-Search physical layer: bucket-pruned gram postings →
+        # conjunctive candidates → doc-join verify), same oracles
+        "substring_search_indexed": lambda spark, sf: _substring_indexed(spark, sf),
+        "regex_search_indexed": lambda spark, sf: _regex_indexed(spark, sf),
         # code-search symbol index: def/class declarations per doc (seasoned
         # code header — go-to-definition's backing table)
         "symbol_definitions": lambda spark, sf: textstats.symbol_definitions(
@@ -536,6 +541,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), lam=0.75
         ),
     }
+
+
+def _substring_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators import trigram
+
+    return trigram.substring_search_indexed(
+        spark, trigram.trigram_index(spark, sf_dir), _docs(spark, sf_dir), "park"
+    )
+
+
+def _regex_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators import trigram
+
+    return trigram.regex_search_indexed(
+        spark, trigram.trigram_index(spark, sf_dir), _docs(spark, sf_dir), "spark|merge"
+    )
 
 
 def _media_features(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
@@ -926,6 +947,10 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_search": oracles.wildcard_search_sql("s"),
         "substring_search": oracles.substring_search_sql("park"),
         "regex_search": oracles.regex_search_sql("spark|merge"),
+        # the index-served twins answer the SAME oracles (correct by
+        # construction: prefilter only prunes, verify recomputes exactly)
+        "substring_search_indexed": oracles.substring_search_sql("park"),
+        "regex_search_indexed": oracles.regex_search_sql("spark|merge"),
         "symbol_definitions": oracles.symbol_definitions_sql(),
         "ident_subtokens": oracles.ident_subtokens_sql(),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),

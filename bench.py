@@ -70,6 +70,8 @@ HEADLINE = [
     "embedding_sq8",
     "simhash_hamming_pairs",
     "wildcard_search",
+    "substring_search_indexed",
+    "regex_search_indexed",
     "boolean_query",
     "facet_counts",
     "search_diversified",

@@ -68,7 +68,7 @@ def corpus_fingerprint(corpus: DataFrame) -> str:
     return f"{row['x']}:{row['c']}"
 
 
-def term_bloom_options(expected_ndv: int) -> dict[str, str]:
+def term_bloom_options(expected_ndv: int, column: str = "term") -> dict[str, str]:
     """Parquet bloom filter on the ``term`` column for index-table writes.
 
     Term-keyed serve paths push ``term = / term IN`` into the scan; parquet
@@ -80,8 +80,8 @@ def term_bloom_options(expected_ndv: int) -> dict[str, str]:
     distinct terms PER FILE (vocab / write-partition fan-out), not the
     global vocab — oversizing just burns the per-row-group bloom budget."""
     return {
-        "parquet.bloom.filter.enabled#term": "true",
-        "parquet.bloom.filter.expected.ndv#term": str(max(1024, int(expected_ndv))),
+        f"parquet.bloom.filter.enabled#{column}": "true",
+        f"parquet.bloom.filter.expected.ndv#{column}": str(max(1024, int(expected_ndv))),
     }
 
 
