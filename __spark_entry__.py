@@ -286,6 +286,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_definitions": lambda spark, sf: textstats.symbol_definitions(
             _docs(spark, sf)
         ),
+        # find-usages (xref) postings: call/instantiation sites keyed by
+        # the referenced symbol — the linear table, never a def×ref join
+        "symbol_references": lambda spark, sf: textstats.symbol_references(
+            _docs(spark, sf)
+        ),
+        # per-symbol defs/refs rollup ("used by N files"): each side
+        # aggregates to |vocab| rows BEFORE the tiny full-outer join
+        "symbol_xref_counts": lambda spark, sf: textstats.symbol_xref_counts(
+            _docs(spark, sf)
+        ),
         # identifier-splitting tokenizer: camelCase/snake_case subtoken df
         "ident_subtokens": lambda spark, sf: textstats.ident_subtokens(
             _docs(spark, sf)
@@ -952,6 +962,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_search_indexed": oracles.substring_search_sql("park"),
         "regex_search_indexed": oracles.regex_search_sql("spark|merge"),
         "symbol_definitions": oracles.symbol_definitions_sql(),
+        "symbol_references": oracles.symbol_references_sql(),
+        "symbol_xref_counts": oracles.symbol_xref_counts_sql(),
         "ident_subtokens": oracles.ident_subtokens_sql(),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
         "compound_split": oracles.compound_split_sql(COMPOUND_WORD, k=5),

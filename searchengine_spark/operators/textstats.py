@@ -555,6 +555,82 @@ def symbol_definitions(
     return funcs.unionByName(classes)
 
 
+def symbol_references(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, kind, symbol) — the find-usages postings of a code-search
+    engine (the xref table of Zoekt/Kythe-style tooling): every call site
+    ``call fn(…)`` and instantiation ``new Cls(…)`` in a document, keyed by
+    the referenced symbol. This is the linear table "find all references"
+    reads directly and "go to definition" joins against
+    :func:`symbol_definitions` — one row per usage, NEVER a def×ref pair
+    join (a popular symbol has millions of callers; the rollup that needs
+    both sides is :func:`symbol_xref_counts`).
+
+    The corpus is word-soup, so the gate seasons each doc with
+    deterministic call sites referencing OTHER docs' symbols (the
+    symbol_definitions seasoning pattern): ``call fn_{(id+1)%37}(0)`` and
+    ``new Cls_{(id+5)%23}(0)`` prepended to the text. Extraction is
+    ``regexp_extract_all`` in the Java∩RE2 common dialect — one map over
+    the scan, no shuffle."""
+    did = F.col(id_col)
+    seasoned = F.concat(
+        F.lit("call fn_"),
+        ((did + 1) % 37).cast("string"),
+        F.lit("(0) new Cls_"),
+        ((did + 5) % 23).cast("string"),
+        F.lit("(0) "),
+        F.col(text_col),
+    )
+    call_pat = r"call ([a-zA-Z_][a-zA-Z0-9_]*)\s*\("
+    new_pat = r"new ([a-zA-Z_][a-zA-Z0-9_]*)\s*\("
+    calls = docs.select(
+        did,
+        F.lit("function").alias("kind"),
+        F.explode(F.regexp_extract_all(seasoned, F.lit(call_pat), 1)).alias("symbol"),
+    )
+    news = docs.select(
+        did,
+        F.lit("class").alias("kind"),
+        F.explode(F.regexp_extract_all(seasoned, F.lit(new_pat), 1)).alias("symbol"),
+    )
+    return calls.unionByName(news)
+
+
+def symbol_xref_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(kind, symbol, n_defs, n_refs) — the per-symbol xref rollup: how
+    many documents define the symbol and how many reference it (the
+    "used by N files" badge / dead-code signal).
+
+    Scale note: this deliberately does NOT join definitions to references
+    row-by-row — symbols are hot keys (every caller of a popular function
+    lands on one join key), so each side collapses to ~|symbol vocabulary|
+    rows with a map-side-combined distinct count FIRST, and the two tiny
+    aggregates full-outer-join at the end. The linear usage list is
+    :func:`symbol_references`; the pair fanout never materializes."""
+    defs = (
+        symbol_definitions(docs, id_col=id_col, text_col=text_col)
+        .groupBy("kind", "symbol")
+        .agg(F.countDistinct("doc_id").alias("n_defs"))
+    )
+    refs = (
+        symbol_references(docs, id_col=id_col, text_col=text_col)
+        .groupBy("kind", "symbol")
+        .agg(F.countDistinct("doc_id").alias("n_refs"))
+    )
+    return (
+        defs.join(refs, ["kind", "symbol"], "full_outer")
+        .select(
+            "kind",
+            "symbol",
+            F.coalesce("n_defs", F.lit(0)).cast("long").alias("n_defs"),
+            F.coalesce("n_refs", F.lit(0)).cast("long").alias("n_refs"),
+        )
+    )
+
+
 def ident_subtokens(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

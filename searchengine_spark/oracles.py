@@ -653,6 +653,60 @@ FROM seasoned
 """
 
 
+_XREF_REFS_CTE = (
+    "refs_raw AS (SELECT doc_id, 'call fn_' || ((doc_id + 1) % 37)::VARCHAR || "
+    "'(0) new Cls_' || ((doc_id + 5) % 23)::VARCHAR || '(0) ' || text AS s "
+    "FROM documents), "
+    "refs AS ("
+    "SELECT doc_id, 'function' AS kind, "
+    "unnest(regexp_extract_all(s, 'call ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS symbol "
+    "FROM refs_raw "
+    "UNION ALL "
+    "SELECT doc_id, 'class' AS kind, "
+    "unnest(regexp_extract_all(s, 'new ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS symbol "
+    "FROM refs_raw)"
+)
+
+
+def symbol_references_sql() -> str:
+    """Twin of textstats.symbol_references: same seasoned call sites, same
+    Java∩RE2 extraction patterns."""
+    return f"""
+WITH {_XREF_REFS_CTE}
+SELECT doc_id, kind, symbol FROM refs
+"""
+
+
+def symbol_xref_counts_sql() -> str:
+    """Twin of textstats.symbol_xref_counts: per-side distinct-doc rollups
+    full-outer-joined on (kind, symbol) — never a def×ref pair join."""
+    season = (
+        "'def fn_' || (doc_id % 37)::VARCHAR || '(arg):' || chr(10) || "
+        "'    pass' || chr(10) || 'class Cls_' || (doc_id % 23)::VARCHAR || "
+        "':' || chr(10) || '    pass' || chr(10) || text"
+    )
+    return f"""
+WITH seasoned AS (SELECT doc_id, {season} AS s FROM documents),
+defs AS (
+  SELECT doc_id, 'function' AS kind,
+         unnest(regexp_extract_all(s, 'def ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS symbol
+  FROM seasoned
+  UNION ALL
+  SELECT doc_id, 'class' AS kind,
+         unnest(regexp_extract_all(s, 'class ([a-zA-Z_][a-zA-Z0-9_]*)', 1)) AS symbol
+  FROM seasoned
+),
+{_XREF_REFS_CTE},
+d AS (SELECT kind, symbol, count(DISTINCT doc_id) AS n_defs FROM defs GROUP BY 1, 2),
+r AS (SELECT kind, symbol, count(DISTINCT doc_id) AS n_refs FROM refs GROUP BY 1, 2)
+SELECT COALESCE(d.kind, r.kind) AS kind,
+       COALESCE(d.symbol, r.symbol) AS symbol,
+       COALESCE(d.n_defs, 0)::BIGINT AS n_defs,
+       COALESCE(r.n_refs, 0)::BIGINT AS n_refs
+FROM d FULL OUTER JOIN r ON d.kind = r.kind AND d.symbol = r.symbol
+"""
+
+
 def ident_subtokens_sql() -> str:
     """Twin of textstats.ident_subtokens. Replacement backrefs are \\1 \\2
     (RE2) vs Spark's $1 $2 — different spelling, same semantics — and

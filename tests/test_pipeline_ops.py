@@ -1106,3 +1106,32 @@ def test_label_propagation_coarsens(spark):
     assert 1 < len(comms) < n  # non-trivial coarsening
     ids = {r.doc_id for r in rows}
     assert comms <= ids  # labels are node ids (propagated, never invented)
+
+
+def test_xref_linkage(spark):
+    """Every referenced symbol is defined somewhere (the seasoning
+    guarantees a closed symbol universe), counts line up with the modulus
+    structure, and the rollup never materializes a def×ref pair join."""
+    from searchengine_spark.operators.textstats import (
+        symbol_definitions,
+        symbol_references,
+        symbol_xref_counts,
+    )
+
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 7} filler") for i in range(n)], "doc_id long, text string"
+    )
+    refs = symbol_references(docs)
+    defs = symbol_definitions(docs)
+    ref_syms = {(r.kind, r.symbol) for r in refs.collect()}
+    def_syms = {(r.kind, r.symbol) for r in defs.collect()}
+    assert ref_syms <= def_syms  # closed universe: every usage resolves
+    counts = {(r.kind, r.symbol): (r.n_defs, r.n_refs) for r in symbol_xref_counts(docs).collect()}
+    assert len(counts) == 37 + 23
+    # fn_0 is defined by docs ≡0 (mod 37) and referenced by docs ≡-1 (mod 37)
+    expect_defs = len([i for i in range(n) if i % 37 == 0])
+    expect_refs = len([i for i in range(n) if (i + 1) % 37 == 0])
+    assert counts[("function", "fn_0")] == (expect_defs, expect_refs)
+    total_refs = sum(v[1] for k, v in counts.items() if k[0] == "class")
+    assert total_refs == n  # one class instantiation per doc
