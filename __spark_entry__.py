@@ -112,6 +112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_pruned": lambda spark, sf: serve.bm25_topk_pruned(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK, max_postings=64
         ),
+        # cursor (search_after) deep paging: page 3 via chained k-row
+        # cursors — no offset sort at any page depth
+        "bm25_page3": lambda spark, sf: serve.bm25_page(
+            spark, gate_index(spark, sf), BM25_TERMS, page=3, k=TOPK
+        ),
         "tfidf_topk": lambda spark, sf: serve.tfidf_topk(
             spark, gate_index(spark, sf), TFIDF_TERMS, k=TOPK
         ),
@@ -907,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_pruned": oracles.bm25_topk_pruned_sql(
             BM25_TERMS, k=TOPK, max_postings=64
         ),
+        "bm25_page3": oracles.bm25_page_sql(BM25_TERMS, page=3, k=TOPK),
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
         "hard_negatives": oracles.hard_negatives_sql(BATCH_QUERIES, k=TOPK),

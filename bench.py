@@ -339,7 +339,13 @@ def main() -> None:
         return
 
     timings, latency, gate_index_sec, compat_fixture_sec, warmup_sec = run_queries()
-    index_build = build_index_bench(CPUS, min(BENCH_DOCS, 20000))
+    # best-of-2: this VM's throughput swings by >3× between adjacent
+    # minutes (BENCH.md machine-ceiling controls), so a single build
+    # sample routinely lands in a host stall; two samples, keep the
+    # faster, report both walls so the spread stays visible.
+    rounds = [build_index_bench(CPUS, min(BENCH_DOCS, 20000)) for _ in range(2)]
+    index_build = min(rounds, key=lambda r: r["sec"])
+    index_build["all_round_sec"] = [r["sec"] for r in rounds]
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query suite + index build (local[%d])" % CPUS,

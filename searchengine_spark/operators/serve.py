@@ -120,6 +120,51 @@ def bm25_topk(
     )
 
 
+def bm25_search_after(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    cursor: tuple[int, int] | None,
+    k: int = 10,
+) -> DataFrame:
+    """Cursor (search_after) pagination over the BM25 ranking — the
+    scale-correct deep-paging primitive (Elasticsearch ``search_after``,
+    Lucene ``searchAfter``): page N+1 is "the top-k rows strictly AFTER the
+    cursor in the total order (score_micros DESC, doc_id ASC)", so every
+    page costs one bounded top-k over the pruned postings scan. OFFSET
+    pagination re-scores and SORTS past offset+k rows per page — page 1000
+    of a hot query at 10^12 docs is a cluster-wide sort; the cursor
+    predicate instead prunes candidates before the heap, and the total
+    order (doc_id ties are unique) makes pages disjoint and exhaustive.
+
+    ``cursor`` is (score_micros, doc_id) of the previous page's last row;
+    None serves page 1."""
+    scores = bm25_scores(spark, idx, query_terms)
+    if cursor is not None:
+        cs, cd = int(cursor[0]), int(cursor[1])
+        scores = scores.filter(
+            (F.col("score_micros") < cs)
+            | ((F.col("score_micros") == cs) & (F.col("doc_id") > cd))
+        )
+    return scores.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)
+
+
+def bm25_page(
+    spark: SparkSession, idx: dict, query_terms: list[str], page: int, k: int = 10
+) -> DataFrame:
+    """Page ``page`` (1-based) of the BM25 ranking by chained search_after
+    cursors: each prior page contributes only its k-row last-row cursor (a
+    driver scalar, the PageRank-loop pattern) — no offset sort anywhere."""
+    cursor = None
+    for _ in range(page - 1):
+        rows = bm25_search_after(spark, idx, query_terms, cursor, k=k).collect()
+        if len(rows) < k:  # ranking exhausted — later pages are empty
+            return spark.createDataFrame([], _EMPTY_TOPK)
+        last = rows[-1]
+        cursor = (int(last["score_micros"]), int(last["doc_id"]))
+    return bm25_search_after(spark, idx, query_terms, cursor, k=k)
+
+
 def bm25_topk_pruned(
     spark: SparkSession,
     idx: dict,

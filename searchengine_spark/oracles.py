@@ -108,6 +108,26 @@ LIMIT {k}
 """
 
 
+def bm25_page_sql(
+    terms: list[str], page: int, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of serve.bm25_page: rows (page-1)·k+1 … page·k of the total
+    order (score DESC, doc_id ASC). The cursor-chained Spark path returns
+    exactly this slice because doc_id ties make the order total, so pages
+    partition the ranking."""
+    lo, hi = (page - 1) * k, page * k
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms, k1, b)},
+ranked AS (
+  SELECT doc_id, score_micros,
+         row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, score_micros FROM ranked WHERE rn > {lo} AND rn <= {hi}
+"""
+
+
 def bm25_topk_pruned_sql(
     terms: list[str],
     k: int = 10,

@@ -355,3 +355,22 @@ def test_qpp_rare_terms_predict_harder_than_stopword_terms(spark, idx):
     assert out["q_rare"]["n_terms"] == 2 and out["q_common"]["n_terms"] == 2
     # absent-only query emits the zero row, not nothing
     assert out["q_absent"]["n_terms"] == 0 and out["q_absent"]["scq_sum_micros"] == 0
+
+
+def test_search_after_pages_partition_ranking(spark):
+    """Cursor pages are disjoint, ordered, and concatenate to the top-N:
+    the search_after total order (score DESC, doc_id ASC) partitions the
+    ranking, including across tied scores."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, "/root/testdata/sf0.001")
+    terms = ["spark", "hash", "join"]
+    pages = [
+        [tuple(r) for r in serve.bm25_page(spark, idx, terms, page=p, k=7).collect()]
+        for p in (1, 2, 3, 4)
+    ]
+    flat = sum(pages, [])
+    assert len(set(flat)) == len(flat)  # disjoint
+    top = [tuple(r) for r in serve.bm25_topk(spark, idx, terms, k=28).collect()]
+    assert flat == top  # concatenation IS the ranking, in order
