@@ -513,3 +513,38 @@ def test_collapse_topk_is_hash_agg_not_window(spark):
     plan = plan_of(serve.collapse_topk(spark, idx, docs, ["spark", "hash"], k=10))
     assert "Window" not in plan
     assert "HashAggregate" in plan and "TakeOrderedAndProject" in plan
+
+
+def test_search_after_is_bounded_heap_with_cursor_pushdown(spark):
+    """Deep paging: the cursor page must still be a bounded top-k heap
+    (TakeOrderedAndProject) over the pruned postings scan — no offset
+    sort, no SortMergeJoin, cursor predicate applied before the heap."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(
+        serve.bm25_search_after(spark, idx, ["spark", "hash"], (123456, 7), k=10)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "score_micros" in plan  # cursor filter on the aggregate output
+
+
+def test_xref_counts_never_pair_joins(spark):
+    """The defs/refs rollup joins two per-symbol AGGREGATES (vocab-sized),
+    never the raw def×ref row sets: both join inputs must sit above a
+    HashAggregate, and the distinct counts must be partial (map-side)."""
+    from searchengine_spark.operators.textstats import symbol_xref_counts
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(symbol_xref_counts(docs))
+    # count(DISTINCT doc_id) plans as partial_count(distinct ...) — the
+    # map-side-combined form — once per side (defs, refs), and the final
+    # join is the full-outer merge of those two vocab-sized aggregates
+    assert plan.count("partial_count(distinct") == 2
+    assert "FullOuter" in plan
+    # the join sees ONLY aggregate output columns, never raw doc rows
+    join_line = next(ln for ln in plan.splitlines() if "FullOuter" in ln)
+    assert "doc_id" not in join_line
