@@ -129,6 +129,27 @@ HEADLINE = [
     "hist_quantiles",
 ]
 
+# the exact 15-query basket BENCH_r01.json timed — summed separately each
+# round so round-over-round totals compare the same work (the full HEADLINE
+# list grows with coverage, which would otherwise read as a regression)
+R01_BASKET = [
+    "bm25_topk",
+    "tfidf_topk",
+    "phrase_match",
+    "postings_tf",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_cosine_topk",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "events_sessionize",
+]
+
 
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -347,10 +368,16 @@ def main() -> None:
     index_build = min(rounds, key=lambda r: r["sec"])
     index_build["all_round_sec"] = [r["sec"] for r in rounds]
     total = round(sum(timings.values()), 3)
+    r01_subset = round(sum(timings[q] for q in R01_BASKET if q in timings), 3)
     out = {
         "metric": "headline query suite + index build (local[%d])" % CPUS,
         "value": total,
         "unit": "sec",
+        "n_queries": len(timings),
+        # BENCH_r01 timed exactly this 15-query basket (value 42.851 s at
+        # sf0.1); compare THIS field across rounds, not "value", which now
+        # covers the full grown query set
+        "r01_basket_sec": r01_subset,
         "queries": timings,
         "sf": _sf_of(SF_DIR),
         "gate_index_build_sec": gate_index_sec,
