@@ -82,6 +82,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _codestats():
+    from searchengine_spark.operators import codestats
+
+    return codestats
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.operators import dedup, relational, similarity, textstats
 
@@ -449,6 +455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII detect+redact over deterministically seasoned docs
         "pii_scrub": lambda spark, sf: textstats.pii_scrub(_docs(spark, sf)),
         "quality_score": lambda spark, sf: textstats.quality_score(_docs(spark, sf)),
+        # code-corpus filters: license phrase detection + StarCoder-style
+        # file-shape metrics (both map-only, seasoned like pii_scrub)
+        "license_detect": lambda spark, sf: _codestats().license_detect(
+            _docs(spark, sf)
+        ),
+        "code_metrics": lambda spark, sf: _codestats().code_metrics(_docs(spark, sf)),
         # crawl analytics: per-host rollup over the synthetic URL space
         "host_stats": lambda spark, sf: _host_stats(spark, sf),
         # incremental recrawl: snapshot diff (added/removed/changed/same)
@@ -1030,6 +1042,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracles.repetition_stats_sql(),
         "pii_scrub": oracles.pii_scrub_sql(),
         "quality_score": oracles.quality_score_sql(),
+        "license_detect": oracles.license_detect_sql(),
+        "code_metrics": oracles.code_metrics_sql(),
         "doc_chunks": oracles.doc_chunks_sql(chunk_size=64, stride=48),
         "contrastive_pairs": oracles.contrastive_pairs_sql(chunk_size=64, stride=48),
         "mask_spans": oracles.mask_spans_sql(mask_ppm=150_000),

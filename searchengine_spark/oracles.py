@@ -3755,3 +3755,76 @@ SELECT a.vec_id, a.cell::INT AS cell, a.cent_cm::BIGINT AS cent_cos_micros,
        (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM assign a LEFT JOIN dups d USING (vec_id)
 """
+
+
+def license_detect_sql() -> str:
+    """Twin of codestats.license_detect: identical doc_id%5 seasoning
+    headers and the same first-hit-wins phrase CASE (MIT > Apache > GPL >
+    BSD), flags as BIGINT 0/1."""
+    return """
+WITH seasoned AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN '// Permission is hereby granted, free of charge, to any person' || chr(10)
+           WHEN 1 THEN '// Licensed under the Apache License, Version 2.0 (the "License")' || chr(10)
+           WHEN 2 THEN '// This program is free software: GNU General Public License' || chr(10)
+           WHEN 3 THEN '// Redistribution and use in source and binary forms, with or without' || chr(10)
+           ELSE ''
+         END || text AS s
+  FROM documents
+),
+low AS (SELECT doc_id, lower(s) AS l FROM seasoned)
+SELECT doc_id,
+  CASE
+    WHEN contains(l, 'permission is hereby granted') THEN 'mit'
+    WHEN contains(l, 'apache license') THEN 'apache-2.0'
+    WHEN contains(l, 'gnu general public license') THEN 'gpl-3.0'
+    WHEN contains(l, 'redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+    ELSE 'unknown'
+  END AS license,
+  (CASE
+    WHEN contains(l, 'permission is hereby granted') THEN 1
+    WHEN contains(l, 'apache license') THEN 1
+    WHEN contains(l, 'gnu general public license') THEN 0
+    WHEN contains(l, 'redistribution and use in source and binary forms') THEN 1
+    ELSE 0
+  END)::BIGINT AS permissive
+FROM low
+"""
+
+
+def code_metrics_sql() -> str:
+    """Twin of codestats.code_metrics: identical seasoning (autogen marker
+    doc_id%11, doc_id%3 comment lines, doc_id%17 500-char line), list
+    lambdas for the per-line counters, integral // for the micros ratios,
+    and the same keep thresholds (max_line_len 400, alnum 200000 ppm)."""
+    return """
+WITH seasoned AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN '// auto-generated do not edit' || chr(10) ELSE '' END
+    || repeat('# c' || chr(10), (doc_id % 3)::INT)
+    || CASE WHEN doc_id % 17 = 0 THEN repeat('x', 500) || chr(10) ELSE '' END
+    || text AS s
+  FROM documents
+),
+m AS (SELECT doc_id, s, string_split(s, chr(10)) AS lines FROM seasoned),
+agg AS (
+  SELECT doc_id,
+    len(lines)::BIGINT AS n_lines,
+    len(list_filter(lines, x -> ltrim(x) = ''))::BIGINT AS n_blank,
+    len(list_filter(lines, x -> starts_with(ltrim(x), '#')
+                             OR starts_with(ltrim(x), '//')))::BIGINT AS n_comment,
+    list_max(list_transform(lines, x -> length(x)))::BIGINT AS max_line_len,
+    ((list_sum(list_transform(lines, x -> length(x)))::BIGINT * 1000000)
+       // len(lines))::BIGINT AS avg_line_len_micros,
+    ((length(regexp_replace(s, '[^a-zA-Z0-9]', '', 'g'))::BIGINT * 1000000)
+       // length(s))::BIGINT AS alnum_frac_micros,
+    (CASE WHEN contains(s, 'auto-generated') THEN 1 ELSE 0 END)::BIGINT AS is_autogenerated
+  FROM m
+)
+SELECT *,
+  (CASE WHEN is_autogenerated = 0 AND max_line_len <= 400
+             AND alnum_frac_micros >= 200000
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM agg
+"""
