@@ -461,6 +461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "code_metrics": lambda spark, sf: _codestats().code_metrics(_docs(spark, sf)),
+        # the composed pipeline: license -> shape -> dedup winner, one map
+        # + one near-unique-key shuffle, per-doc drop reason
+        "training_keep_list": lambda spark, sf: _codestats().training_keep_list(
+            _docs(spark, sf)
+        ),
         # crawl analytics: per-host rollup over the synthetic URL space
         "host_stats": lambda spark, sf: _host_stats(spark, sf),
         # incremental recrawl: snapshot diff (added/removed/changed/same)
@@ -1044,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracles.quality_score_sql(),
         "license_detect": oracles.license_detect_sql(),
         "code_metrics": oracles.code_metrics_sql(),
+        "training_keep_list": oracles.training_keep_list_sql(),
         "doc_chunks": oracles.doc_chunks_sql(chunk_size=64, stride=48),
         "contrastive_pairs": oracles.contrastive_pairs_sql(chunk_size=64, stride=48),
         "mask_spans": oracles.mask_spans_sql(mask_ppm=150_000),

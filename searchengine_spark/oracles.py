@@ -3828,3 +3828,65 @@ SELECT *,
         THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM agg
 """
+
+
+def training_keep_list_sql() -> str:
+    """Twin of codestats.training_keep_list: combined license+metrics
+    seasoning, the same phrase CASE and shape thresholds (cross-multiplied
+    alnum fraction — exact integer equivalent of the floored micros), and
+    the md5(raw text) winner election, with the license > shape >
+    duplicate reason precedence."""
+    return """
+WITH staged AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN '// Permission is hereby granted, free of charge, to any person' || chr(10)
+      WHEN 1 THEN '// Licensed under the Apache License, Version 2.0 (the "License")' || chr(10)
+      WHEN 2 THEN '// This program is free software: GNU General Public License' || chr(10)
+      WHEN 3 THEN '// Redistribution and use in source and binary forms, with or without' || chr(10)
+      ELSE ''
+    END
+    || CASE WHEN doc_id % 11 = 0 THEN '// auto-generated do not edit' || chr(10) ELSE '' END
+    || repeat('# c' || chr(10), (doc_id % 3)::INT)
+    || CASE WHEN doc_id % 17 = 0 THEN repeat('x', 500) || chr(10) ELSE '' END
+    || text AS s,
+    md5(text) AS fp
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, s, lower(s) AS l,
+         min(doc_id) OVER (PARTITION BY fp) AS winner
+  FROM staged
+),
+flags AS (
+  SELECT doc_id,
+    CASE
+      WHEN contains(l, 'permission is hereby granted') THEN 'mit'
+      WHEN contains(l, 'apache license') THEN 'apache-2.0'
+      WHEN contains(l, 'gnu general public license') THEN 'gpl-3.0'
+      WHEN contains(l, 'redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+      ELSE 'unknown'
+    END AS license,
+    (CASE
+      WHEN contains(l, 'permission is hereby granted') THEN 1
+      WHEN contains(l, 'apache license') THEN 1
+      WHEN contains(l, 'gnu general public license') THEN 0
+      WHEN contains(l, 'redistribution and use in source and binary forms') THEN 1
+      ELSE 0
+    END)::BIGINT AS perm,
+    (CASE WHEN NOT contains(s, 'auto-generated')
+           AND list_max(list_transform(string_split(s, chr(10)), x -> length(x))) <= 400
+           AND length(regexp_replace(s, '[^a-zA-Z0-9]', '', 'g'))::BIGINT * 1000000
+               >= 200000::BIGINT * length(s)::BIGINT
+      THEN 1 ELSE 0 END)::BIGINT AS shape_keep,
+    (CASE WHEN doc_id <> winner THEN 1 ELSE 0 END)::BIGINT AS is_dup
+  FROM sig
+)
+SELECT doc_id, license, shape_keep, is_dup,
+  CASE WHEN perm = 0 THEN 'license'
+       WHEN shape_keep = 0 THEN 'shape'
+       WHEN is_dup = 1 THEN 'duplicate'
+       ELSE 'kept' END AS drop_reason,
+  (CASE WHEN perm = 1 AND shape_keep = 1 AND is_dup = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM flags
+"""
