@@ -100,6 +100,9 @@ HEADLINE = [
     "strip_html",
     "repetition_stats",
     "pii_scrub",
+    "license_detect",
+    "code_metrics",
+    "training_keep_list",
     "token_stats",
     "quality_score",
     "lang_id",
