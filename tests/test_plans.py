@@ -548,3 +548,36 @@ def test_xref_counts_never_pair_joins(spark):
     # the join sees ONLY aggregate output columns, never raw doc rows
     join_line = next(ln for ln in plan.splitlines() if "FullOuter" in ln)
     assert "doc_id" not in join_line
+
+
+def test_pre_index_filters_are_scan_only_maps(spark):
+    """license_detect and code_metrics must stay single-map plans: no
+    Exchange, no Python worker (Arrow/BatchEval), nothing but a projection
+    over the parquet scan — the property that makes them free pre-filters
+    at 100 TB."""
+    from searchengine_spark.operators.codestats import code_metrics, license_detect
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (license_detect(docs), code_metrics(docs)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+        assert "Scan parquet" in plan
+
+
+def test_training_keep_list_single_shuffle(spark):
+    """The composed filter pipeline is ONE map + ONE shuffle: the only
+    Exchange is the md5-content hash partitioning for the dedup winner
+    window; the license/shape CASEs ride the same projection (Catalyst
+    fuses them), so adding filters must not add exchanges."""
+    from searchengine_spark.operators.codestats import training_keep_list
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(training_keep_list(docs))
+    # formatted plans list each node twice (tree + detail) — count tree nodes
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning" in plan  # keyed by the content fingerprint
+    assert "Window" in plan  # the winner election
+    assert "Join" not in plan  # signals are fused columns, never joined
