@@ -970,6 +970,54 @@ def qld_topk(
     )
 
 
+def qld_jm_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Query-likelihood ranking with Jelinek-Mercer smoothing (the
+    fixed-interpolation sibling of :func:`qld_topk`'s Dirichlet prior):
+    rank by ``Σ_t∈q∩d ln(1 + ((1-λ)/λ) · (tf/dl) · (|C|/cf))`` — the
+    rank-equivalent decomposition of ``Σ ln((1-λ)·tf/dl + λ·cf/|C|)``
+    with the doc-independent ``Σ ln(λ·p(t|C))`` dropped. Unlike Dirichlet
+    there is no per-doc background term, so only matched postings score.
+
+    Physical shape is qld_topk's exactly: |q|-row lexicon point lookup for
+    cf, bucket-pruned postings scan, manifest ``sum_dl`` scalar, per-posting
+    contribution rounded to bigint micros before the per-doc sum (exact,
+    partition-count-invariant). OOV query terms drop.
+
+    Output: (doc_id, score_micros) top-k, ties by doc_id."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    total = float(idx["sum_dl"])
+    ratio = (1.0 - lam) / lam
+    post = _pruned_postings(idx, rows)
+    cfmap = spark.createDataFrame(
+        [(r["term"], r["cf"]) for r in rows], "term string, cf long"
+    )
+    term_c = F.round(
+        F.log(
+            F.lit(1.0)
+            + F.lit(ratio)
+            * (F.col("tf").cast("double") * F.lit(total))
+            / (F.col("dl").cast("double") * F.col("cf").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        post.join(F.broadcast(cfmap), "term")
+        .select("doc_id", term_c.alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25f_topk(
     spark: SparkSession,
     idx: dict,

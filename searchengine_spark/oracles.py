@@ -810,6 +810,32 @@ LIMIT {k}
 """
 
 
+def qld_jm_topk_sql(terms: list[str], k: int = 10, lam: float = 0.5) -> str:
+    """Twin of serve.qld_jm_topk: Jelinek-Mercer query likelihood, same
+    float tree (ln(1 + ((1-λ)/λ)·tf·total/(dl·cf)) per posting, rounded to
+    micros before the per-doc sum; no doc-level background term)."""
+    uniq = list(dict.fromkeys(terms))
+    ratio = (1.0 - lam) / lam
+    return f"""
+WITH {_TOKENS_CTE},
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dls),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+q AS (SELECT term FROM {_terms_values(uniq)}),
+qcf AS (SELECT cf.term, cf.cf FROM cf JOIN q USING (term)),
+matched AS (
+  SELECT post.doc_id,
+         CAST(round(ln(1.0 + {ratio} * (post.tf::DOUBLE * tot.t)
+                             / (dls.dl::DOUBLE * qcf.cf::DOUBLE)) * 1e6)
+              AS BIGINT) AS c
+  FROM post JOIN qcf USING (term) JOIN dls USING (doc_id) CROSS JOIN tot
+)
+SELECT doc_id, sum(c)::BIGINT AS score_micros
+FROM matched GROUP BY 1
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25f_topk_sql(
     terms: list[str],
     k: int = 10,
