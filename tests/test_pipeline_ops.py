@@ -1135,3 +1135,18 @@ def test_xref_linkage(spark):
     assert counts[("function", "fn_0")] == (expect_defs, expect_refs)
     total_refs = sum(v[1] for k, v in counts.items() if k[0] == "class")
     assert total_refs == n  # one class instantiation per doc
+
+
+def test_exact_substring_arrow_equals_catalyst(spark):
+    """The mapInPandas window-fingerprint path is row-identical to the
+    all-built-ins Catalyst form — same tokenization, same md5 — on real
+    corpus text (so the fast path inherits the gate's oracle parity)."""
+    from searchengine_spark.operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    a = exact_substring_spans(docs, window=16, min_docs=2, via="arrow")
+    c = exact_substring_spans(docs, window=16, min_docs=2, via="catalyst")
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_c = sorted(map(tuple, c.collect()))
+    assert rows_a == rows_c
+    assert len(rows_a) > 0  # the synthetic corpus seeds shared spans
