@@ -577,6 +577,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": lambda spark, sf: textstats.bigram_logprob(
             _docs(spark, sf), lam=0.75
         ),
+        # Kneser-Ney bigram surprisal — the smoother KenLM actually ships:
+        # absolute discount + continuation-probability backoff, every
+        # count derived from the bigram-type table (same shuffle family)
+        "kn_bigram_logprob": lambda spark, sf: textstats.kn_bigram_logprob(
+            _docs(spark, sf), discount=0.75
+        ),
     }
 
 
@@ -1005,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_communities": _graph_communities_sql(),
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "bigram_logprob": oracles.bigram_logprob_sql(lam=0.75),
+        "kn_bigram_logprob": oracles.kn_bigram_logprob_sql(discount=0.75),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),

@@ -729,6 +729,74 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
     )
 
 
+def kn_bigram_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Per-document mean bigram surprisal under an interpolated
+    KNESER-NEY bigram LM — the smoother KenLM actually ships (Heafield
+    2011; Kneser & Ney 1995), one step up from :func:`bigram_logprob`'s
+    fixed-λ interpolation: instead of backing off to raw unigram
+    frequency, the lower-order weight is the CONTINUATION probability
+    (how many distinct left contexts a word follows), which stops
+    high-frequency-but-context-bound words ("francisco") from inflating
+    unseen-pair scores. Per position::
+
+        P(w1|w0) = (c(w0 w1) - D)/c(w0 ·)
+                 + (D · N1+(w0 ·)/c(w0 ·)) · N1+(· w1)/N1+(· ·)
+
+    with D = ``discount``; every scored bigram is corpus-attested
+    (training counts = the corpus itself), so all terms are positive.
+
+    Shape at scale: the bigram-TYPE table (one map-side-combined agg)
+    feeds every count — left counts c(w0·), left fan-out N1+(w0·),
+    continuation counts N1+(·w1), and the 1-row type total — so KN costs
+    the same shuffle family as the plain bigram LM: term-keyed joins
+    against (doc,t0,t1) triples, never a corpus broadcast. Per-position
+    surprisal rounds to bigint micros BEFORE the per-doc sum (exact,
+    partition-count-invariant).
+
+    Output: (doc_id, n_bigrams, mean_nll_micros) for docs with >= 2
+    tokens."""
+    from searchengine_spark.functions.tokenize import (
+        adjacent_token_pairs,
+        exploded_tokens,
+    )
+
+    toks = exploded_tokens(docs, with_pos=True)
+    pairs = adjacent_token_pairs(toks)
+    dbi = pairs.groupBy("doc_id", "t0", "t1").agg(F.count(F.lit(1)).alias("dtf"))
+    cb = dbi.groupBy("t0", "t1").agg(F.sum("dtf").alias("cxy"))
+    # everything below derives from the TYPE table cb (tiny vs positions)
+    cs = cb.groupBy("t0").agg(
+        F.sum("cxy").alias("cx0"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = cb.groupBy("t1").agg(F.count(F.lit(1)).alias("n1b"))
+    ntypes = cb.agg(F.count(F.lit(1)).cast("double").alias("_ntypes"))
+    d = F.lit(discount)
+    p = (F.col("cxy").cast("double") - d) / F.col("cx0").cast("double") + (
+        d * F.col("n1f").cast("double") / F.col("cx0").cast("double")
+    ) * (F.col("n1b").cast("double") / F.col("_ntypes"))
+    scored = (
+        dbi.join(cb, ["t0", "t1"])
+        .join(cs, "t0")
+        .join(cont, "t1")
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            "doc_id",
+            "dtf",
+            (
+                F.col("dtf") * F.round(-F.log(p) * F.lit(1e6)).cast("long")
+            ).alias("c_micros"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("dtf").cast("long").alias("n_bigrams"),
+            F.sum("c_micros").alias("s"),
+        )
+        .select("doc_id", "n_bigrams", F.expr("s div n_bigrams").alias("mean_nll_micros"))
+    )
+
+
 def contrastive_pairs(
     docs: DataFrame,
     chunk_size: int = 64,

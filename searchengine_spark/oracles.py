@@ -2673,6 +2673,48 @@ FROM scored GROUP BY doc_id
 """
 
 
+def kn_bigram_logprob_sql(discount: float = 0.75) -> str:
+    """Twin of textstats.kn_bigram_logprob: interpolated Kneser-Ney bigram
+    surprisal — absolute discount + continuation-probability backoff, all
+    counts from the bigram-type table; same micros-before-mean contract
+    and the same float tree ((cxy-D)/cx0 + (D*n1f/cx0)*(n1b/ntypes))."""
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos FROM toksarr
+),
+pairs AS (
+  SELECT a.doc_id, a.pos, a.term AS t0, b.term AS t1
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> '' AND b.term <> ''
+),
+dbi AS (
+  SELECT doc_id, t0, t1, count(*)::BIGINT AS dtf FROM pairs GROUP BY 1, 2, 3
+),
+cb AS (SELECT t0, t1, sum(dtf)::BIGINT AS cxy FROM dbi GROUP BY 1, 2),
+cs AS (SELECT t0, sum(cxy)::BIGINT AS cx0, count(*)::BIGINT AS n1f FROM cb GROUP BY 1),
+cont AS (SELECT t1, count(*)::BIGINT AS n1b FROM cb GROUP BY 1),
+nt AS (SELECT count(*)::DOUBLE AS v FROM cb),
+scored AS (
+  SELECT dbi.doc_id, dbi.dtf,
+         dbi.dtf * CAST(round(-ln(
+             (cb.cxy::DOUBLE - {discount}) / cs.cx0::DOUBLE
+             + ({discount} * cs.n1f::DOUBLE / cs.cx0::DOUBLE)
+               * (cont.n1b::DOUBLE / nt.v)) * 1e6) AS BIGINT) AS c_micros
+  FROM dbi
+  JOIN cb USING (t0, t1)
+  JOIN cs USING (t0)
+  JOIN cont USING (t1)
+  CROSS JOIN nt
+)
+SELECT doc_id, sum(dtf)::BIGINT AS n_bigrams,
+       (sum(c_micros) // sum(dtf))::BIGINT AS mean_nll_micros
+FROM scored GROUP BY doc_id
+"""
+
+
 def pmi_top_pairs_sql(k: int = 20, min_count: int = 5) -> str:
     return f"""
 WITH toksarr AS (

@@ -1150,3 +1150,40 @@ def test_exact_substring_arrow_equals_catalyst(spark):
     rows_c = sorted(map(tuple, c.collect()))
     assert rows_a == rows_c
     assert len(rows_a) > 0  # the synthetic corpus seeds shared spans
+
+
+def test_kn_bigram_logprob_matches_pure_python(spark):
+    """Kneser-Ney bigram surprisal recomputed in pure Python on a hand
+    corpus — exact micros equality — plus the KN sanity property that the
+    smoothed probability of every scored bigram stays in (0, 1]."""
+    import math
+    from collections import Counter
+
+    from searchengine_spark.operators.textstats import kn_bigram_logprob
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "a cat and a dog and a cat",
+        4: "san francisco san francisco san diego",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.mean_nll_micros) for r in kn_bigram_logprob(docs, discount=0.75).collect()}
+
+    toks = {d: t.split() for d, t in texts.items()}
+    cb = Counter()
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            cb[(a, b)] += 1
+    cx0 = Counter(); n1f = Counter(); n1b = Counter()
+    for (a, b), c in cb.items():
+        cx0[a] += c; n1f[a] += 1; n1b[b] += 1
+    ntypes = float(len(cb))
+    D = 0.75
+    for d, t in toks.items():
+        s = 0; n = 0
+        for a, b in zip(t, t[1:]):
+            p = (cb[(a, b)] - D) / cx0[a] + (D * n1f[a] / cx0[a]) * (n1b[b] / ntypes)
+            assert 0.0 < p <= 1.0
+            s += int(round(-math.log(p) * 1e6)); n += 1
+        assert got[d] == (n, s // n), (d, got[d], (n, s // n))
