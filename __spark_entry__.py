@@ -312,6 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_xref_counts": lambda spark, sf: textstats.symbol_xref_counts(
             _docs(spark, sf)
         ),
+        # symbol-importance ranking: exact-integer PageRank over the
+        # def→ref symbol dependency graph (call-graph PageRank, the
+        # code-search importance signal)
+        "symbol_rank": lambda spark, sf: _symbol_rank(spark, sf),
         # identifier-splitting tokenizer: camelCase/snake_case subtoken df
         "ident_subtokens": lambda spark, sf: textstats.ident_subtokens(
             _docs(spark, sf)
@@ -856,6 +860,18 @@ def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_docs(spark, sf_dir))
 
 
+def _symbol_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import symbol_rank
+
+    return symbol_rank(_docs(spark, sf_dir), iterations=5)
+
+
+def _symbol_rank_sql() -> str:
+    from searchengine_spark.operators.graph_demo import symbol_rank_sql
+
+    return symbol_rank_sql(iterations=5)
+
+
 def _link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.graph_demo import link_prediction_aa
 
@@ -999,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "symbol_definitions": oracles.symbol_definitions_sql(),
         "symbol_references": oracles.symbol_references_sql(),
         "symbol_xref_counts": oracles.symbol_xref_counts_sql(),
+        "symbol_rank": _symbol_rank_sql(),
         "ident_subtokens": oracles.ident_subtokens_sql(),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
         "compound_split": oracles.compound_split_sql(COMPOUND_WORD, k=5),

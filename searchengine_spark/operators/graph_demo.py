@@ -323,6 +323,147 @@ SELECT doc_id, r AS rank_scaled FROM pr WHERE it = {iterations}
 """
 
 
+def symbol_rank(
+    docs: DataFrame,
+    iterations: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(node, rank_scaled) — PageRank over the SYMBOL dependency graph:
+    an edge runs from every symbol a document defines to every symbol the
+    same document references, so mass flows toward heavily-depended-upon
+    symbols (the code-search ranking signal of Google Code Search /
+    Sourcegraph-style "importance" ordering, PageRank-on-call-graph).
+
+    Nodes are ``kind:symbol`` strings (function/class namespaces kept
+    apart); self-loops drop. Per-doc fanout is |defs|×|refs| — bounded by
+    the declarations per file (single digits), never corpus-quadratic; a
+    popular symbol concentrates rows only in edge-distinct and the
+    per-iteration in-sum aggregate, both map-side combinable.
+
+    Exact-integer contract of :func:`pagerank_integer` (bigint arithmetic,
+    ``(r*85 div 100) div od``, dangling mass redistributed uniformly, one
+    edge join + hash agg per iteration, localCheckpoint lineage cuts), so
+    the DuckDB recursive-CTE twin matches bit-for-bit."""
+    from searchengine_spark.operators.textstats import (
+        symbol_definitions,
+        symbol_references,
+    )
+
+    node = lambda kind, sym: F.concat_ws(":", F.col(kind), F.col(sym))  # noqa: E731
+    defs = symbol_definitions(docs, id_col=id_col, text_col=text_col).select(
+        id_col, node("kind", "symbol").alias("src")
+    )
+    refs = symbol_references(docs, id_col=id_col, text_col=text_col).select(
+        id_col, node("kind", "symbol").alias("dst")
+    )
+    edges = (
+        defs.join(refs, id_col)
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        defs.select(F.col("src").alias("node"))
+        .unionByName(refs.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    e = edges.join(outdeg, "src")
+    src_set = outdeg.select(F.col("src").alias("node"))
+
+    base = (SCALE * 15 // 100) // n
+    ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
+    for _ in range(iterations):
+        dangling_total = (
+            ranks.join(src_set, "node", "left_anti").agg(F.sum("r").alias("s")).collect()[0]["s"]
+            or 0
+        )
+        dang = (dangling_total * DAMP_NUM // DAMP_DEN) // n
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(r * {DAMP_NUM} div {DAMP_DEN}) div od").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)) + F.lit(dang))
+            .cast("long")
+            .alias("r"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def symbol_rank_sql(iterations: int = 5) -> str:
+    """DuckDB recursive-CTE twin of :func:`symbol_rank` — the seasoned
+    def/ref extraction CTEs of the xref oracles feed a symbol-edge table,
+    then the pagerank_integer_sql iteration scheme runs over it."""
+    season_def = (
+        "'def fn_' || (doc_id % 37)::VARCHAR || '(arg):' || chr(10) || "
+        "'    pass' || chr(10) || 'class Cls_' || (doc_id % 23)::VARCHAR || "
+        "':' || chr(10) || '    pass' || chr(10) || text"
+    )
+    season_ref = (
+        "'call fn_' || ((doc_id + 1) % 37)::VARCHAR || "
+        "'(0) new Cls_' || ((doc_id + 5) % 23)::VARCHAR || '(0) ' || text"
+    )
+    return f"""
+WITH RECURSIVE
+dseason AS (SELECT doc_id, {season_def} AS s FROM documents),
+rseason AS (SELECT doc_id, {season_ref} AS s FROM documents),
+defs AS (
+  SELECT doc_id, 'function:' ||
+         unnest(regexp_extract_all(s, 'def ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS src
+  FROM dseason
+  UNION ALL
+  SELECT doc_id, 'class:' ||
+         unnest(regexp_extract_all(s, 'class ([a-zA-Z_][a-zA-Z0-9_]*)', 1)) AS src
+  FROM dseason
+),
+refs AS (
+  SELECT doc_id, 'function:' ||
+         unnest(regexp_extract_all(s, 'call ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS dst
+  FROM rseason
+  UNION ALL
+  SELECT doc_id, 'class:' ||
+         unnest(regexp_extract_all(s, 'new ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS dst
+  FROM rseason
+),
+edges AS (
+  SELECT DISTINCT d.src, r.dst FROM defs d JOIN refs r USING (doc_id)
+  WHERE d.src <> r.dst
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM defs
+                                     UNION ALL SELECT dst FROM refs)),
+n AS (SELECT count(*)::BIGINT AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1),
+pr(it, node, r) AS (
+  SELECT 0, node, ({SCALE} // n.n)::BIGINT FROM nodes, n
+  UNION ALL
+  SELECT it + 1, node, base + contrib + dang FROM (
+    SELECT p.it AS it, nd.node AS node,
+           (({SCALE} * 15 // 100) // (SELECT n FROM n))::BIGINT AS base,
+           coalesce((SELECT sum((p2.r * {DAMP_NUM} // {DAMP_DEN}) // o.od)
+                     FROM pr p2 JOIN edges e ON e.src = p2.node
+                     JOIN outdeg o ON o.src = e.src
+                     WHERE e.dst = nd.node AND p2.it = p.it), 0)::BIGINT AS contrib,
+           (((SELECT coalesce(sum(p3.r), 0) FROM pr p3
+              WHERE p3.it = p.it AND p3.node NOT IN (SELECT src FROM outdeg))
+             * {DAMP_NUM} // {DAMP_DEN}) // (SELECT n FROM n))::BIGINT AS dang
+    FROM (SELECT DISTINCT it FROM pr) p, nodes nd
+    WHERE p.it < {iterations}
+  )
+)
+SELECT node, r AS rank_scaled FROM pr WHERE it = {iterations}
+"""
+
+
 def anchor_terms(
     docs: DataFrame,
     n_anchor_tokens: int = 3,

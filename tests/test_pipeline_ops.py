@@ -1187,3 +1187,21 @@ def test_kn_bigram_logprob_matches_pure_python(spark):
             assert 0.0 < p <= 1.0
             s += int(round(-math.log(p) * 1e6)); n += 1
         assert got[d] == (n, s // n), (d, got[d], (n, s // n))
+
+
+def test_symbol_rank_mass_and_partition_invariance(spark):
+    """Integer PageRank over the symbol graph conserves mass up to
+    integer-division truncation, and the ranks are partition-count
+    invariant (the determinism contract of the integer-PR family)."""
+    from searchengine_spark.operators.graph_demo import SCALE, symbol_rank
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    r1 = {r.node: r.rank_scaled for r in symbol_rank(docs, iterations=3).collect()}
+    total = sum(r1.values())
+    assert 0.9 * SCALE < total <= SCALE  # div truncation only ever loses mass
+    assert all(v > 0 for v in r1.values())
+    r2 = {
+        r.node: r.rank_scaled
+        for r in symbol_rank(docs.repartition(7), iterations=3).collect()
+    }
+    assert r1 == r2
