@@ -56,6 +56,12 @@ def _shard_routing(spark: SparkSession, sf: str) -> DataFrame:
     return rendezvous_route(_docs(spark, sf), N_SHARDS_ROUTE)
 
 
+def _shard_rebalance_moves(spark: SparkSession, sf: str) -> DataFrame:
+    from searchengine_spark.operators.routing import rebalance_moves
+
+    return rebalance_moves(_docs(spark, sf), N_SHARDS_ROUTE, N_SHARDS_ROUTE + 1)
+
+
 def _epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     from searchengine_spark.operators.sampling import epoch_shuffle
 
@@ -236,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weights; grow S→S+1 moves only ≈1/(S+1) of keys, never between
         # old shards (tests/test_pipeline_ops.py asserts the property)
         "shard_routing": lambda spark, sf: _shard_routing(spark, sf),
+        # elastic resharding: the exact move set when the fleet grows
+        # S→S+1 (rendezvous minimal disruption, ≈1/(S+1) of the corpus)
+        "shard_rebalance_moves": lambda spark, sf: _shard_rebalance_moves(spark, sf),
         # scatter-gather serving over the rendezvous shards: per-shard
         # bounded top-k with global stats, broker merge — provably equal to
         # the single-index top-k, so the oracle IS bm25_topk's SQL
@@ -981,6 +990,9 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": oracles.collapse_topk_sql(BM25_TERMS, k=TOPK),
         "more_like_this": oracles.more_like_this_sql(MLT_DOC, k=TOPK),
         "shard_routing": oracles.shard_routing_sql(N_SHARDS_ROUTE),
+        "shard_rebalance_moves": oracles.shard_rebalance_moves_sql(
+            N_SHARDS_ROUTE, N_SHARDS_ROUTE + 1
+        ),
         # federated scatter-gather must reproduce the single-index ranking
         "federated_topk": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "epoch_shuffle": oracles.epoch_shuffle_sql(0),

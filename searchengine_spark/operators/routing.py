@@ -59,3 +59,25 @@ def rendezvous_route(
         F.col(id_col).alias("doc_id"),
         route_expr(F.col(id_col), n_shards).alias("shard"),
     )
+
+
+def rebalance_moves(
+    docs: DataFrame, n_from: int, n_to: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shard_from, shard_to) — the exact MOVE SET when the shard
+    fleet resizes ``n_from`` → ``n_to``: the rows an elastic resharding job
+    must copy (everything else stays put, which is rendezvous hashing's
+    whole point — growing S → S+1 relocates only keys whose argmax IS a
+    new shard, ≈ 1/(S+1) of the corpus, and never shuffles a key between
+    two surviving shards).
+
+    Plan: both routes are constant-expression projections fused into one
+    scan — no shuffle, no state; at 10^12 docs the move list streams out
+    of the same map stage that reads the corpus. The pytest twin
+    (test_rendezvous_stability) asserts the minimal-disruption property;
+    the driver gate hash-checks the move set itself."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        route_expr(F.col(id_col), n_from).alias("shard_from"),
+        route_expr(F.col(id_col), n_to).alias("shard_to"),
+    ).filter(F.col("shard_from") != F.col("shard_to"))

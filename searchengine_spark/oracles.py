@@ -3641,6 +3641,28 @@ SELECT doc_id, s::INT AS shard FROM (
 """
 
 
+def shard_rebalance_moves_sql(n_from: int, n_to: int) -> str:
+    """Twin of routing.rebalance_moves: the rendezvous argmax at both
+    fleet sizes, keeping only docs whose route changes."""
+
+    def route(n: int, alias: str) -> str:
+        return f"""
+(SELECT doc_id, s::INT AS {alias} FROM (
+  SELECT d.doc_id, spine.s,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY
+           CAST(('0x' || substr(md5('route:' || d.doc_id || ':' || spine.s), 1, 15))
+                AS BIGINT) DESC, spine.s DESC) AS r
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, {n})) AS s) spine
+) WHERE r = 1)"""
+
+    return f"""
+SELECT a.doc_id, a.shard_from, b.shard_to
+FROM {route(n_from, "shard_from")} a
+JOIN {route(n_to, "shard_to")} b USING (doc_id)
+WHERE a.shard_from <> b.shard_to
+"""
+
+
 def epoch_shuffle_sql(epoch: int) -> str:
     """Twin of sampling.epoch_shuffle: global rank over the md5 epoch key
     (lowercase-hex string order is identical in both engines)."""
