@@ -47,6 +47,7 @@ HEADLINE = [
     "tfidf_topk",
     "bm25f_topk",
     "qld_topk",
+    "qld_jm_topk",
     "prf_expansion_topk",
     "hybrid_rrf_topk",
     "bm25_maxp_topk",
@@ -78,6 +79,7 @@ HEADLINE = [
     "collapse_topk",
     "more_like_this",
     "shard_routing",
+    "shard_rebalance_moves",
     "federated_topk",
     "epoch_shuffle",
     "quality_tiers",
@@ -91,6 +93,7 @@ HEADLINE = [
     "ann_ivf_kmeans_topk",
     "ann_filtered_topk",
     "symbol_definitions",
+    "symbol_rank",
     "ident_subtokens",
     "ppr_scores",
     "decontaminate",
@@ -112,6 +115,7 @@ HEADLINE = [
     "fuzzy_suggest",
     "unigram_logprob",
     "bigram_logprob",
+    "kn_bigram_logprob",
     "doc_chunks",
     "contrastive_pairs",
     "mask_spans",
