@@ -374,6 +374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the dedup keep-list: one canonical doc (+ cluster size) per
         # near-dup cluster — what downstream stages semi-join against
         "dedup_survivors": lambda spark, sf: _dedup_survivors(spark, sf),
+        # soft dedup: keep up to m docs per near-dup cluster (salted
+        # two-phase per-cluster selection — a mega-cluster never lands
+        # its membership on one window task)
+        "dedup_cap_sample": lambda spark, sf: _dedup_cap_sample(spark, sf),
         # corpus-level line dedup (CCNet/RefinedWeb boilerplate pass): a
         # line survives only at its globally first occurrence; lines are
         # seasoned 8-token windows (corpus has no newlines)
@@ -667,6 +671,14 @@ def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.components import dedup_survivors
 
     return dedup_survivors(_docs(spark, sf_dir), n_perms=16, rows_per_band=8)
+
+
+def _dedup_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.components import cluster_cap_sample
+
+    return cluster_cap_sample(
+        _docs(spark, sf_dir), max_per_cluster=2, n_perms=16, rows_per_band=8
+    )
 
 
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,6 +1081,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": oracles.dedup_clusters_sql(n_perms=16, rows_per_band=8),
         "dedup_survivors": oracles.dedup_survivors_sql(n_perms=16, rows_per_band=8),
+        "dedup_cap_sample": oracles.cluster_cap_sample_sql(
+            max_per_cluster=2, n_perms=16, rows_per_band=8
+        ),
         "exact_substring_spans": oracles.exact_substring_spans_sql(window=16, min_docs=2),
         "decontaminate": oracles.decontaminate_sql(n=5),
         "dsir_weights": oracles.dsir_weights_sql(n_buckets=64),

@@ -143,3 +143,40 @@ def dedup_survivors(
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .select(F.col("component_id").alias("doc_id"), "cluster_size")
     )
+
+
+def cluster_cap_sample(
+    docs: DataFrame,
+    max_per_cluster: int = 2,
+    n_perms: int = 16,
+    rows_per_band: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salts: int = 8,
+) -> DataFrame:
+    """(doc_id, component_id, rank) — SOFT dedup: keep up to
+    ``max_per_cluster`` docs per near-dup cluster instead of one survivor
+    (the diversity-preserving variant public pretraining pipelines apply
+    when exact one-per-cluster drops too much data); rank = the doc's
+    deterministic position within its cluster (by ascending id), so
+    downstream can tighten the cap without re-clustering.
+
+    Scale shape: per-cluster selection is the salted two-phase bounded
+    top-k (rank within (component, id mod salts) slots first, then within
+    the component) — a boilerplate mega-cluster never lands its full
+    membership on one window task, the same discipline as serve's grouped
+    top-k. Everything else reuses :func:`dedup_clusters`."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(docs, n_perms, rows_per_band, id_col, text_col)
+    partial = Window.partitionBy(
+        "component_id", F.pmod(F.col(id_col), F.lit(salts))
+    ).orderBy(F.asc(id_col))
+    final = Window.partitionBy("component_id").orderBy(F.asc(id_col))
+    return (
+        clusters.withColumn("_pr", F.row_number().over(partial))
+        .filter(F.col("_pr") <= max_per_cluster)
+        .withColumn("rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("rank") <= max_per_cluster)
+        .select(id_col, "component_id", "rank")
+    )

@@ -2450,6 +2450,20 @@ GROUP BY component_id
 """
 
 
+def cluster_cap_sample_sql(
+    max_per_cluster: int = 2, n_perms: int = 16, rows_per_band: int = 8
+) -> str:
+    """Twin of components.cluster_cap_sample: row_number by ascending id
+    within each cluster of the clusters gate's SQL, capped."""
+    return f"""
+SELECT doc_id, component_id, rank FROM (
+  SELECT doc_id, component_id,
+         row_number() OVER (PARTITION BY component_id ORDER BY doc_id)::INT AS rank
+  FROM ({dedup_clusters_sql(n_perms, rows_per_band)})
+) WHERE rank <= {max_per_cluster}
+"""
+
+
 def temperature_mix_sql(target_frac_ppm: int = 500_000, salt: str = "mix:") -> str:
     """Twin of sampling.temperature_mix (alpha = 0.5 language rebalancing).
     sqrt is IEEE-exact in both engines and the float expression tree is

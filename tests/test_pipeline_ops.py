@@ -1205,3 +1205,31 @@ def test_symbol_rank_mass_and_partition_invariance(spark):
         for r in symbol_rank(docs.repartition(7), iterations=3).collect()
     }
     assert r1 == r2
+
+
+def test_cluster_cap_sample_semantics(spark):
+    """The soft-dedup keep list: ≤ m rows per cluster, ranks are the
+    1..m prefix by ascending doc_id, cap=1 equals the survivors' canon
+    set, and a huge cap returns every doc."""
+    from searchengine_spark.operators.components import (
+        cluster_cap_sample,
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    clusters = {r.doc_id: r.component_id for r in dedup_clusters(docs).collect()}
+    capped = cluster_cap_sample(docs, max_per_cluster=2).collect()
+    by_comp = {}
+    for r in capped:
+        assert clusters[r.doc_id] == r.component_id
+        by_comp.setdefault(r.component_id, []).append((r.rank, r.doc_id))
+    for comp, members in by_comp.items():
+        ranks = sorted(members)
+        assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
+        expected = sorted(d for d, c in clusters.items() if c == comp)[: len(ranks)]
+        assert [d for _, d in ranks] == expected
+        assert len(ranks) <= 2
+    ones = {r.doc_id for r in cluster_cap_sample(docs, max_per_cluster=1).collect()}
+    assert ones == set(clusters.values())  # cap=1 == canonical survivors
+    allr = cluster_cap_sample(docs, max_per_cluster=10**6).collect()
+    assert len(allr) == len(clusters)
