@@ -207,6 +207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_jm_topk": lambda spark, sf: serve.qld_jm_topk(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # sequential dependence model (Metzler-Croft MRF): unigram +
+        # ordered-adjacency + unordered-window Dirichlet features, all
+        # served from the stored positional postings
+        "sdm_topk": lambda spark, sf: serve.sdm_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
         # hybrid lexical+vector retrieval: BM25 top-r and cosine top-r fused
         # by reciprocal rank (RRF) — each side is the engine's own gated path
         "hybrid_rrf_topk": lambda spark, sf: serve.hybrid_rrf_topk(
@@ -987,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),
         "qld_jm_topk": oracles.qld_jm_topk_sql(BM25_TERMS, k=TOPK),
+        "sdm_topk": oracles.sdm_topk_sql(BM25_TERMS, k=TOPK),
         "prf_expansion_topk": oracles.prf_expansion_sql(BM25_TERMS, k=TOPK),
         "bm25f_topk": oracles.bm25f_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_maxp_topk": oracles.bm25_maxp_topk_sql(BM25_TERMS, k=TOPK),

@@ -48,6 +48,7 @@ HEADLINE = [
     "bm25f_topk",
     "qld_topk",
     "qld_jm_topk",
+    "sdm_topk",
     "prf_expansion_topk",
     "hybrid_rrf_topk",
     "bm25_maxp_topk",

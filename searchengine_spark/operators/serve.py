@@ -1018,6 +1018,156 @@ def qld_jm_topk(
     )
 
 
+def sdm_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    window: int = 8,
+    lam_t: float = 0.85,
+    lam_o: float = 0.10,
+    lam_u: float = 0.05,
+) -> DataFrame:
+    """Sequential Dependence Model ranking (Metzler & Croft, SIGIR'05) —
+    the term-dependence MRF ranker production engines (Indri/Galago) run
+    when plain bags-of-words underrank phrase-coherent documents: a
+    weighted sum of three Dirichlet-smoothed LM feature classes::
+
+        λ_T Σ_i    f(q_i, d)            unigram
+        λ_O Σ_adj  f(#1(q_i q_i+1), d)  ordered adjacency
+        λ_U Σ_adj  f(#uwN(q_i q_i+1), d) unordered co-occurrence in a
+                                         N-token window
+
+    Each f is the rank-equivalent Dirichlet decomposition qld_topk uses —
+    matched rows score ``λ·ln(1 + tf_f·|C| / (μ·cf_f))`` and every
+    candidate doc carries one length penalty
+    ``-(λ_T·n_uni + (λ_O+λ_U)·n_pairs)·ln(dl+μ)`` — so the whole model is
+    index-served: postings give unigram tf/dl, the STORED positions give
+    the pair counts (ordered: equi-join on p+1; unordered: width-``window``
+    bucket join probing 3 buckets, exactly equivalent to the |Δp|≤N-1
+    filter but never quadratic in doc length), and pair collection
+    frequencies are 1-row in-plan aggregates of the pair-count tables
+    (no driver actions). Positions are raw-split positions (quirk Q4),
+    so adjacency/window distances match the phrase/proximity family.
+
+    Contract details the DuckDB twin mirrors: unigram sum over UNIQUE
+    in-vocabulary terms; pairs = adjacent ORIGINAL query positions with
+    both terms in vocabulary, a≠b, deduplicated; every feature
+    contribution rounds to bigint micros before the per-doc sum.
+
+    Output: (doc_id, score_micros) top-k, ties by doc_id."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    vocab = {r["term"] for r in rows}
+    uni = [t for t in dict.fromkeys(query_terms) if t in vocab]
+    pairs = list(
+        dict.fromkeys(
+            (a, b)
+            for a, b in zip(query_terms, query_terms[1:])
+            if a in vocab and b in vocab and a != b
+        )
+    )
+    total = float(idx["sum_dl"])
+    post = _pruned_postings(idx, rows)
+    cfmap = spark.createDataFrame(
+        [(r["term"], r["cf"]) for r in rows], "term string, cf long"
+    )
+    uni_c = F.round(
+        F.lit(lam_t)
+        * F.log(
+            F.lit(1.0)
+            + (F.col("tf").cast("double") * F.lit(total))
+            / (F.lit(mu) * F.col("cf").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    contribs = [
+        post.join(F.broadcast(cfmap), "term").select(
+            "doc_id", uni_c.alias("c_micros")
+        )
+    ]
+    # one length penalty per candidate doc (docs matching >= 1 query term)
+    coef = -(lam_t * len(uni) + (lam_o + lam_u) * len(pairs))
+    cand = post.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    contribs.append(
+        cand.select(
+            "doc_id",
+            F.round(
+                F.lit(coef)
+                * F.log(F.col("dl").cast("double") + F.lit(mu))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("c_micros"),
+        )
+    )
+    if pairs:
+        pos = post.select("doc_id", "term", F.explode("positions").alias("p"))
+        for a, b in pairs:
+            pa = pos.filter(F.col("term") == a).select("doc_id", F.col("p").alias("pa"))
+            pb = pos.filter(F.col("term") == b).select(
+                F.col("doc_id").alias("_id"), F.col("p").alias("pb")
+            )
+            tfo = (
+                pa.join(pb, (pa.doc_id == pb._id) & (pb.pb == pa.pa + 1))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("tfp"))
+            )
+            # bucketed unordered-window join: pa probes buckets b0-1..b0+1,
+            # covering every |pa-pb| <= window-1 pair without a per-doc
+            # positions cross join
+            pa_b = pa.select(
+                "doc_id",
+                "pa",
+                F.explode(
+                    F.array(
+                        *[
+                            (F.floor(F.col("pa") / window) + F.lit(off)).alias("b")
+                            for off in (-1, 0, 1)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            pb_b = pb.select(
+                "_id", "pb", F.floor(F.col("pb") / window).alias("bk")
+            )
+            tfu = (
+                pa_b.join(pb_b, (pa_b.doc_id == pb_b._id) & (pa_b.bk == pb_b.bk))
+                .filter(F.abs(F.col("pa") - F.col("pb")) <= window - 1)
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("tfp"))
+            )
+            for frame, lam in ((tfo, lam_o), (tfu, lam_u)):
+                cfp = frame.agg(F.sum("tfp").cast("double").alias("_cfp"))
+                contribs.append(
+                    frame.crossJoin(F.broadcast(cfp)).select(
+                        "doc_id",
+                        F.round(
+                            F.lit(lam)
+                            * F.log(
+                                F.lit(1.0)
+                                + (F.col("tfp").cast("double") * F.lit(total))
+                                / (F.lit(mu) * F.col("_cfp"))
+                            )
+                            * F.lit(1e6)
+                        )
+                        .cast("long")
+                        .alias("c_micros"),
+                    )
+                )
+    out = contribs[0]
+    for c in contribs[1:]:
+        out = out.unionByName(c)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25f_topk(
     spark: SparkSession,
     idx: dict,

@@ -836,6 +836,90 @@ LIMIT {k}
 """
 
 
+def sdm_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    window: int = 8,
+    lam_t: float = 0.85,
+    lam_o: float = 0.10,
+    lam_u: float = 0.05,
+) -> str:
+    """Twin of serve.sdm_topk — same float trees per feature class
+    (unigram / ordered-adjacency / unordered-window Dirichlet
+    decompositions, each rounded to micros), same candidate set and
+    length-penalty coefficient. Assumes the baked ``terms`` are all
+    in-vocabulary (true for the gate query set); positions are raw-split
+    positions like the phrase/proximity twins."""
+    uni = list(dict.fromkeys(terms))
+    pairs = list(
+        dict.fromkeys((a, b) for a, b in zip(terms, terms[1:]) if a != b)
+    )
+    coef = -(lam_t * len(uni) + (lam_o + lam_u) * len(pairs))
+    pair_ctes, pair_selects = [], []
+    for i, (a, b) in enumerate(pairs):
+        pair_ctes.append(
+            f"""
+o{i} AS (
+  SELECT a.doc_id, count(*)::BIGINT AS tfp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{a}' AND b.term = '{b}'
+  GROUP BY 1
+),
+ocf{i} AS (SELECT sum(tfp)::DOUBLE AS v FROM o{i}),
+u{i} AS (
+  SELECT a.doc_id, count(*)::BIGINT AS tfp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                       AND abs(a.pos - b.pos) <= {window - 1}
+  WHERE a.term = '{a}' AND b.term = '{b}'
+  GROUP BY 1
+),
+ucf{i} AS (SELECT sum(tfp)::DOUBLE AS v FROM u{i})"""
+        )
+        pair_selects.append(
+            f"""
+  SELECT o{i}.doc_id,
+         CAST(round({lam_o!r} * ln(1.0 + (o{i}.tfp::DOUBLE * tot.t)
+                                   / ({mu!r} * ocf{i}.v)) * 1e6) AS BIGINT) AS c
+  FROM o{i} CROSS JOIN tot CROSS JOIN ocf{i}
+  UNION ALL
+  SELECT u{i}.doc_id,
+         CAST(round({lam_u!r} * ln(1.0 + (u{i}.tfp::DOUBLE * tot.t)
+                                   / ({mu!r} * ucf{i}.v)) * 1e6) AS BIGINT) AS c
+  FROM u{i} CROSS JOIN tot CROSS JOIN ucf{i}"""
+        )
+    pair_cte_sql = ("," + ",".join(pair_ctes)) if pair_ctes else ""
+    pair_union = (
+        ("  UNION ALL" + "  UNION ALL".join(pair_selects)) if pair_selects else ""
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dls),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+q AS (SELECT term FROM {_terms_values(uni)}),
+cand AS (SELECT DISTINCT post.doc_id FROM post JOIN q USING (term)){pair_cte_sql},
+contrib AS (
+  SELECT post.doc_id,
+         CAST(round({lam_t!r} * ln(1.0 + (post.tf::DOUBLE * tot.t)
+                                   / ({mu!r} * cf.cf::DOUBLE)) * 1e6) AS BIGINT) AS c
+  FROM post JOIN q USING (term) JOIN cf USING (term) CROSS JOIN tot
+  UNION ALL
+  SELECT cand.doc_id,
+         CAST(round({coef!r} * ln(dls.dl::DOUBLE + {mu!r}) * 1e6) AS BIGINT) AS c
+  FROM cand JOIN dls USING (doc_id)
+{pair_union}
+)
+SELECT doc_id, sum(c)::BIGINT AS score_micros
+FROM contrib GROUP BY 1
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25f_topk_sql(
     terms: list[str],
     k: int = 10,

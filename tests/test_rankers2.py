@@ -374,3 +374,28 @@ def test_search_after_pages_partition_ranking(spark):
     assert len(set(flat)) == len(flat)  # disjoint
     top = [tuple(r) for r in serve.bm25_topk(spark, idx, terms, k=28).collect()]
     assert flat == top  # concatenation IS the ranking, in order
+
+
+def test_sdm_reduces_to_qld_when_pair_weights_zero(spark, idx):
+    """With λ_O = λ_U = 0 the SDM score is the Dirichlet QLD score plus a
+    doc-independent constant (|q|·ln μ), so the ranking must be identical
+    at the same μ."""
+    from searchengine_spark.operators import serve
+
+    sdm = serve.sdm_topk(
+        spark, idx, TERMS, k=10, mu=2000.0, lam_t=1.0, lam_o=0.0, lam_u=0.0
+    ).collect()
+    qld = serve.qld_topk(spark, idx, TERMS, k=10, mu=2000.0).collect()
+    assert [r.doc_id for r in sdm] == [r.doc_id for r in qld]
+
+
+def test_sdm_drops_oov_terms(spark, idx):
+    """An out-of-vocabulary query term contributes nothing: not to the
+    unigram sum, not to any pair (its adjacencies are skipped), not to the
+    length-penalty coefficient — appending one must leave the result
+    micros-identical."""
+    from searchengine_spark.operators import serve
+
+    base = serve.sdm_topk(spark, idx, TERMS, k=10).collect()
+    oov = serve.sdm_topk(spark, idx, TERMS + ["zzzneverseen"], k=10).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in oov]
