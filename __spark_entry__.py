@@ -94,6 +94,12 @@ def _codestats():
     return codestats
 
 
+def _corpusstats():
+    from searchengine_spark.operators import corpusstats
+
+    return corpusstats
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.operators import dedup, relational, similarity, textstats
 
@@ -217,6 +223,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by reciprocal rank (RRF) — each side is the engine's own gated path
         "hybrid_rrf_topk": lambda spark, sf: serve.hybrid_rrf_topk(
             spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, k=TOPK, r=50
+        ),
+        # retrieve-then-rerank: BM25 top-50 recall, Arrow-batched surrogate
+        # cross-encoder (hashed frozen weights) re-ranks the bounded
+        # candidate set — the neural-serving shape with a deterministic model
+        "rerank_ce_topk": lambda spark, sf: serve.rerank_ce_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK, n_candidates=50
         ),
         "term_search_any": lambda spark, sf: serve.term_search_any(
             spark, gate_index(spark, sf), ALL_TERMS
@@ -389,6 +401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seasoned 8-token windows (corpus has no newlines)
         "line_dedup": lambda spark, sf: dedup.line_dedup(
             _docs(spark, sf), line_tokens=8
+        ),
+        # directed shingle containment (|A∩B|/|A|): catches subset
+        # duplication (a short doc quoted inside a long one) that Jaccard
+        # misses; stop-shingle df cap on by default
+        "dedup_containment": lambda spark, sf: dedup.containment_pairs(
+            _docs(spark, sf), n=3, threshold_ppm=500_000, max_shingle_df=64
         ),
         # eval-leakage check: n-gram overlap vs the deterministic benchmark
         # slice of the corpus
@@ -605,6 +623,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count derived from the bigram-type table (same shuffle family)
         "kn_bigram_logprob": lambda spark, sf: textstats.kn_bigram_logprob(
             _docs(spark, sf), discount=0.75
+        ),
+        # per-source unigram KL divergence vs the corpus — the domain-drift
+        # / mixing-weight diagnostic (integer-nanos fixed-point sums)
+        "domain_kl_drift": lambda spark, sf: _corpusstats().domain_kl_drift(
+            _docs(spark, sf)
+        ),
+        # Zipf-exponent OLS fit over the top-1000 term frequencies — the
+        # corpus-health statistic (exact integer sums → identical doubles)
+        "zipf_slope": lambda spark, sf: _corpusstats().zipf_slope(
+            _docs(spark, sf), top_n=1000
         ),
     }
 
@@ -1060,6 +1088,9 @@ def oracle_sql() -> dict[str, str]:
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "bigram_logprob": oracles.bigram_logprob_sql(lam=0.75),
         "kn_bigram_logprob": oracles.kn_bigram_logprob_sql(discount=0.75),
+        "domain_kl_drift": oracles.domain_kl_drift_sql(),
+        "zipf_slope": oracles.zipf_slope_sql(top_n=1000),
+        "rerank_ce_topk": oracles.rerank_ce_topk_sql(BM25_TERMS, k=TOPK, n_candidates=50),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),
@@ -1093,6 +1124,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_substring_spans": oracles.exact_substring_spans_sql(window=16, min_docs=2),
         "decontaminate": oracles.decontaminate_sql(n=5),
+        "dedup_containment": oracles.containment_pairs_sql(
+            n=3, threshold_ppm=500_000, max_shingle_df=64
+        ),
         "dsir_weights": oracles.dsir_weights_sql(n_buckets=64),
         "stratified_sample": oracles.stratified_sample_sql(
             SAMPLE_RATES_PPM, SAMPLE_DEFAULT_PPM

@@ -51,6 +51,7 @@ HEADLINE = [
     "sdm_topk",
     "prf_expansion_topk",
     "hybrid_rrf_topk",
+    "rerank_ce_topk",
     "bm25_maxp_topk",
     "ltr_features",
     "shard_selection",
@@ -60,6 +61,7 @@ HEADLINE = [
     "line_dedup",
     "anchor_terms",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "minhash_lsh_pairs",
     "simhash",
     "ann_cosine_topk",
@@ -124,6 +126,8 @@ HEADLINE = [
     "doc_keywords",
     "training_chunks",
     "pmi_top_pairs",
+    "domain_kl_drift",
+    "zipf_slope",
     "hits_scores",
     "graph_triangles",
     "link_prediction_aa",

@@ -1967,3 +1967,96 @@ def compound_split(
         .orderBy(F.desc("cf_min"), F.asc("p1"))
         .limit(k)
     )
+
+
+def rerank_ce_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank: BM25 recalls ``n_candidates`` from
+    the index, then an Arrow-batched scorer re-ranks them — the
+    cross-encoder serving shape (retrieve cheap, rerank expensive on a
+    bounded candidate set) every neural search stack runs. Output
+    (doc_id, ce_micros, bm25_micros), top-k by (ce DESC, doc_id ASC).
+
+    The "model" here is a frozen hashed-weights surrogate so the gate stays
+    deterministic and DuckDB-reproducible: per query term t,
+    w_t = int(md5(t)[:6], 16) / 16^6 ∈ [0,1), and the pair score is
+    Σ_t round(1e6 · w_t · tf_t/(tf_t+1)) + round(5e5 · n_hit/|q|) — term
+    saturation features under a fixed random projection, integer-rounded
+    per feature BEFORE summation (partition-order independent). A real
+    cross-encoder slots in at exactly this point: same bounded candidate
+    batches, same Arrow transfer, the numpy expression replaced by a
+    forward pass over the same batches.
+
+    Scale shape: stage 1 is the ordinary pruned-postings BM25 top-N (a
+    bounded heap); stage 2 touches only N rows per query — the expensive
+    scorer NEVER sees the corpus. Candidate features (per-term tf) arrive
+    as one small join of the candidate set against the already-pruned
+    postings (both sides ≤ N·|q| rows); a GPU-backed scorer would pin its
+    batch size via ``spark.sql.execution.arrow.maxRecordsPerBatch`` (the
+    candidate set here is already ≤ n_candidates rows per batch). The
+    final top-k is a bounded heap over N rows."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    cand = bm25_topk(spark, idx, query_terms, k=n_candidates).withColumnRenamed(
+        "score_micros", "bm25_micros"
+    )
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame(
+            [], "doc_id long, ce_micros long, bm25_micros long"
+        )
+    post = _pruned_postings(idx, rows).select("term", "doc_id", "tf")
+    feats = (
+        cand.join(post, "doc_id")
+        .groupBy("doc_id", "bm25_micros")
+        .agg(
+            F.collect_list(F.struct("term", "tf")).alias("hits"),
+        )
+    )
+    uniq = list(dict.fromkeys(query_terms))
+    n_q = len(uniq)
+    weights = {
+        t: int(hashlib.md5(t.encode()).hexdigest()[:6], 16) / float(16**6)
+        for t in uniq
+    }
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_ce, out_bm = [], [], []
+            for doc_id, bm, hits in zip(
+                pdf["doc_id"], pdf["bm25_micros"], pdf["hits"]
+            ):
+                ce = 0
+                n_hit = 0
+                for h in hits:
+                    w = weights.get(h["term"])
+                    if w is None:
+                        continue
+                    n_hit += 1
+                    tf = float(h["tf"])
+                    # round half-away-from-zero (all contributions ≥ 0):
+                    # matches Spark F.round / DuckDB round, NOT Python's
+                    # banker's round
+                    ce += int(math.floor(1e6 * w * (tf / (tf + 1.0)) + 0.5))
+                ce += int(math.floor(5e5 * (float(n_hit) / float(n_q)) + 0.5))
+                out_ids.append(int(doc_id))
+                out_ce.append(ce)
+                out_bm.append(int(bm))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "ce_micros": out_ce, "bm25_micros": out_bm}
+            ).astype("int64")
+
+    scored = feats.mapInPandas(
+        score, "doc_id long, ce_micros long, bm25_micros long"
+    )
+    return scored.orderBy(F.desc("ce_micros"), F.asc("doc_id")).limit(k)

@@ -4078,3 +4078,146 @@ SELECT doc_id, license, shape_keep, is_dup,
   (CASE WHEN perm = 1 AND shape_keep = 1 AND is_dup = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM flags
 """
+
+
+def domain_kl_drift_sql() -> str:
+    """Twin of corpusstats.domain_kl_drift: per-source unigram KL divergence
+    vs the corpus distribution, per-term contribution rounded to nanos
+    BEFORE the per-source sum (the integer fixed-point determinism
+    contract)."""
+    return f"""
+WITH tk AS (
+  SELECT source AS src,
+         unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+  FROM documents
+),
+tok AS (SELECT src, term FROM tk WHERE term <> ''),
+st AS (SELECT src, term, count(*)::BIGINT AS c_st FROM tok GROUP BY 1, 2),
+ns AS (SELECT src, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+ct AS (SELECT term, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+nt AS (SELECT sum(c_st)::BIGINT AS n_tot FROM st),
+contrib AS (
+  SELECT st.src, ns.n_s,
+         CAST(round((st.c_st::DOUBLE / ns.n_s::DOUBLE)
+                    * ln((st.c_st::DOUBLE * nt.n_tot::DOUBLE)
+                         / (ns.n_s::DOUBLE * ct.c_t::DOUBLE))
+                    * 1e9) AS BIGINT) AS contrib_nanos
+  FROM st JOIN ct USING (term) JOIN ns USING (src) CROSS JOIN nt
+)
+SELECT src AS source,
+       max(n_s)::BIGINT AS n_tokens,
+       sum(contrib_nanos)::BIGINT AS kl_nanos
+FROM contrib GROUP BY src
+"""
+
+
+def zipf_slope_sql(top_n: int = 1000) -> str:
+    """Twin of corpusstats.zipf_slope: OLS of milli-scaled ln(freq) on
+    ln(rank) over the top-N terms, slope/intercept derived from EXACT
+    integer sums (identical bigints in both engines → identical doubles)."""
+    return f"""
+WITH {_TOKENS_CTE},
+freqs AS (
+  SELECT term, count(*)::BIGINT AS c FROM terms GROUP BY 1
+  ORDER BY c DESC, term ASC LIMIT {top_n}
+),
+xy AS (
+  SELECT CAST(round(ln((row_number() OVER (ORDER BY c DESC, term ASC))::DOUBLE)
+                    * 1e3) AS BIGINT) AS x,
+         CAST(round(ln(c::DOUBLE) * 1e3) AS BIGINT) AS y
+  FROM freqs
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+  FROM xy
+)
+SELECT n_terms,
+       CAST(round(((n_terms * sxy - sx * sy)::DOUBLE
+                   / (n_terms * sxx - sx * sx)::DOUBLE) * 1e6) AS BIGINT)
+         AS slope_micros,
+       CAST(round((sy::DOUBLE
+                   - ((n_terms * sxy - sx * sy)::DOUBLE
+                      / (n_terms * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+                  / n_terms::DOUBLE / 1e3 * 1e6) AS BIGINT)
+         AS intercept_micros
+FROM s
+"""
+
+
+def containment_pairs_sql(
+    n: int = 3, threshold_ppm: int = 500_000, max_shingle_df: int = 64
+) -> str:
+    """Twin of dedup.containment_pairs: directed shingle containment
+    |A∩B|/|A| ≥ threshold over df-capped distinct token n-grams."""
+    return f"""
+WITH {_shingles_cte(n)},
+hot AS (SELECT shingle FROM shingles GROUP BY shingle
+        HAVING count(*) > {max_shingle_df}),
+kept AS (SELECT s.* FROM shingles s LEFT JOIN hot USING (shingle)
+         WHERE hot.shingle IS NULL),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(1e6 * i / sa.sz) AS BIGINT) AS containment_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE CAST(round(1e6 * i / sa.sz) AS BIGINT) >= {threshold_ppm}
+"""
+
+
+def rerank_ce_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    n_candidates: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of serve.rerank_ce_topk: BM25 top-N candidates re-ranked by the
+    hashed-weights surrogate scorer — w_t = int(md5(t)[:6],16)/16^6, per-term
+    contribution round(1e6·w_t·tf/(tf+1)) integer-summed, plus the coverage
+    feature round(5e5·n_hit/|q|)."""
+    import hashlib
+
+    uniq = list(dict.fromkeys(terms))
+    n_q = len(uniq)
+    esc = lambda s: s.replace("'", "''")
+    wrows = ", ".join(
+        f"('{esc(t)}', {int(hashlib.md5(t.encode()).hexdigest()[:6], 16)})"
+        for t in uniq
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(uniq, k1, b)},
+cand AS (
+  SELECT doc_id, score_micros AS bm25_micros FROM scores
+  ORDER BY score_micros DESC, doc_id ASC LIMIT {n_candidates}
+),
+wmap(term, h) AS (VALUES {wrows}),
+contrib AS (
+  SELECT cand.doc_id, cand.bm25_micros,
+         CAST(round(1e6 * (wmap.h / 16777216.0)
+                    * (post.tf::DOUBLE / (post.tf::DOUBLE + 1.0))) AS BIGINT)
+           AS c
+  FROM cand
+  JOIN post ON post.doc_id = cand.doc_id
+  JOIN wmap ON post.term = wmap.term
+),
+agg AS (
+  SELECT doc_id, bm25_micros,
+         sum(c)::BIGINT AS s, count(*)::BIGINT AS n_hit
+  FROM contrib GROUP BY 1, 2
+)
+SELECT doc_id,
+       (s + CAST(round(5e5 * (n_hit::DOUBLE / {n_q}::DOUBLE)) AS BIGINT))::BIGINT
+         AS ce_micros,
+       bm25_micros
+FROM agg
+ORDER BY ce_micros DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,107 @@
+"""Corpus-distribution analytics + containment dedup + rerank serving:
+semantic properties the hash gates can't see (sign/zero structure of KL,
+Zipf slope direction, containment of a literal subset, rerank bounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import corpusstats, dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_domain_kl_zero_for_identical_distributions(spark):
+    # both sources have the exact same unigram distribution → KL == 0
+    rows = [
+        (0, "alpha beta beta gamma", "s0"),
+        (1, "alpha beta beta gamma", "s1"),
+    ]
+    out = {
+        r["source"]: r for r in corpusstats.domain_kl_drift(_docs(spark, rows)).collect()
+    }
+    assert out["s0"]["kl_nanos"] == 0 and out["s1"]["kl_nanos"] == 0
+    assert out["s0"]["n_tokens"] == 4
+
+
+def test_domain_kl_positive_for_disjoint_vocab(spark):
+    rows = [
+        (0, "alpha alpha alpha alpha", "s0"),
+        (1, "beta beta beta beta", "s1"),
+    ]
+    out = corpusstats.domain_kl_drift(_docs(spark, rows)).collect()
+    # each source's distribution is maximally far from the 50/50 corpus:
+    # KL = ln(2) ≈ 0.6931e9 nanos, identical for both by symmetry
+    vals = sorted(r["kl_nanos"] for r in out)
+    assert vals[0] == vals[1]
+    assert abs(vals[0] - 693_147_181) <= 2  # ln(2) in nanos
+
+
+def test_zipf_slope_sign_and_shape(spark):
+    # geometric frequencies: term_i repeated 2^(8-i) times → ln f linear in
+    # i but convex in ln(rank); the OLS slope must be strongly negative
+    rows = []
+    did = 0
+    for i in range(8):
+        for _ in range(2 ** (8 - i)):
+            rows.append((did, f"term{i}", "s"))
+            did += 1
+    out = corpusstats.zipf_slope(_docs(spark, rows), top_n=100).collect()[0]
+    assert out["n_terms"] == 8
+    assert out["slope_micros"] < -1_000_000  # steeper than -1
+    assert out["intercept_micros"] > 0
+
+
+def test_containment_catches_subset_quote(spark):
+    # doc 1 quotes doc 0 verbatim inside much longer text: Jaccard is low
+    # but containment(doc0 ⊂ doc1) is exactly 1.0
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (0, quote, "s"),
+        (1, filler + " " + quote + " " + filler.replace("w", "v"), "s"),
+    ]
+    docs = _docs(spark, rows)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment_ppm"]
+        for r in dedup.containment_pairs(
+            docs, n=3, threshold_ppm=100_000, max_shingle_df=None
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1_000_000  # every shingle of the quote is in doc 1
+    assert (1, 0) not in pairs  # reverse containment is far below threshold
+    jac = dedup.ngram_jaccard_pairs(docs, n=3, threshold_micros=0).collect()
+    jrow = [r for r in jac if r["doc_a"] == 0 and r["doc_b"] == 1][0]
+    assert jrow["jaccard_micros"] < 100_000  # Jaccard misses what containment sees
+
+
+def test_containment_df_cap_drops_hot_shingles(spark):
+    # a boilerplate shingle shared by everyone is excluded by the df cap,
+    # so no pair survives on boilerplate alone
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"u{i} v{i} {boiler}", "s") for i in range(12)]
+    out = dedup.containment_pairs(
+        _docs(spark, rows), n=3, threshold_ppm=100_000, max_shingle_df=4
+    ).collect()
+    assert out == []
+
+
+def test_rerank_ce_topk_bounds_and_order(spark):
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, "/root/testdata/sf0.001")
+    terms = ["spark", "hash", "join"]
+    cand = serve.bm25_topk(spark, idx, terms, k=50).collect()
+    cand_ids = {r["doc_id"] for r in cand}
+    out = serve.rerank_ce_topk(spark, idx, terms, k=10, n_candidates=50).collect()
+    assert len(out) == min(10, len(cand_ids))
+    assert {r["doc_id"] for r in out} <= cand_ids  # rerank never leaves recall set
+    ces = [(r["ce_micros"], -r["doc_id"]) for r in out]
+    assert ces == sorted(ces, reverse=True)  # total order (ce DESC, id ASC)
+    # the coverage feature binds: every returned doc matches ≥ 1 term, and
+    # ce is within the max possible: |q|·1e6 (w<1, f<1) + 5e5
+    assert all(0 < r["ce_micros"] < 3_500_000 for r in out)

@@ -581,3 +581,47 @@ def test_training_keep_list_single_shuffle(spark):
     assert "hashpartitioning" in plan  # keyed by the content fingerprint
     assert "Window" in plan  # the winner election
     assert "Join" not in plan  # signals are fused columns, never joined
+
+
+def test_zipf_slope_bounded_heap_not_global_sort(spark):
+    """The top-N term cut must be a bounded heap (TakeOrderedAndProject)
+    over the map-side-combined frequency aggregate — never a vocab-wide
+    global Sort; the rank window then sees only the N-row constant."""
+    from searchengine_spark.operators.corpusstats import zipf_slope
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(zipf_slope(docs, top_n=1000))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # term-freq agg is map-side combined
+
+
+def test_domain_kl_joins_aggregates_only(spark):
+    """domain_kl_drift joins (src,term)-, (term)- and (src)-keyed
+    AGGREGATES of one tokenize pass; the 1-row corpus total must come back
+    as a broadcast nested-loop (cross) join, and no raw-token side may
+    reach a SortMergeJoin."""
+    from searchengine_spark.operators.corpusstats import domain_kl_drift
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(domain_kl_drift(docs))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_tot cross join
+    assert "SortMergeJoin" not in plan  # per-term/per-src sides broadcast
+    # the (src,term) aggregate is persisted: all four consumers read the
+    # cached relation, so the corpus is tokenized exactly once
+    assert "InMemoryTableScan" in plan
+
+
+def test_rerank_stage2_bounded_to_candidates(spark):
+    """Stage 2 (the Arrow scorer) must sit above the bounded candidate
+    heap: the plan contains the Python batch eval AND TakeOrderedAndProject
+    below it — the scorer never touches a corpus-sized relation."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.rerank_ce_topk(spark, idx, ["spark", "hash"], k=5, n_candidates=20))
+    assert "MapInPandas" in plan or "ArrowEval" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # candidate⋈postings stays broadcast
