@@ -100,6 +100,12 @@ def _corpusstats():
     return corpusstats
 
 
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.layout import zorder_layout
+
+    return zorder_layout(load_table(spark, sf_dir, "events"), bits=16, n_groups=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.operators import dedup, relational, similarity, textstats
 
@@ -634,6 +640,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": lambda spark, sf: _corpusstats().zipf_slope(
             _docs(spark, sf), top_n=1000
         ),
+        # Heaps'-law V = K·N^β vocabulary-growth fit over doc-id prefix
+        # checkpoints — predicts lexicon growth for capacity planning
+        "heaps_law": lambda spark, sf: _corpusstats().heaps_law(
+            _docs(spark, sf), n_checkpoints=10
+        ),
+        # Z-order (Morton) clustering key + file group over (user, time) —
+        # the write-time layout that lets parquet min/max stats prune scans
+        # on either predicate dimension
+        "zorder_layout": lambda spark, sf: _zorder_layout(spark, sf),
     }
 
 
@@ -1090,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram_logprob": oracles.kn_bigram_logprob_sql(discount=0.75),
         "domain_kl_drift": oracles.domain_kl_drift_sql(),
         "zipf_slope": oracles.zipf_slope_sql(top_n=1000),
+        "heaps_law": oracles.heaps_law_sql(n_checkpoints=10),
+        "zorder_layout": oracles.zorder_layout_sql(bits=16, n_groups=64),
         "rerank_ce_topk": oracles.rerank_ce_topk_sql(BM25_TERMS, k=TOPK, n_candidates=50),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),

@@ -128,6 +128,8 @@ HEADLINE = [
     "pmi_top_pairs",
     "domain_kl_drift",
     "zipf_slope",
+    "heaps_law",
+    "zorder_layout",
     "hits_scores",
     "graph_triangles",
     "link_prediction_aa",

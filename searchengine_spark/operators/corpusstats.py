@@ -83,6 +83,31 @@ def domain_kl_drift(docs: DataFrame, source_col: str = "source") -> DataFrame:
     )
 
 
+def _ols_fixed_point(xy: DataFrame) -> DataFrame:
+    """OLS over an (x, y) frame of milli-fixed-point bigints → one row
+    (n_terms, slope_micros, intercept_micros). Slope/intercept derive from
+    EXACT integer sums, so both engines turn identical bigints into
+    identical doubles; the intercept is reported in natural-log units
+    (divide the milli scale back out)."""
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    num = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n
+    return sums.select(
+        "n_terms",
+        F.round(slope * 1e6).cast("long").alias("slope_micros"),
+        F.round(intercept / 1e3 * 1e6).cast("long").alias("intercept_micros"),
+    )
+
+
 def zipf_slope(docs: DataFrame, top_n: int = 1000) -> DataFrame:
     """One row (n_terms, slope_micros, intercept_micros): OLS fit of
     ln(freq) against ln(rank) over the ``top_n`` most frequent terms
@@ -117,22 +142,53 @@ def zipf_slope(docs: DataFrame, top_n: int = 1000) -> DataFrame:
         .alias("x"),
         F.round(F.log(F.col("c").cast("double")) * 1e3).cast("long").alias("y"),
     )
-    sums = xy.agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    return _ols_fixed_point(xy)
+
+
+def heaps_law(docs: DataFrame, n_checkpoints: int = 10) -> DataFrame:
+    """One row (n_terms, slope_micros, intercept_micros): Heaps'-law fit
+    V = K·N^β of vocabulary size against corpus token count, measured at
+    ``n_checkpoints`` doc-id-ordered prefixes and OLS-fit in log-log space
+    (slope = β, intercept = ln K). The capacity-planning statistic for a
+    growing index: it predicts lexicon/posting-list-count growth as the
+    corpus scales to 100 TB.
+
+    Checkpoint c_i = floor(max_doc_id·i/K); at each checkpoint,
+    N_i = Σ dl over docs ≤ c_i and V_i = |{t : first_doc(t) ≤ c_i}|. Both
+    derive from per-doc / per-term AGGREGATES of one tokenize pass
+    (doc-length table, first-occurrence table) fanned out over the K-row
+    broadcast checkpoint table — K× aggregate rows, never K× the corpus.
+    Same milli fixed-point OLS contract as ``zipf_slope``.
+    """
+    toks = exploded_tokens(docs)
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    cps = (
+        dls.agg(F.max("doc_id").alias("mx"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(n_checkpoints))).alias("i"),
+            "mx",
+        )
+        .select(
+            "i",
+            # exact int64 floor division (Spark `div` ≡ DuckDB `//`)
+            F.expr(f"(mx * i) div {n_checkpoints}").alias("ck"),
+        )
     )
-    n = F.col("n_terms").cast("double")
-    num = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den
-    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n
-    # x/y are milli-scaled lns, so slope is scale-free and intercept is in
-    # milli-ln units: divide by 1e3 to report natural-log units, then micros
-    return sums.select(
-        "n_terms",
-        F.round(slope * 1e6).cast("long").alias("slope_micros"),
-        F.round(intercept / 1e3 * 1e6).cast("long").alias("intercept_micros"),
+    n_i = (
+        dls.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("ck"))
+        .groupBy("i")
+        .agg(F.sum("dl").alias("n_tok"))
     )
+    v_i = (
+        first.crossJoin(F.broadcast(cps))
+        .filter(F.col("fd") <= F.col("ck"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    xy = n_i.join(v_i, "i").select(
+        F.round(F.log(F.col("n_tok").cast("double")) * 1e3).cast("long").alias("x"),
+        F.round(F.log(F.col("v").cast("double")) * 1e3).cast("long").alias("y"),
+    )
+    return _ols_fixed_point(xy)

@@ -4221,3 +4221,73 @@ FROM agg
 ORDER BY ce_micros DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def heaps_law_sql(n_checkpoints: int = 10) -> str:
+    """Twin of corpusstats.heaps_law: V = K·N^β fit over doc-id-ordered
+    prefix checkpoints, milli fixed-point OLS on exact integer sums."""
+    return f"""
+WITH {_TOKENS_CTE},
+fd AS (SELECT term, min(doc_id)::BIGINT AS fd FROM terms GROUP BY 1),
+mx AS (SELECT max(doc_id)::BIGINT AS m FROM dls WHERE dl > 0),
+cps AS (SELECT r.i, (mx.m * r.i) // {n_checkpoints} AS ck
+        FROM range(1, {n_checkpoints + 1}) AS r(i), mx),
+n_i AS (
+  SELECT cps.i, sum(dls.dl)::BIGINT AS n_tok
+  FROM dls, cps WHERE dls.doc_id <= cps.ck GROUP BY 1
+),
+v_i AS (
+  SELECT cps.i, count(*)::BIGINT AS v
+  FROM fd, cps WHERE fd.fd <= cps.ck GROUP BY 1
+),
+xy AS (
+  SELECT CAST(round(ln(n_tok::DOUBLE) * 1e3) AS BIGINT) AS x,
+         CAST(round(ln(v::DOUBLE) * 1e3) AS BIGINT) AS y
+  FROM n_i JOIN v_i USING (i)
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+  FROM xy
+)
+SELECT n_terms,
+       CAST(round(((n_terms * sxy - sx * sy)::DOUBLE
+                   / (n_terms * sxx - sx * sx)::DOUBLE) * 1e6) AS BIGINT)
+         AS slope_micros,
+       CAST(round((sy::DOUBLE
+                   - ((n_terms * sxy - sx * sy)::DOUBLE
+                      / (n_terms * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+                  / n_terms::DOUBLE / 1e3 * 1e6) AS BIGINT)
+         AS intercept_micros
+FROM s
+"""
+
+
+def zorder_layout_sql(bits: int = 16, n_groups: int = 64) -> str:
+    """Twin of layout.zorder_layout: min/max-normalized exact-integer
+    Morton interleave of (user_id, event seconds) + top-bits file group."""
+    top = (1 << bits) - 1
+    group_bits = n_groups.bit_length() - 1
+    inter = " + ".join(
+        f"(((sx >> {i}) & 1) << {2 * i}) + (((sy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH src AS (
+  SELECT event_id, user_id::BIGINT AS u,
+         epoch_us(ts) // 1000000 AS t
+  FROM events
+),
+b AS (SELECT min(u) AS u_lo, max(u) AS u_hi,
+             min(t) AS t_lo, max(t) AS t_hi FROM src),
+scaled AS (
+  SELECT event_id,
+         ((u - u_lo) * {top}) // greatest(1, u_hi - u_lo) AS sx,
+         ((t - t_lo) * {top}) // greatest(1, t_hi - t_lo) AS sy
+  FROM src, b
+),
+z AS (SELECT event_id, ({inter})::BIGINT AS zval FROM scaled)
+SELECT event_id, zval, (zval >> {2 * bits - group_bits})::BIGINT AS file_group
+FROM z
+"""

@@ -105,3 +105,89 @@ def test_rerank_ce_topk_bounds_and_order(spark):
     # the coverage feature binds: every returned doc matches ≥ 1 term, and
     # ce is within the max possible: |q|·1e6 (w<1, f<1) + 5e5
     assert all(0 < r["ce_micros"] < 3_500_000 for r in out)
+
+
+def test_heaps_law_sublinear_growth(spark):
+    # doc i introduces exactly ONE new term plus i repeats of a common one:
+    # V grows linearly in docs while N grows quadratically → β ≈ 0.5
+    rows = [(i, "t" + str(i) + (" common" * (i + 1)), "s") for i in range(40)]
+    out = corpusstats.heaps_law(_docs(spark, rows), n_checkpoints=10).collect()[0]
+    assert out["n_terms"] == 10
+    assert 300_000 < out["slope_micros"] < 900_000  # strictly sublinear, ~0.5
+
+    # the driver corpus has a tiny CLOSED vocabulary: growth saturates at
+    # the first checkpoint, so the fitted β degenerates to exactly 0 —
+    # the right answer for that corpus, and the gate hash pins it
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sat = corpusstats.heaps_law(docs, n_checkpoints=10).collect()[0]
+    assert sat["n_terms"] == 10 and sat["slope_micros"] == 0
+
+
+def test_zorder_matches_python_morton(spark):
+    from searchengine_spark.operators.layout import zorder_layout
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 0),
+        (1, "2024-01-01 06:00:00", 5),
+        (2, "2024-01-01 12:00:00", 9),
+        (3, "2024-01-01 18:00:00", 2),
+        (4, "2024-01-02 00:00:00", 7),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["event_id"]: r for r in zorder_layout(ev, bits=16, n_groups=64).collect()}
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    import datetime as dt
+
+    ts = [dt.datetime.fromisoformat(t).timestamp() for _, t, _ in rows]
+    us = [u for _, _, u in rows]
+    t_lo, t_hi = min(ts), max(ts)
+    u_lo, u_hi = min(us), max(us)
+    top = (1 << 16) - 1
+    for eid, t, u in [(r[0], ts[i], us[i]) for i, r in enumerate(rows)]:
+        sx = int((u - u_lo) * top) // max(1, u_hi - u_lo)
+        sy = int((t - t_lo) * top) // int(max(1, t_hi - t_lo))
+        z = morton(sx, sy)
+        assert out[eid]["zval"] == z
+        assert out[eid]["file_group"] == z >> (32 - 6)
+
+
+def test_zorder_groups_have_tight_boxes(spark):
+    """The layout property that makes Z-order worth writing: per-file-group
+    bounding boxes in (user, time) are small vs the global extent, so
+    parquet min/max stats prune on EITHER dimension."""
+    from searchengine_spark.operators.layout import zorder_layout
+    from searchengine_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    z = zorder_layout(ev, bits=16, n_groups=64)
+    joined = z.join(ev.select("event_id", "user_id", "ts"), "event_id")
+    boxes = (
+        joined.groupBy("file_group")
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("u_span"),
+            (F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+             - F.min(F.unix_micros(F.col("ts").cast("timestamp")))).alias("t_span"),
+        )
+        .collect()
+    )
+    glob = joined.agg(
+        (F.max("user_id") - F.min("user_id")).alias("u"),
+        (F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+         - F.min(F.unix_micros(F.col("ts").cast("timestamp")))).alias("t"),
+    ).collect()[0]
+    # 64 groups = 3 bits per dimension: every group's box must be ≤ ~1/8 of
+    # the global extent (+1 bucket of slack for boundary rounding)
+    for b in boxes:
+        assert b["u_span"] <= glob["u"] // 8 + max(1, glob["u"] // 64)
+        assert b["t_span"] <= glob["t"] // 8 + max(1, glob["t"] // 64)

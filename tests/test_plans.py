@@ -625,3 +625,20 @@ def test_rerank_stage2_bounded_to_candidates(spark):
     assert "MapInPandas" in plan or "ArrowEval" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan  # candidate⋈postings stays broadcast
+
+
+def test_zorder_is_map_only_plus_broadcast_bounds(spark):
+    """The Z-order key is ONE 4-value bounds aggregate broadcast back (a
+    1-row cross join) over a map-only projection: no SortMergeJoin, no
+    Python worker, no repartitioning of the fact table."""
+    from searchengine_spark.operators.layout import zorder_layout
+    from searchengine_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = plan_of(zorder_layout(ev, bits=16, n_groups=64))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds cross join
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # the only exchanges are the bounds aggregate's (partial → 1 row) and
+    # its broadcast — the fact-table side is never repartitioned
+    assert "hashpartitioning(event_id" not in plan
