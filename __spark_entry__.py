@@ -106,6 +106,18 @@ def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(load_table(spark, sf_dir, "events"), bits=16, n_groups=64)
 
 
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.sampling import weighted_sample_topn
+
+    return weighted_sample_topn(_docs(spark, sf_dir), n=100)
+
+
+def _crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.fetch import crawl_schedule
+
+    return crawl_schedule(_docs(spark, sf_dir), n_hosts=7, delay_ms=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from searchengine_spark.operators import dedup, relational, similarity, textstats
 
@@ -422,6 +434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": lambda spark, sf: _dsir_weights(spark, sf),
         # deterministic per-language Bernoulli sample (md5-position)
         "stratified_sample": lambda spark, sf: _stratified_sample(spark, sf),
+        # Efraimidis–Spirakis weighted sampling without replacement:
+        # exactly n rows, one bounded heap, zero shuffle
+        "weighted_sample": lambda spark, sf: _weighted_sample(spark, sf),
+        # per-host politeness fetch queue (bounded-QPS crawl schedule);
+        # slots via the two-phase ordered-bucket pattern, never a
+        # host-sized window partition
+        "crawl_schedule": lambda spark, sf: _crawl_schedule(spark, sf),
         # alpha=0.5 temperature rebalancing: output shares ∝ sqrt(count)
         "temperature_mix": lambda spark, sf: _temperature_mix(spark, sf),
         # incremental build: two half-corpus segment sets merged, decoded
@@ -610,6 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": relational.top_bigrams,
         "user_daily_activity": relational.user_daily_activity,
         "events_hopping_window": relational.events_hopping_window,
+        # trending detection: per-sliding-window top-k event types — the
+        # batch twin of streaming/ingest.stream_trending (same window spec;
+        # streaming==batch equality is pytest-enforced)
+        "trending_topk": lambda spark, sf: relational.trending_topk(
+            spark, sf, window_min=360, slide_min=60, k=3
+        ),
         # trailing time-RANGE frame (value-based window bounds): per-event
         # count/sum/mean of the user's preceding hour
         "events_moving_avg": relational.events_moving_avg,
@@ -1106,6 +1131,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_kl_drift": oracles.domain_kl_drift_sql(),
         "zipf_slope": oracles.zipf_slope_sql(top_n=1000),
         "heaps_law": oracles.heaps_law_sql(n_checkpoints=10),
+        "trending_topk": oracles.trending_topk_sql(window_min=360, slide_min=60, k=3),
+        "weighted_sample": oracles.weighted_sample_topn_sql(n=100),
+        "crawl_schedule": oracles.crawl_schedule_sql(n_hosts=7, delay_ms=500),
         "zorder_layout": oracles.zorder_layout_sql(bits=16, n_groups=64),
         "rerank_ce_topk": oracles.rerank_ce_topk_sql(BM25_TERMS, k=TOPK, n_candidates=50),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),

@@ -130,6 +130,9 @@ HEADLINE = [
     "zipf_slope",
     "heaps_law",
     "zorder_layout",
+    "trending_topk",
+    "weighted_sample",
+    "crawl_schedule",
     "hits_scores",
     "graph_triangles",
     "link_prediction_aa",

@@ -179,3 +179,64 @@ def frontier_bfs(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return out.join(nodes.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi")
+
+
+def crawl_schedule(
+    docs: DataFrame,
+    n_hosts: int = 7,
+    delay_ms: int = 500,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, host, slot, fetch_offset_ms): the politeness fetch schedule —
+    every host's frontier becomes an ordered queue with one fetch per
+    ``delay_ms`` (the distributed analog of the reference's fixed crawler
+    thread pool + per-fetch timeout, Crawler.java:19-20,66-69: there, 5
+    threads rate-limit implicitly; here the QPS bound is explicit per host
+    and the frontier can be any size).
+
+    Queue order within a host is the md5 shuffle order ('fetch:'||doc_id) —
+    deterministic, engine-portable, and free of path-locality runs (crawl
+    traps that would serialize against one URL subtree). The per-host
+    sequence number is computed WITHOUT a host-sized window partition:
+    the key's first hex byte is an ORDERED bucket, so slot = per-(host,
+    bucket) row_number + a per-host 256-row prefix-sum window — the
+    epoch_shuffle two-phase pattern, per group. A hot host with 10^8
+    frontier URLs costs 256 bounded tasks, never one giant window task.
+    """
+    from pyspark.sql import Window
+
+    host = F.concat(
+        F.lit("host"), F.pmod(F.col(id_col), F.lit(n_hosts)).cast("string")
+    )
+    h = F.md5(F.concat(F.lit("fetch:"), F.col(id_col).cast("string")))
+    keyed = docs.select(
+        F.col(id_col),
+        host.alias("host"),
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
+    )
+    counts = keyed.groupBy("host", "b").agg(F.count(F.lit(1)).alias("n"))
+    # per-host prefix sum over the ≤256 bucket rows: a BOUNDED window
+    woff = (
+        Window.partitionBy("host")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "host",
+        "b",
+        F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off"),
+    )
+    wr = Window.partitionBy("host", "b").orderBy(F.asc("h"), F.asc(id_col))
+    return (
+        keyed.withColumn("r", F.row_number().over(wr))
+        .join(offsets, ["host", "b"])
+        .select(
+            F.col(id_col),
+            "host",
+            (F.col("off") + F.col("r")).cast("long").alias("slot"),
+            ((F.col("off") + F.col("r") - 1) * F.lit(delay_ms))
+            .cast("long")
+            .alias("fetch_offset_ms"),
+        )
+    )

@@ -340,6 +340,51 @@ def events_hopping_window(
     )
 
 
+def trending_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    window_min: int = 360,
+    slide_min: int = 60,
+    k: int = 3,
+) -> DataFrame:
+    """Trending detection: the top-k event types per sliding window —
+    the "trending searches" feature of a search stack, as a batch operator
+    whose window semantics are IDENTICAL to the streaming twin
+    (streaming/ingest.py::stream_trending uses the same F.window spec, so
+    the drained stream ranks to exactly these rows; equality is pytest-
+    enforced in test_streaming).
+
+    Shape at scale: the hopping-window aggregate is map-side combined
+    (each event expands to window/slide rows before the partial agg); the
+    rank window partitions by wstart — thousands of windows, each bounded
+    by |event types|, never a global or corpus-sized partition. Output
+    (wstart, rank, event_type, n)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", f"{window_min} minutes", f"{slide_min} minutes")
+    counts = (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )
+    return rank_windows(counts, k=k)
+
+
+def rank_windows(counts: DataFrame, k: int) -> DataFrame:
+    """Per-window top-k rank over (wstart, event_type, n) counts — shared
+    by the batch gate and the streaming drain (the stream emits counts;
+    this is the consumer-side rank both paths agree on)."""
+    rw = Window.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("wstart", "rank", "event_type", "n")
+    )
+
+
 def next_word_suggest(spark: SparkSession, sf_dir: str, word: str, k: int = 5) -> DataFrame:
     """Bigram-model autocomplete: the top-k words FOLLOWING ``word`` in the
     corpus, by occurrence — the next-word analog of the prefix suggester.

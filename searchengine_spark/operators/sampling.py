@@ -305,3 +305,34 @@ def quality_tiers(spark, idx: dict, docs: DataFrame) -> DataFrame:
             F.expr("CAST((off + r - 1) * 3 div n_lang AS INT)").alias("tier"),
         )
     )
+
+
+def weighted_sample_topn(
+    docs: DataFrame,
+    n: int = 100,
+    salt: str = "wsample",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly n rows — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006): key_i = u_i^(1/w_i) with
+    u_i uniform, keep the n largest keys. One pass, one bounded heap —
+    THE distributed way to draw a quality- or length-weighted corpus
+    subsample (weighted reservoir semantics with no reservoir state).
+
+    Determinism/portability: u derives from md5(salt‖id) (the engine-
+    portable _hash_ppm), mapped to (0,1) as (2·ppm+1)/2e6 so ln(u) is
+    always finite; the comparison key is ln(u)/w in integer nanos
+    (monotone in u^(1/w), identical in both engines). Output
+    (doc_id, key_nanos), top-n by (key DESC, doc_id ASC) — a bounded
+    TakeOrderedAndProject over a map-only projection: no shuffle at all.
+    """
+    u = (F.lit(2.0) * _hash_ppm(F.col(id_col).cast("string"), salt) + F.lit(1.0)) / F.lit(
+        2e6
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double") * 1e9).cast("long")
+    return (
+        docs.select(F.col(id_col), key.alias("key_nanos"))
+        .orderBy(F.desc("key_nanos"), F.asc(id_col))
+        .limit(n)
+    )

@@ -4291,3 +4291,71 @@ z AS (SELECT event_id, ({inter})::BIGINT AS zval FROM scaled)
 SELECT event_id, zval, (zval >> {2 * bits - group_bits})::BIGINT AS file_group
 FROM z
 """
+
+
+def trending_topk_sql(window_min: int = 360, slide_min: int = 60, k: int = 3) -> str:
+    """Twin of relational.trending_topk: epoch-aligned hopping-window counts
+    per event type, ranked top-k per window (ties by event_type ASC)."""
+    return f"""
+WITH hops AS (
+  SELECT event_type,
+         unnest(generate_series(
+             time_bucket(INTERVAL {slide_min} MINUTE, ts)
+               - INTERVAL {window_min - slide_min} MINUTE,
+             time_bucket(INTERVAL {slide_min} MINUTE, ts),
+             INTERVAL {slide_min} MINUTE)) AS wstart
+  FROM events
+),
+counts AS (
+  SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+         count(*)::BIGINT AS n
+  FROM hops GROUP BY 1, 2
+),
+ranked AS (
+  SELECT wstart, event_type, n,
+         row_number() OVER (PARTITION BY wstart
+                            ORDER BY n DESC, event_type ASC) AS rank
+  FROM counts
+)
+SELECT wstart, rank::INT AS rank, event_type, n FROM ranked WHERE rank <= {k}
+"""
+
+
+def crawl_schedule_sql(n_hosts: int = 7, delay_ms: int = 500) -> str:
+    """Twin of fetch.crawl_schedule: per-host fetch queue in md5 shuffle
+    order, slot = per-host row_number (the oracle ranks directly; the Spark
+    side computes the identical sequence via the two-phase ordered-bucket
+    pattern so no host-sized window partition exists)."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         'host' || (doc_id % {n_hosts})::VARCHAR AS host,
+         md5('fetch:' || doc_id) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY h ASC, doc_id ASC)
+           AS slot
+  FROM keyed
+)
+SELECT doc_id, host, slot::BIGINT AS slot,
+       ((slot - 1) * {delay_ms})::BIGINT AS fetch_offset_ms
+FROM ranked
+"""
+
+
+def weighted_sample_topn_sql(
+    n: int = 100, salt: str = "wsample", weight_col: str = "n_chars"
+) -> str:
+    """Twin of sampling.weighted_sample_topn: A-ES keys ln(u)/w in integer
+    nanos, u = (2·md5ppm + 1)/2e6, top-n by (key DESC, doc_id ASC)."""
+    return f"""
+SELECT doc_id,
+       CAST(round((ln((2.0 * (CAST(('0x' || substr(md5('{salt}' || doc_id), 1, 15))
+                                   AS BIGINT) % 1000000) + 1.0) / 2e6)
+                   / {weight_col}::DOUBLE) * 1e9) AS BIGINT) AS key_nanos
+FROM documents
+ORDER BY key_nanos DESC, doc_id ASC
+LIMIT {n}
+"""

@@ -139,3 +139,49 @@ def stream_dedup_pages(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_trending(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "trending_stream",
+    window_min: int = 360,
+    slide_min: int = 60,
+    output_mode: str = "complete",
+):
+    """Streaming trending detection: watermarked sliding (hopping) window
+    counts per event type — the streaming twin of
+    operators/relational.trending_topk. The stream emits window COUNTS
+    (rank is not a streaming-aggregable operator); the consumer applies
+    relational.rank_windows over the drained table, which is byte-equal to
+    the batch gate by construction (same F.window spec, same rank — the
+    equality is enforced in tests/test_streaming.py).
+
+    Same output-mode semantics as stream_events_hourly: ``complete`` for
+    the bounded smoke test (all windows re-emitted to the memory sink);
+    ``append`` + the 2-hour watermark for unbounded production streams
+    (finalized windows emit once, state stays bounded by the watermark
+    horizon × slide count)."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", f"{window_min} minutes", f"{slide_min} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

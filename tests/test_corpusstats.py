@@ -191,3 +191,39 @@ def test_zorder_groups_have_tight_boxes(spark):
     for b in boxes:
         assert b["u_span"] <= glob["u"] // 8 + max(1, glob["u"] // 64)
         assert b["t_span"] <= glob["t"] // 8 + max(1, glob["t"] // 64)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    from searchengine_spark.operators.sampling import weighted_sample_topn
+
+    # 20 light docs (w=10) + 5 heavy docs (w=100000): A-ES keys ln(u)/w pull
+    # heavy docs toward 0 (the max), so the top-5 must be mostly heavy under
+    # any salt; check several salts to rule out a lucky draw
+    rows = [(i, "x", "s", 10) for i in range(20)] + [
+        (100 + i, "x", "s", 100_000) for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    heavy_hits = 0
+    for salt in ("a", "b", "c", "d"):
+        top = weighted_sample_topn(docs, n=5, salt=salt).collect()
+        heavy_hits += sum(1 for r in top if r["doc_id"] >= 100)
+    assert heavy_hits >= 16  # ≥80% of slots go to the 10000× heavier docs
+
+
+def test_crawl_schedule_slots_dense_per_host(spark):
+    from searchengine_spark.operators.fetch import crawl_schedule
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = crawl_schedule(docs, n_hosts=7, delay_ms=500).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) == 7
+    for host, rows in by_host.items():
+        slots = sorted(r["slot"] for r in rows)
+        assert slots == list(range(1, len(rows) + 1))  # dense, no gaps/dups
+        for r in rows:
+            assert r["fetch_offset_ms"] == (r["slot"] - 1) * 500

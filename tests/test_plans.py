@@ -642,3 +642,34 @@ def test_zorder_is_map_only_plus_broadcast_bounds(spark):
     # the only exchanges are the bounds aggregate's (partial → 1 row) and
     # its broadcast — the fact-table side is never repartitioned
     assert "hashpartitioning(event_id" not in plan
+
+
+def test_crawl_schedule_windows_are_bucketed(spark):
+    """Every window in the schedule plan must be partitioned by (host,
+    bucket) or by host over the 256-row bucket-count table — never by host
+    alone over raw frontier rows, and never unpartitioned."""
+    from searchengine_spark.operators.fetch import crawl_schedule
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(crawl_schedule(docs, n_hosts=7))
+    assert "No Partition Defined" not in plan
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and all("host" in l for l in specs)
+    # the row_number window (the one over row data) must carry the bucket
+    rank_specs = [l for l in specs if "row_number" in l]
+    assert rank_specs and all(" b#" in l or "b#" in l for l in rank_specs)
+
+
+def test_weighted_sample_is_heap_over_map(spark):
+    """A-ES sampling is a map-only key projection + bounded heap: no
+    Exchange other than the heap's own singlePartition merge, no join, no
+    Python."""
+    from searchengine_spark.operators.sampling import weighted_sample_topn
+    from searchengine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(weighted_sample_topn(docs, n=50))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -239,3 +239,24 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     want_fps = {r["fingerprint"] for r in batch.dropDuplicates(["fingerprint"]).collect()}
     assert {r["fingerprint"] for r in got} == want_fps == {"fp0", "fp1", "fp2", "fp3"}
     assert len(got) == len(want_fps)  # exactly one survivor per fingerprint
+
+
+def test_stream_trending_equals_batch_gate(spark, tmp_path):
+    """The drained trending stream, ranked by the shared rank_windows
+    consumer, must equal the batch trending_topk gate row-for-row — the
+    streaming==batch contract for the sliding-window top-k family."""
+    from searchengine_spark.operators.relational import rank_windows, trending_topk
+    from searchengine_spark.streaming.ingest import stream_trending
+
+    events_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events")
+    spark.read.parquet(f"{events_dir}/events.parquet").write.parquet(src)
+    ckpt = str(tmp_path / "tckpt")
+
+    q = stream_trending(spark, src, ckpt, queryName="t_trending")
+    q.processAllAvailable()
+    streamed = rank_windows(spark.sql("SELECT * FROM t_trending"), k=3).collect()
+    q.stop()
+    assert streamed
+    batch = trending_topk(spark, events_dir, window_min=360, slide_min=60, k=3).collect()
+    assert {tuple(r) for r in streamed} == {tuple(r) for r in batch}
