@@ -459,6 +459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda spark, sf: similarity.ann_ivf_topk(
             emb(spark, sf), n_queries=8, k=5, centroid_stride=64, nprobe=2
         ),
+        # ALL-vectors kNN graph (graph-curation backbone): LSH band-bucket
+        # self-join candidates (bucket-capped), exact integer-cosine verify
+        "knn_graph": lambda spark, sf: similarity.knn_graph(
+            emb(spark, sf), k=3, n_planes=16, rows_per_band=8, max_bucket=1024
+        ),
         # deterministic Lloyd's k-means: the centroid trainer the IVF/PQ
         # seeded selections swap in for (exact-integer, unrolled SQL twin)
         "kmeans_centroids": lambda spark, sf: similarity.kmeans_centroids(
@@ -1134,6 +1139,9 @@ def oracle_sql() -> dict[str, str]:
         "trending_topk": oracles.trending_topk_sql(window_min=360, slide_min=60, k=3),
         "weighted_sample": oracles.weighted_sample_topn_sql(n=100),
         "crawl_schedule": oracles.crawl_schedule_sql(n_hosts=7, delay_ms=500),
+        "knn_graph": oracles.knn_graph_sql(
+            k=3, n_planes=16, rows_per_band=8, max_bucket=1024
+        ),
         "zorder_layout": oracles.zorder_layout_sql(bits=16, n_groups=64),
         "rerank_ce_topk": oracles.rerank_ce_topk_sql(BM25_TERMS, k=TOPK, n_candidates=50),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),

@@ -829,3 +829,66 @@ def sq8_codes(
         rows.join(F.broadcast(stats), "i")
         .select(id_col, "i", code.alias("code"))
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 16,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    max_bucket: int | None = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The all-vectors kNN graph — (vec_id, rank, neighbor_id,
+    cosine_micros), each vector's top-k approximate neighbors — via LSH
+    band buckets: the backbone of graph-based corpus curation (SemDeDup
+    neighborhoods, graph dedup, diversity sampling) where every document
+    needs neighbors, not just a query set.
+
+    Scale shape: candidates come from the bands⋈bands self-equi-join on
+    (band_id, band_key) — co-keyed shuffle join, never a |V|² cross join.
+    Within-bucket cost is quadratic in bucket size, so ``max_bucket`` drops
+    over-full buckets BEFORE the join (the stop-shingle defusal for
+    vectors: a degenerate bucket holding half the corpus — e.g. all-zero
+    embeddings — would otherwise melt one reducer; its members keep
+    neighbors from their other, selective bands). Verification is the
+    shared one-Arrow-pass integer cosine; the per-vector top-k window
+    partitions by vec_id (bounded by that vector's candidate count). The
+    whole path is exact integer arithmetic — the DuckDB oracle replays
+    signature, cap, join, and rerank bit-for-bit."""
+    bands = lsh_bands(embeddings, n_planes, rows_per_band, dim, id_col, vec_col)
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band_id", "band_key")
+        )
+        bands = bands.join(hot, ["band_id", "band_key"], "left_anti")
+    other = bands.select(
+        F.col(id_col).alias("neighbor_id"), "band_id", "band_key"
+    )
+    cand = (
+        bands.join(other, ["band_id", "band_key"])
+        .filter(F.col(id_col) != F.col("neighbor_id"))
+        .select(F.col(id_col), "neighbor_id")
+        .distinct()
+    )
+    vs = embeddings.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv"))
+    vd = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_dv")
+    )
+    scored = rowwise_cosine_micros(
+        cand.join(vs, cand[id_col] == vs["_sid"]).join(vd, "neighbor_id"),
+        "_sv",
+        "_dv",
+        [(id_col, "long"), ("neighbor_id", "long")],
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine_micros"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "neighbor_id", "cosine_micros")
+    )

@@ -4359,3 +4359,49 @@ FROM documents
 ORDER BY key_nanos DESC, doc_id ASC
 LIMIT {n}
 """
+
+
+def knn_graph_sql(
+    k: int = 3,
+    n_planes: int = 16,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    max_bucket: int = 1024,
+) -> str:
+    """Exact replica of similarity.knn_graph: integer hyperplane signatures
+    → bucket-capped banded self-join candidates → integer-cosine rerank →
+    per-vector top-k."""
+    n_bands = n_planes // rows_per_band
+    return f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_sig_sql('v', n_planes, dim)} AS s FROM qe),
+bands AS (
+  SELECT vec_id, b.range AS band_id,
+         substr(s, (b.range * {rows_per_band} + 1)::INT, {rows_per_band}) AS band_key
+  FROM sig CROSS JOIN range({n_bands}) b
+),
+kept AS (
+  SELECT bands.* FROM bands
+  JOIN (SELECT band_id, band_key FROM bands GROUP BY 1, 2
+        HAVING count(*) <= {max_bucket}) ok
+    USING (band_id, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS neighbor_id
+  FROM kept a JOIN kept c
+    ON a.band_id = c.band_id AND a.band_key = c.band_key
+  WHERE c.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT cand.vec_id, cand.neighbor_id,
+         {_cos_micros_sql('sv.v', 'dv.v')} AS cosine_micros
+  FROM cand
+  JOIN qe sv ON sv.vec_id = cand.vec_id
+  JOIN qe dv ON dv.vec_id = cand.neighbor_id
+)
+SELECT vec_id, rank, neighbor_id, cosine_micros FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine_micros DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

