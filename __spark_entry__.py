@@ -231,6 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_jm_topk": lambda spark, sf: serve.qld_jm_topk(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # DFR PL2 (Poisson + Laplace + normalization-2) — the third
+        # classical ranking family, served from the same pruned index scan
+        "pl2_topk": lambda spark, sf: serve.pl2_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
         # sequential dependence model (Metzler-Croft MRF): unigram +
         # ordered-adjacency + unordered-window Dirichlet features, all
         # served from the stored positional postings
@@ -1067,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),
         "qld_jm_topk": oracles.qld_jm_topk_sql(BM25_TERMS, k=TOPK),
         "sdm_topk": oracles.sdm_topk_sql(BM25_TERMS, k=TOPK),
+        "pl2_topk": oracles.pl2_topk_sql(BM25_TERMS, k=TOPK),
         "prf_expansion_topk": oracles.prf_expansion_sql(BM25_TERMS, k=TOPK),
         "bm25f_topk": oracles.bm25f_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_maxp_topk": oracles.bm25_maxp_topk_sql(BM25_TERMS, k=TOPK),

@@ -49,6 +49,7 @@ HEADLINE = [
     "qld_topk",
     "qld_jm_topk",
     "sdm_topk",
+    "pl2_topk",
     "prf_expansion_topk",
     "hybrid_rrf_topk",
     "rerank_ce_topk",
@@ -69,6 +70,7 @@ HEADLINE = [
     "ann_lsh_multiprobe_topk",
     "ann_pq_topk",
     "embedding_cosine_dups",
+    "knn_graph",
     "semdedup",
     "embedding_rp_project",
     "embedding_sq8",

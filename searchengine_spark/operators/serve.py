@@ -1018,6 +1018,70 @@ def qld_jm_topk(
     )
 
 
+# log2(e) and 2π as fixed double literals: both engines must parse the SAME
+# constant so the PL2 float trees stay bit-identical (log2(x) is spelled
+# ln(x)·INV_LN2 on both sides rather than trusting two libm log2s to agree)
+PL2_INV_LN2 = 1.4426950408889634
+PL2_TWO_PI = 6.283185307179586
+
+
+def pl2_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    c: float = 1.0,
+) -> DataFrame:
+    """PL2 ranking from the Divergence-From-Randomness framework (Amati &
+    van Rijsbergen 2002) — Poisson model, Laplace after-effect,
+    normalization 2; the third classical ranking family (after BM25 and the
+    LM smoothers) and Terrier's default::
+
+        tfn = tf · log2(1 + c·avgdl/dl)
+        score_t = (tfn·log2(tfn/λ_t) + (λ_t − tfn)·log2 e
+                   + 0.5·log2(2π·tfn)) / (tfn + 1)      λ_t = cf_t / N
+
+    Physical shape is :func:`qld_topk`'s exactly: |q|-row lexicon point
+    lookup supplies cf (λ is a per-term Python scalar — same IEEE division
+    the oracle performs in SQL), bucket-pruned postings scan, avgdl/N from
+    the manifest, per-posting contribution rounded to bigint micros before
+    the per-doc sum (exact, partition-count-invariant). log2 is spelled
+    ``ln(x)·log2(e)`` with the constant as a fixed literal on BOTH engines
+    so the trees match bit-for-bit. OOV query terms drop.
+
+    Output: (doc_id, score_micros) top-k, ties by doc_id."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    n_docs = float(idx["n_docs"])
+    avgdl = float(idx["avgdl"])
+    post = _pruned_postings(idx, rows)
+    lam_map = spark.createDataFrame(
+        [(r["term"], float(r["cf"]) / n_docs) for r in rows],
+        "term string, lam double",
+    )
+    inv, two_pi = F.lit(PL2_INV_LN2), F.lit(PL2_TWO_PI)
+    dl_d = F.col("dl").cast("double")
+    tfn = F.col("tf").cast("double") * (
+        F.log(F.lit(1.0) + (F.lit(c) * F.lit(avgdl)) / dl_d) * inv
+    )
+    lam = F.col("lam")
+    score = (
+        tfn * (F.log(tfn / lam) * inv)
+        + (lam - tfn) * inv
+        + F.lit(0.5) * (F.log(two_pi * tfn) * inv)
+    ) / (tfn + F.lit(1.0))
+    c_micros = F.round(score * F.lit(1e6)).cast("long")
+    return (
+        post.join(F.broadcast(lam_map), "term")
+        .select("doc_id", c_micros.alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def sdm_topk(
     spark: SparkSession,
     idx: dict,

@@ -836,6 +836,49 @@ LIMIT {k}
 """
 
 
+def pl2_topk_sql(terms: list[str], k: int = 10, c: float = 1.0) -> str:
+    """Twin of serve.pl2_topk: DFR PL2 with normalization 2, same float
+    tree — tfn = tf·(ln(1 + c·avgdl/dl)·INV_LN2), λ = cf/N as one double
+    division, (tfn·(ln(tfn/λ)·INV) + (λ−tfn)·INV + 0.5·(ln(2π·tfn)·INV))
+    / (tfn+1), rounded to micros per posting before the per-doc sum. The
+    log2(e)/2π literals are the exact constants serve.PL2_INV_LN2 /
+    PL2_TWO_PI embed on the Spark side."""
+    inv, two_pi = "1.4426950408889634", "6.283185307179586"
+    uniq = list(dict.fromkeys(terms))
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY 1),
+q AS (SELECT term FROM {_terms_values(uniq)}),
+qlam AS (
+  SELECT cf.term, cf.cf::DOUBLE / n.n_docs AS lam FROM cf CROSS JOIN n
+  WHERE cf.term IN (SELECT term FROM q)
+),
+scored AS (
+  SELECT post.doc_id,
+         CAST(round((
+             tfn * (ln(tfn / lam) * {inv})
+             + (lam - tfn) * {inv}
+             + 0.5 * (ln({two_pi} * tfn) * {inv})
+           ) / (tfn + 1.0) * 1e6) AS BIGINT) AS c
+  FROM (
+    SELECT post.doc_id, post.term, qlam.lam,
+           post.tf::DOUBLE
+             * (ln(1.0 + ({c} * avg_dl.avgdl) / dls.dl::DOUBLE) * {inv}) AS tfn
+    FROM post
+    JOIN qlam USING (term)
+    JOIN dls USING (doc_id)
+    CROSS JOIN avg_dl
+  ) post
+)
+SELECT doc_id, sum(c)::BIGINT AS score_micros
+FROM scored GROUP BY 1
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def sdm_topk_sql(
     terms: list[str],
     k: int = 10,
