@@ -247,6 +247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": lambda spark, sf: serve.hybrid_rrf_topk(
             spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, k=TOPK, r=50
         ),
+        # MMR diversification: BM25 top-r recall, greedy relevance-vs-
+        # redundancy selection over embedding cosines in one bounded Arrow
+        # group (the embedding-aware diversifier beside the per-host cap)
+        "mmr_topk": lambda spark, sf: serve.mmr_topk(
+            spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, k=TOPK, r=50
+        ),
         # retrieve-then-rerank: BM25 top-50 recall, Arrow-batched surrogate
         # cross-encoder (hashed frozen weights) re-ranks the bounded
         # candidate set — the neural-serving shape with a deterministic model
@@ -1150,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_layout": oracles.zorder_layout_sql(bits=16, n_groups=64),
         "rerank_ce_topk": oracles.rerank_ce_topk_sql(BM25_TERMS, k=TOPK, n_candidates=50),
+        "mmr_topk": oracles.mmr_topk_sql(BM25_TERMS, k=TOPK, r=50),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),

@@ -53,6 +53,7 @@ HEADLINE = [
     "prf_expansion_topk",
     "hybrid_rrf_topk",
     "rerank_ce_topk",
+    "mmr_topk",
     "bm25_maxp_topk",
     "ltr_features",
     "shard_selection",

@@ -2033,6 +2033,93 @@ def compound_split(
     )
 
 
+def mmr_topk(
+    spark: SparkSession,
+    idx: dict,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    r: int = 50,
+    lam_ppm: int = 700_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR'98): greedily build the result list so each pick trades relevance
+    against redundancy with what's already shown —
+    ``argmax_d λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the
+    embedding-aware diversifier beside the per-host cap of
+    :func:`search_diversified`.
+
+    Exact-integer contract: stage 1 is the gated BM25 top-``r`` (bigint
+    micros); relevance normalizes to ppm by integer floor division against
+    the candidate max; sim is the shared quantize→int64-dot→sqrt→round
+    cosine micros; the pick score ``lam_ppm·rel_ppm − (1e6−lam_ppm)·
+    max_sim_micros`` is pure int64 (≤7e11), ties to smallest doc_id; the
+    first pick has no redundancy term (max over ∅ = 0). The DuckDB oracle
+    unrolls the k greedy steps as chained CTEs and replays every integer.
+
+    Scale shape: the corpus is touched only by the stage-1 pruned-postings
+    bounded heap; the greedy loop sees ≤ r rows in ONE Arrow group
+    (O(r²) sims, r=50 → 2,450 pairs), exactly the bounded-candidate shape
+    of :func:`rerank_ce_topk` — per-query cost is constant in corpus size,
+    and a multi-query batch parallelizes across groups.
+
+    Output: (rank, doc_id, mmr_score, bm25_micros), k rows."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_spark.operators.similarity import _micros_np, _quantize_np
+
+    cand = bm25_topk(spark, idx, query_terms, k=r).withColumnRenamed(
+        "score_micros", "bm25_micros"
+    )
+    emb = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+    feats = cand.join(emb, "doc_id")
+    lam, mu, kk = int(lam_ppm), 1_000_000 - int(lam_ppm), int(k)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"rank": [], "doc_id": [], "mmr_score": [], "bm25_micros": []}
+            ).astype("int64")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        bm = pdf["bm25_micros"].to_numpy(np.int64)
+        V = _quantize_np(np.stack(pdf["embedding"].to_numpy()))
+        rel = (bm * 1_000_000) // int(bm.max())
+        dot = V @ V.T  # int64-exact: 64 dims × 1e12/term < 2^63
+        nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+        sim = _micros_np(1e6 * dot.astype(np.float64) / np.outer(nrm, nrm))
+        n = len(ids)
+        remaining = np.ones(n, bool)
+        sel: list[int] = []
+        ranks, out_ids, scores, bms = [], [], [], []
+        for rank in range(1, min(kk, n) + 1):
+            msim = (
+                sim[:, sel].max(axis=1) if sel else np.zeros(n, np.int64)
+            )
+            score = lam * rel - mu * msim
+            m = score[remaining].max()
+            tied = np.where((score == m) & remaining)[0]
+            pick = int(tied[np.argmin(ids[tied])])
+            remaining[pick] = False
+            sel.append(pick)
+            ranks.append(rank)
+            out_ids.append(int(ids[pick]))
+            scores.append(int(score[pick]))
+            bms.append(int(bm[pick]))
+        return pd.DataFrame(
+            {"rank": ranks, "doc_id": out_ids, "mmr_score": scores, "bm25_micros": bms}
+        ).astype({"rank": "int32", "doc_id": "int64", "mmr_score": "int64", "bm25_micros": "int64"})
+
+    return (
+        feats.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: greedy(pdf),
+            "rank int, doc_id long, mmr_score long, bm25_micros long",
+        )
+        .orderBy("rank")
+    )
+
+
 def rerank_ce_topk(
     spark: SparkSession,
     idx: dict,

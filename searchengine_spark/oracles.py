@@ -4404,6 +4404,63 @@ LIMIT {n}
 """
 
 
+def mmr_topk_sql(
+    terms: list[str], k: int = 10, r: int = 50, lam_ppm: int = 700_000
+) -> str:
+    """Twin of serve.mmr_topk: the k greedy MMR steps unrolled as chained
+    CTEs (the kmeans/sdm unrolling pattern). Every quantity is the same
+    integer the Spark side computes: BM25 micros candidates, floor-division
+    ppm relevance, quantized cosine micros sims, int64 pick scores, ties to
+    smallest doc_id; step 1 has no redundancy term."""
+    lam, mu = int(lam_ppm), 1_000_000 - int(lam_ppm)
+    steps, sels = [], ["sel1"]
+    for i in range(2, k + 1):
+        steps.append(f"""
+sel{i} AS MATERIALIZED (
+  SELECT rel.doc_id, rel.bm25_micros,
+         {lam} * rel.rel_ppm - {mu} * (
+           SELECT max(sim.s) FROM sim JOIN picked{i - 1} p
+           ON sim.da = rel.doc_id AND sim.db = p.doc_id
+         ) AS mmr_score, {i}::INT AS rank
+  FROM rel
+  WHERE rel.doc_id NOT IN (SELECT doc_id FROM picked{i - 1})
+  ORDER BY mmr_score DESC, rel.doc_id ASC LIMIT 1
+),
+picked{i} AS MATERIALIZED (
+  SELECT doc_id FROM picked{i - 1} UNION ALL SELECT doc_id FROM sel{i}
+)""")
+        sels.append(f"sel{i}")
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, doc_id, mmr_score, bm25_micros FROM {s}" for s in sels
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms)},
+cand AS MATERIALIZED (
+  SELECT doc_id, score_micros AS bm25_micros FROM scores
+  ORDER BY score_micros DESC, doc_id ASC LIMIT {r}
+),
+qe AS (SELECT vec_id AS doc_id, {_QUANT_EMB} AS v FROM embeddings),
+c AS (SELECT cand.doc_id, cand.bm25_micros, qe.v FROM cand JOIN qe USING (doc_id)),
+mx AS (SELECT max(bm25_micros) AS m FROM c),
+rel AS MATERIALIZED (
+  SELECT doc_id, bm25_micros, (bm25_micros * 1000000) // mx.m AS rel_ppm
+  FROM c CROSS JOIN mx
+),
+sim AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db, {_cos_micros_sql("a.v", "b.v")} AS s
+  FROM c a JOIN c b ON a.doc_id <> b.doc_id
+),
+sel1 AS MATERIALIZED (
+  SELECT doc_id, bm25_micros, {lam} * rel_ppm AS mmr_score, 1::INT AS rank
+  FROM rel ORDER BY mmr_score DESC, doc_id ASC LIMIT 1
+),
+picked1 AS MATERIALIZED (SELECT doc_id FROM sel1),{",".join(steps)}
+SELECT rank, doc_id, mmr_score, bm25_micros FROM ({union})
+ORDER BY rank
+"""
+
+
 def knn_graph_sql(
     k: int = 3,
     n_planes: int = 16,
