@@ -633,6 +633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema-on-read JSON property extraction + exact histogram
         "events_json_stats": relational.events_json_stats,
         "events_asof_prior": relational.events_asof_prior,
+        # interval (time-bounded) join: multi-touch click→purchase
+        # attribution; the streaming twin runs the identical join as a
+        # watermarked stream-stream join (streaming==batch pytest-pinned)
+        "events_attribution": lambda spark, sf: relational.events_attribution(
+            spark, sf, window_min=360
+        ),
         "events_quantiles": relational.events_quantiles,
         # mergeable equi-width histogram sketch + interpolated quantiles
         # (the distributed alternative to the exact sort-based gate above)
@@ -1243,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": oracles.retention_cohorts_sql(),
         "events_json_stats": oracles.events_json_stats_sql(bucket_width=10),
         "events_asof_prior": oracles.events_asof_prior_sql(),
+        "events_attribution": oracles.events_attribution_sql(window_min=360),
         "events_quantiles": oracles.events_quantiles_sql(),
         "hist_quantiles": oracles.hist_quantiles_sql(),
         "events_pivot_by_type": oracles.events_pivot_sql(),

@@ -174,6 +174,43 @@ def events_asof_prior(spark: SparkSession, sf_dir: str, anchor_type: str = "purc
     )
 
 
+def events_attribution(
+    spark: SparkSession, sf_dir: str, window_min: int = 30
+) -> DataFrame:
+    """Interval (time-bounded) join — the attribution primitive beside the
+    as-of lookup: every (click, purchase) pair of the same user with the
+    purchase inside ``[click_ts, click_ts + window_min]`` (all qualifying
+    pairs, multi-touch; first/last-touch are a groupBy away).
+
+    Scale shape: user-keyed equi-join (co-partitioned shuffle, never a
+    time-range cross join — the range predicate evaluates inside each
+    user's partition, and a user's events are bounded). The streaming twin
+    (streaming/ingest.stream_attribution) runs the IDENTICAL join as a
+    watermarked stream-stream join; tests pin streaming == batch.
+
+    Output: (click_id, purchase_id, user_id, gap_micros)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    return (
+        clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr(f"INTERVAL {window_min} MINUTES"))
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, cts, pts)").alias("gap_micros"),
+        )
+    )
+
+
 def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-rank quantiles per event_type over integer micros. Explicit
     row_number definition (value at row ceil(q·n)) instead of interpolating

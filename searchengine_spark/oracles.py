@@ -1350,6 +1350,25 @@ FROM marked WHERE event_type = '{anchor_type}'
 """
 
 
+def events_attribution_sql(window_min: int = 30) -> str:
+    """Twin of relational.events_attribution: the user-keyed interval join,
+    gap in exact microseconds."""
+    return f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+  WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT click_id, purchase_id, user_id,
+       date_diff('microsecond', cts, pts)::BIGINT AS gap_micros
+FROM c JOIN p USING (user_id)
+WHERE pts >= cts AND pts <= cts + INTERVAL {window_min} MINUTE
+"""
+
+
 def events_quantiles_sql() -> str:
     # nearest-rank (value at row ceil(q*n)) — same definition as the Spark
     # side; interpolating quantile functions differ across engines by ULPs

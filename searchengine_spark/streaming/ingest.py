@@ -141,6 +141,66 @@ def stream_dedup_pages(
     )
 
 
+def stream_attribution(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "attribution_stream",
+    window_min: int = 30,
+):
+    """Watermarked stream-stream interval join — the streaming twin of
+    operators/relational.events_attribution: clicks joined to same-user
+    purchases that land within ``window_min`` minutes of the click.
+
+    This is the one join class batch DataFrames can't model online: BOTH
+    sides arrive continuously, so each side buffers state and the
+    time-interval condition + watermarks bound it — a click's state is
+    droppable once the watermark passes click_ts + window (no purchase can
+    match it anymore), a purchase's once it passes purchase_ts. Append mode
+    emits each matched pair exactly once. Output schema and every value are
+    identical to the batch twin (tests pin streaming == batch)."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def side(event_type: str, idc: str, tsc: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(idc),
+                "user_id",
+                F.col("ts").alias(tsc),
+            )
+            .withWatermark(tsc, "2 hours")
+        )
+
+    clicks = side("click", "click_id", "cts")
+    purchases = side("purchase", "purchase_id", "pts")
+    joined = (
+        clicks.alias("c")
+        .join(
+            purchases.alias("p"),
+            F.expr(
+                f"""c.user_id = p.user_id AND
+                    pts >= cts AND pts <= cts + INTERVAL {window_min} MINUTES"""
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("c.user_id").alias("user_id"),
+            F.expr("timestampdiff(MICROSECOND, cts, pts)").alias("gap_micros"),
+        )
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_trending(
     spark: SparkSession,
     events_dir: str,

@@ -260,3 +260,24 @@ def test_stream_trending_equals_batch_gate(spark, tmp_path):
     assert streamed
     batch = trending_topk(spark, events_dir, window_min=360, slide_min=60, k=3).collect()
     assert {tuple(r) for r in streamed} == {tuple(r) for r in batch}
+
+
+def test_stream_attribution_equals_batch_gate(spark, tmp_path):
+    """The drained watermarked stream-stream interval join must equal the
+    batch events_attribution gate row-for-row — the streaming==batch
+    contract for the two-sided-state join family."""
+    from searchengine_spark.operators.relational import events_attribution
+    from searchengine_spark.streaming.ingest import stream_attribution
+
+    events_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events")
+    spark.read.parquet(f"{events_dir}/events.parquet").write.parquet(src)
+    ckpt = str(tmp_path / "ackpt")
+
+    q = stream_attribution(spark, src, ckpt, queryName="t_attr", window_min=360)
+    q.processAllAvailable()
+    streamed = spark.sql("SELECT * FROM t_attr").collect()
+    q.stop()
+    assert streamed
+    batch = events_attribution(spark, events_dir, window_min=360).collect()
+    assert {tuple(r) for r in streamed} == {tuple(r) for r in batch}
