@@ -686,3 +686,44 @@ def test_knn_graph_co_keyed_join_no_cartesian(spark):
     plan = plan_of(knn_graph(emb, k=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pl2_topk_plan_shape(spark):
+    """PL2 must share the BM25 serving shape: broadcast lambda-map join,
+    bounded top-k heap, no window, no corpus-side shuffle join."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    plan = plan_of(serve.pl2_topk(spark, idx, ["spark", "hash", "join"], k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_attribution_plan_no_range_explosion(spark):
+    """The interval join must be the user-keyed equi-join with the range
+    predicate evaluated inside partitions — never a time-range cross
+    join (BroadcastNestedLoopJoin / CartesianProduct)."""
+    from searchengine_spark.operators.relational import events_attribution
+
+    plan = plan_of(events_attribution(spark, SF_DIR, window_min=360))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_topk_corpus_side_is_bounded(spark):
+    """MMR's expensive stage (the Arrow greedy group) must sit above the
+    bounded BM25 top-r, and candidate enrichment must not cross-join:
+    no cartesian anywhere, exactly one Python/Arrow group stage."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+    from searchengine_spark.sources.tables import load_table
+
+    idx = gate_index(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(serve.mmr_topk(spark, idx, emb, ["spark", "hash", "join"], k=10, r=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # the stage-1 candidate heap
