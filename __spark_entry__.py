@@ -148,6 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_pruned": lambda spark, sf: serve.bm25_topk_pruned(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK, max_postings=64
         ),
+        # Lucene-explain-style relevance debugging: per-(doc, term)
+        # contribution breakdown of the top-k, one shared contrib expr with
+        # the ranking path so explain can never drift from it
+        "bm25_explain": lambda spark, sf: serve.bm25_explain(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
         # cursor (search_after) deep paging: page 3 via chained k-row
         # cursors — no offset sort at any page depth
         "bm25_page3": lambda spark, sf: serve.bm25_page(
@@ -1074,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
             BM25_TERMS, k=TOPK, max_postings=64
         ),
         "bm25_page3": oracles.bm25_page_sql(BM25_TERMS, page=3, k=TOPK),
+        "bm25_explain": oracles.bm25_explain_sql(BM25_TERMS, k=TOPK),
         "tfidf_topk": oracles.tfidf_topk_sql(TFIDF_TERMS, k=TOPK),
         "bm25_batch_topk": oracles.bm25_batch_topk_sql(BATCH_QUERIES, k=TOPK),
         "hard_negatives": oracles.hard_negatives_sql(BATCH_QUERIES, k=TOPK),

@@ -39,6 +39,7 @@ HEADLINE = [
     "bm25_topk_maxscore",
     "bm25_topk_pruned",
     "bm25_batch_topk",
+    "bm25_explain",
     "hard_negatives",
     "rank_metrics",
     "qpp_predictors",

@@ -120,6 +120,47 @@ def bm25_topk(
     )
 
 
+def bm25_explain(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Lucene-``explain``-style score breakdown: for each top-k document,
+    one row per matched query term carrying the integers that produced the
+    ranking — (doc_id, term, tf, df, contrib_micros, score_micros). The
+    relevance-debugging surface every production engine ships beside its
+    ranker; a row's contribs sum exactly to its score by construction.
+
+    Plan shape: the SAME pruned-postings scan + broadcast lexicon join as
+    :func:`bm25_scores` (one shared `_bm25_contrib` expression, so explain
+    can never drift from the ranking it explains), a bounded top-k heap on
+    the per-doc sums, and a broadcast semi-join back onto the ≤ k·|q|
+    contribution rows. Zero corpus scans."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, term string, tf long, df long, "
+            "contrib_micros long, score_micros long",
+        )
+    post = _pruned_postings(idx, rows)
+    contrib = _bm25_contrib(idx["avgdl"])
+    scored = post.join(F.broadcast(_lex_df(spark, rows)), "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "df",
+        F.round(contrib * 1e6).cast("long").alias("contrib_micros"),
+    )
+    topk = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return scored.join(F.broadcast(topk), "doc_id").select(
+        "doc_id", "term", "tf", "df", "contrib_micros", "score_micros"
+    )
+
+
 def bm25_search_after(
     spark: SparkSession,
     idx: dict,

@@ -108,6 +108,48 @@ LIMIT {k}
 """
 
 
+def bm25_explain_sql(
+    terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of serve.bm25_explain: the per-(doc, term) contribution rows of
+    the top-k docs — same idf/contrib float tree as _bm25_scores_cte."""
+    uniq = list(dict.fromkeys(terms))
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+q AS (SELECT term FROM {_terms_values(uniq)}),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM q)
+),
+det AS (
+  SELECT post.doc_id, post.term, post.tf::BIGINT AS tf, lex.df,
+         CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS contrib_micros
+  FROM post
+  JOIN q ON post.term = q.term
+  JOIN idf ON post.term = idf.term
+  JOIN lex ON post.term = lex.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+),
+topk AS (
+  SELECT doc_id, sum(contrib_micros)::BIGINT AS score_micros
+  FROM det GROUP BY 1
+  ORDER BY score_micros DESC, doc_id ASC LIMIT {k}
+)
+SELECT det.doc_id, det.term, det.tf, det.df, det.contrib_micros, topk.score_micros
+FROM det JOIN topk USING (doc_id)
+"""
+
+
 def bm25_page_sql(
     terms: list[str], page: int, k: int = 10, k1: float = 1.2, b: float = 0.75
 ) -> str:
