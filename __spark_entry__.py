@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_search_any": lambda spark, sf: serve.term_search_any(
             spark, gate_index(spark, sf), ALL_TERMS
         ),
+        # significant-terms hit-set mining (ES JLH): what the result set is
+        # about — foreground df over the hit docs vs lexicon background df
+        "significant_terms": lambda spark, sf: serve.significant_terms(
+            spark, gate_index(spark, sf), BM25_TERMS, k=20
+        ),
         "term_search_except": lambda spark, sf: serve.term_search_except(
             spark, gate_index(spark, sf), ALL_TERMS[:2], [ALL_TERMS[2]]
         ),
@@ -1098,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "ltr_features": oracles.ltr_features_sql(BM25_TERMS),
         "shard_selection": oracles.shard_selection_sql(BM25_TERMS, n_shards=8),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
+        "significant_terms": oracles.significant_terms_sql(BM25_TERMS, k=20),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "boolean_query": _boolean_query_sql(),
         "facet_counts": oracles.facet_counts_sql(BM25_TERMS),

@@ -2252,3 +2252,66 @@ def rerank_ce_topk(
         score, "doc_id long, ce_micros long, bm25_micros long"
     )
     return scored.orderBy(F.desc("ce_micros"), F.asc("doc_id")).limit(k)
+
+
+def significant_terms(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """Significant-terms aggregation (Elasticsearch ``significant_terms`` /
+    JLH): terms overrepresented in the query's HIT SET relative to the whole
+    corpus — "what is this result set about?" The text-analytics sibling of
+    facet_counts (which histograms metadata; this mines the content itself).
+
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)   [JLH]
+      fg_pct = fg_df / n_hits   (term's doc freq within the hit set)
+      bg_pct = bg_df / n_docs   (term's corpus doc freq, from the lexicon)
+
+    Physical plan (scale shape): the hit set comes from the PRUNED postings
+    scan of the query terms (partition pruning, |q| buckets); the foreground
+    pass joins postings to the hit set doc_id-keyed — work proportional to
+    the postings OF THE HIT DOCS, exactly what ES pays per shard; background
+    df is a lexicon point read, never a second corpus scan. n_hits is an
+    in-plan 1-row broadcast aggregate (no driver collect). Candidates where
+    fg_pct <= bg_pct are dropped with an INTEGER cross-multiplication
+    predicate (fg_df*n_docs > bg_df*n_hits) so the keep/drop boundary can
+    never float-drift between engines; only the reported score is float,
+    rounded once to micros. Query terms themselves are excluded (they are
+    trivially significant). Top-k is a bounded TakeOrderedAndProject.
+
+    Reference analog: SearchService.java's result pages only histogram
+    metadata; this is the §2.8 aggregate family extended to hit-set mining.
+    """
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score_micros long"
+        )
+    hits = _pruned_postings(idx, rows).select("doc_id").distinct()
+    n_docs = int(idx["n_docs"])
+    fg = (
+        idx["postings"]
+        .select("term", "doc_id")
+        .join(hits, "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    lex = idx["lexicon"].select("term", F.col("df").alias("bg_df"))
+    uniq = list(dict.fromkeys(query_terms))
+    fg_pct = F.col("fg_df").cast("double") / F.col("n_hits").cast("double")
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(n_docs))
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        fg.join(lex, "term")
+        .crossJoin(F.broadcast(nh))
+        .filter(~F.col("term").isin(uniq))
+        .filter(F.col("fg_df") * F.lit(n_docs) > F.col("bg_df") * F.col("n_hits"))
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round(score * 1e6).cast("long").alias("score_micros"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc("term"))
+        .limit(k)
+    )

@@ -4566,3 +4566,35 @@ SELECT vec_id, rank, neighbor_id, cosine_micros FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def significant_terms_sql(terms: list[str], k: int = 20) -> str:
+    """JLH significant-terms over the hit set of ``terms`` (serve.py twin:
+    same integer keep/drop cross-multiplication, same float op order)."""
+    return f"""
+WITH {_TOKENS_CTE},
+q AS (SELECT term FROM {_terms_values(terms)}),
+hits AS (
+  SELECT DISTINCT doc_id FROM post WHERE term IN (SELECT term FROM q)
+),
+nh AS (SELECT count(*)::BIGINT AS n_hits FROM hits),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df
+  FROM post JOIN hits USING (doc_id) GROUP BY 1
+),
+lex AS (SELECT term, count(*)::BIGINT AS bg_df FROM post GROUP BY 1)
+SELECT fg.term, fg.fg_df, lex.bg_df,
+       CAST(round(((fg.fg_df / CAST(nh.n_hits AS DOUBLE))
+                   - (lex.bg_df / CAST(n.n_docs AS DOUBLE)))
+                  * ((fg.fg_df / CAST(nh.n_hits AS DOUBLE))
+                     / (lex.bg_df / CAST(n.n_docs AS DOUBLE)))
+                  * 1e6) AS BIGINT) AS score_micros
+FROM fg
+JOIN lex ON fg.term = lex.term
+CROSS JOIN nh CROSS JOIN n
+WHERE fg.term NOT IN (SELECT term FROM q)
+  AND fg.fg_df * n.n_docs > lex.bg_df * nh.n_hits
+ORDER BY score_micros DESC, fg.term ASC
+LIMIT {k}
+"""

@@ -399,3 +399,24 @@ def test_sdm_drops_oov_terms(spark, idx):
     base = serve.sdm_topk(spark, idx, TERMS, k=10).collect()
     oov = serve.sdm_topk(spark, idx, TERMS + ["zzzneverseen"], k=10).collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in oov]
+
+
+def test_significant_terms_properties(spark, idx):
+    """Query terms are excluded; every reported term's hit-set rate strictly
+    exceeds its corpus rate (the integer cross-multiplication predicate);
+    scores are positive and sorted."""
+    from searchengine_spark.operators import serve
+
+    rows = serve.significant_terms(spark, idx, TERMS, k=20).collect()
+    assert rows, "non-empty at sf0.001"
+    n_docs = idx["n_docs"]
+    n_hits = (
+        serve.term_search_any(spark, idx, TERMS).count()
+    )
+    scores = [r["score_micros"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["term"] not in TERMS
+        assert r["score_micros"] > 0
+        assert r["fg_df"] * n_docs > r["bg_df"] * n_hits
+        assert r["fg_df"] <= r["bg_df"]
