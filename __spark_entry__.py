@@ -46,6 +46,8 @@ BOOL_QUERY = "(spark AND stream) OR (hash AND NOT join)"
 SYNONYM_GROUPS = {"g_sortmerge": ["sort", "merge"], "g_streamwin": ["stream", "window"]}
 # MoreLikeThis gate: any corpus doc works; 3 exists at every sf
 MLT_DOC = 3
+# term-vectors gate: a handful of point-lookup docs spanning buckets
+TV_DOCS = [3, 10, 41]
 # rendezvous-routing gate: shard count (the S→S+1 property is pytest-only)
 N_SHARDS_ROUTE = 5
 
@@ -272,6 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # about — foreground df over the hit docs vs lexicon background df
         "significant_terms": lambda spark, sf: serve.significant_terms(
             spark, gate_index(spark, sf), BM25_TERMS, k=20
+        ),
+        # forward-index point lookup (Lucene TermVectors): per-doc stored
+        # (term, tf, positions) from the doc-bucketed docvecs table
+        "term_vectors": lambda spark, sf: serve.term_vectors(
+            spark, gate_index(spark, sf), TV_DOCS
         ),
         "term_search_except": lambda spark, sf: serve.term_search_except(
             spark, gate_index(spark, sf), ALL_TERMS[:2], [ALL_TERMS[2]]
@@ -1104,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_selection": oracles.shard_selection_sql(BM25_TERMS, n_shards=8),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "significant_terms": oracles.significant_terms_sql(BM25_TERMS, k=20),
+        "term_vectors": oracles.term_vectors_sql(TV_DOCS),
         "term_search_except": oracles.term_search_except_sql(ALL_TERMS[:2], [ALL_TERMS[2]]),
         "boolean_query": _boolean_query_sql(),
         "facet_counts": oracles.facet_counts_sql(BM25_TERMS),

@@ -4598,3 +4598,23 @@ WHERE fg.term NOT IN (SELECT term FROM q)
 ORDER BY score_micros DESC, fg.term ASC
 LIMIT {k}
 """
+
+
+def term_vectors_sql(doc_ids: list[int]) -> str:
+    """Forward-index term vectors for ``doc_ids``: tf + sorted CSV of raw
+    split-array positions (empties retained — the posexplode contract)."""
+    ids = ", ".join(str(int(d)) for d in sorted(set(doc_ids)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t
+  FROM documents WHERE doc_id IN ({ids})
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+)
+SELECT doc_id, term, count(*)::BIGINT AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions_csv
+FROM pos WHERE term <> ''
+GROUP BY doc_id, term
+"""

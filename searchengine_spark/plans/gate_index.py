@@ -43,7 +43,7 @@ from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
 from searchengine_spark.operators.ir import idf_bm25_expr, idf_compat_expr
 from searchengine_spark.sources.tables import load_table
 
-GATE_INDEX_VERSION = 2  # v2: term bloom filters on postings/segments files
+GATE_INDEX_VERSION = 3  # v3: + docvecs forward index (stored term vectors)
 N_BUCKETS = 64
 
 # in-memory cache: (spark appId, digest) -> handles dict
@@ -94,6 +94,20 @@ def build_gate_index(spark: SparkSession, sf_dir: str, base: str) -> None:
         "bucket"
     ).parquet(os.path.join(base, "postings"))
     post = spark.read.parquet(os.path.join(base, "postings"))
+
+    # docvecs: the FORWARD index (Lucene stored term vectors) — the same
+    # (doc, term, tf, positions) rows re-bucketed by doc_id so a per-doc
+    # point lookup prunes to ONE directory instead of scanning every term
+    # bucket. Serves term_vectors / MoreLikeThis-style doc fetches.
+    post.select(
+        F.pmod(F.col("doc_id"), F.lit(N_BUCKETS)).cast("int").alias("dbucket"),
+        "doc_id",
+        "term",
+        "tf",
+        "positions",
+    ).write.mode("overwrite").partitionBy("dbucket").parquet(
+        os.path.join(base, "docvecs")
+    )
 
     # scalars (one tiny narrow agg over the documents scan)
     stats = dls.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).collect()[0]
@@ -163,6 +177,7 @@ def gate_index(spark: SparkSession, sf_dir: str) -> dict:
         "postings": spark.read.parquet(os.path.join(base, "postings")),
         "lexicon": spark.read.parquet(os.path.join(base, "lexicon")),
         "segments": spark.read.parquet(os.path.join(base, "segments")),
+        "docvecs": spark.read.parquet(os.path.join(base, "docvecs")),
         "n_docs": n_docs,
         "sum_dl": int(meta["sum_dl"]),
         "avgdl": (float(meta["sum_dl"]) / float(n_docs)) if n_docs else 1.0,

@@ -420,3 +420,23 @@ def test_significant_terms_properties(spark, idx):
         assert r["score_micros"] > 0
         assert r["fg_df"] * n_docs > r["bg_df"] * n_hits
         assert r["fg_df"] <= r["bg_df"]
+
+
+def test_term_vectors_matches_postings(spark, idx):
+    """The forward index is the inverted index re-bucketed: per-doc (term,
+    tf) sets must agree exactly between docvecs and postings."""
+    from searchengine_spark.operators import serve
+
+    ids = [3, 10, 41]
+    tv = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in serve.term_vectors(spark, idx, ids).collect()
+    }
+    post = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in idx["postings"]
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "term", "tf")
+        .collect()
+    }
+    assert tv == post and tv
