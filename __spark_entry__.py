@@ -32,6 +32,9 @@ PHRASE = ["hash", "join"]
 COMPAT_QUERY = "hash join window"
 COMPAT_TERMS = ["hash", "join", "window"]
 FUZZY_WORD = "spack"  # ED-1 from "spark" (and "stack"): exercises substitution
+# corrected-search gate: one substitution typo, one deletion typo, one
+# in-vocab word (its own distance-0 winner), one unfixable OOV (drops out)
+CORRECTED_QUERY = "spack joim window qqqqzz"
 COMPOUND_WORD = "hashjoin"  # OOV concatenation of two dictionary terms
 # batch-evaluation gate: three queries (incl. overlapping terms) in one pass
 BATCH_QUERIES = {
@@ -398,6 +401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle brute-forces levenshtein over the vocabulary
         "fuzzy_suggest": lambda spark, sf: serve.fuzzy_suggest(
             spark, gate_index(spark, sf), FUZZY_WORD, k=5
+        ),
+        # the composed query-understanding pipeline: per-word top-1 fuzzy
+        # correction (one deletion-key pass), then BM25 over the corrected
+        # term set — typos fixed, unfixable words dropped
+        "corrected_search": lambda spark, sf: serve.corrected_search(
+            spark, gate_index(spark, sf), CORRECTED_QUERY, k=TOPK
         ),
         # query segmentation: OOV word split into two dictionary terms,
         # ranked by the weaker half's corpus frequency
@@ -1161,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
         "symbol_rank": _symbol_rank_sql(),
         "ident_subtokens": oracles.ident_subtokens_sql(),
         "fuzzy_suggest": oracles.fuzzy_suggest_sql(FUZZY_WORD, k=5),
+        "corrected_search": oracles.corrected_search_sql(CORRECTED_QUERY, k=TOPK),
         "compound_split": oracles.compound_split_sql(COMPOUND_WORD, k=5),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "doc_keywords": oracles.doc_keywords_sql(k=3),

@@ -2344,3 +2344,27 @@ def term_vectors(
         F.transform(F.array_sort("positions"), lambda p: p.cast("string")), ","
     )
     return dv.select("doc_id", "term", "tf", pos_csv.alias("positions_csv"))
+
+
+def corrected_search(
+    spark: SparkSession, idx: dict, query: str, k: int = 10
+) -> DataFrame:
+    """Spell-corrected search: the query-understanding front-end composed
+    end-to-end — every query word is replaced by its top fuzzy_suggest
+    candidate (Levenshtein<=1, ranked dist asc / corpus freq desc / term
+    asc; an in-vocabulary word is its own distance-0 winner, so no special
+    case), then BM25 top-k runs over the corrected term set. Words with no
+    ED<=1 neighbor in the lexicon drop out, like a term the analyzer
+    produced but the index never saw.
+
+    Scale shape: correction is ONE SymSpell deletion-key pass for the whole
+    word set (fuzzy_suggest_multi) collected to the driver — ≤|q| rows, the
+    same bounded point-lookup contract as _qlex — then the standard pruned
+    index serve. No vocabulary scan, no corpus scan.
+    """
+    words = [w for w in query.lower().split() if w]
+    corr = fuzzy_suggest_multi(spark, idx, words, k=1).collect()
+    corrected = list(dict.fromkeys(r["term"] for r in corr))
+    if not corrected:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    return bm25_topk(spark, idx, corrected, k=k)

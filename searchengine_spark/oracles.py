@@ -62,16 +62,23 @@ GROUP BY term, n.n_docs
 
 
 def _bm25_scores_cte(
-    terms: list[str], k1: float = 1.2, b: float = 0.75, postings_rel: str = "post"
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings_rel: str = "post",
+    q_cte: str | None = None,
 ) -> str:
     """CTE chain (appended after _TOKENS_CTE) ending in
     ``scores(doc_id, score_micros)`` — shared by every BM25-scored oracle.
     ``postings_rel`` swaps the relation the SCORING pass reads (the pruned
     oracle scores a truncated list while df/idf stay full-index, exactly as
-    static pruning does); it is aliased back to ``post`` inside."""
+    static pruning does); it is aliased back to ``post`` inside.
+    ``q_cte`` replaces the literal VALUES query-term set with a SELECT
+    (e.g. the spell-corrected term set) — it must yield a ``term`` column."""
+    q_body = q_cte or f"SELECT term FROM {_terms_values(terms)}"
     return f"""n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
 avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
-q AS (SELECT term FROM {_terms_values(terms)}),
+q AS ({q_body}),
 lex AS (
   SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
 ),
@@ -4617,4 +4624,31 @@ SELECT doc_id, term, count(*)::BIGINT AS tf,
        array_to_string(list_sort(list(pos)), ',') AS positions_csv
 FROM pos WHERE term <> ''
 GROUP BY doc_id, term
+"""
+
+
+def corrected_search_sql(query: str, k: int = 10) -> str:
+    """Twin of serve.corrected_search: brute-force Levenshtein top-1
+    correction per query word (the fuzzy_suggest ranking contract), then
+    the shared BM25 scores CTE over the DISTINCT corrected term set."""
+    words = [w.replace("'", "''") for w in query.lower().split() if w]
+    vals = ", ".join(f"('{w}')" for w in words)
+    corr_q = "SELECT DISTINCT term FROM corr WHERE r = 1"
+    return f"""
+WITH {_TOKENS_CTE},
+qwords AS (SELECT word FROM (VALUES {vals}) AS w(word)),
+vocab AS (SELECT term, count(*)::BIGINT AS cnt FROM terms GROUP BY 1),
+corr AS (
+  SELECT qwords.word, vocab.term,
+         row_number() OVER (
+           PARTITION BY qwords.word
+           ORDER BY levenshtein(vocab.term, qwords.word) ASC,
+                    vocab.cnt DESC, vocab.term ASC
+         ) AS r
+  FROM qwords JOIN vocab ON levenshtein(vocab.term, qwords.word) <= 1
+),
+{_bm25_scores_cte([], q_cte=corr_q)}
+SELECT doc_id, score_micros FROM scores
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
 """
