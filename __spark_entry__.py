@@ -487,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the index lifecycle end-to-end: crawl delta -> tombstone-delete ->
         # delta encode -> merge == full rebuild of the new snapshot
         "incremental_reindex": lambda spark, sf: _incremental_reindex(spark, sf),
+        # tiered merge policy (Lucene TieredMergePolicy shape): which
+        # same-size-tier segments merge next, full groups only
+        "compaction_plan": lambda spark, sf: _compaction_plan(spark, sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda spark, sf: similarity.ann_bruteforce_topk(
             emb(spark, sf), n_queries=8, k=5
@@ -911,6 +914,12 @@ def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_build_postings(_docs(spark, sf_dir), shard_span=64)
 
 
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.segments import compaction_plan
+
+    return compaction_plan(_docs(spark, sf_dir), shard_span=16, merge_factor=4)
+
+
 def _training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.plans.prepare import prepare_training_chunks
 
@@ -1238,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         # the merged-and-decoded segments must equal the corpus tokenization
         "incremental_merge_postings": oracles.postings_sql(),
         "incremental_reindex": oracles.incremental_reindex_sql(),
+        "compaction_plan": oracles.compaction_plan_sql(shard_span=16, merge_factor=4),
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
         "image_features": oracles.image_features_sql(),
         "audio_features": oracles.audio_features_sql(),

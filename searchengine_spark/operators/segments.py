@@ -834,3 +834,54 @@ def compact_generations(generations: dict[str, DataFrame], plan: list[list[str]]
         if name not in grouped:
             merged[name] = df
     return merged
+
+
+def compaction_plan(
+    docs: DataFrame, shard_span: int = 16, merge_factor: int = 4
+) -> DataFrame:
+    """Tiered segment-merge planning (Lucene ``TieredMergePolicy`` shape):
+    group same-size-tier segments into merges of ``merge_factor``, leaving
+    each tier's remainder to wait for future flushes — the policy that keeps
+    a rolling index's segment count O(merge_factor · log(total/flush)).
+
+    One merge output row per (merge, member): (tier, merge_seq, segment_id,
+    size_tokens, merge_total). Tier is the INTEGER log2 of the segment size
+    via ``length(bin(size)) - 1`` — exact in both engines, no float-boundary
+    drift at powers of two. Within a tier, segments pack into merges in
+    (size desc, segment_id asc) order; only full groups of ``merge_factor``
+    are scheduled.
+
+    The size statistic here is the segment's token count (sum of doc_len
+    over its doc range): deterministic from the corpus, so the DuckDB twin
+    recomputes it and the policy logic is hash-gated end-to-end. In
+    production the same planner runs over the per-segment byte/row stats the
+    build persists in its lineage manifest (plans/lineage.py) — swap the
+    stats source, keep the plan. Scale shape: the stats table has one row
+    per segment (corpus_size/shard_span); every window is partitioned by
+    tier over that bounded table — nothing here touches postings.
+    """
+    from searchengine_spark.functions.tokenize import doc_len
+    from pyspark.sql import Window
+
+    stats = (
+        docs.select(
+            F.expr(f"doc_id div {int(shard_span)}").alias("segment_id"),
+            doc_len(F.col("text")).alias("dl"),
+        )
+        .groupBy("segment_id")
+        .agg(F.sum("dl").cast("long").alias("size_tokens"))
+    )
+    tier = (F.length(F.bin(F.col("size_tokens"))) - 1).cast("int")
+    w = Window.partitionBy("tier").orderBy(
+        F.desc("size_tokens"), F.asc("segment_id")
+    )
+    ranked = stats.withColumn("tier", tier).withColumn(
+        "merge_seq", ((F.row_number().over(w) - 1) / F.lit(merge_factor)).cast("long")
+    )
+    grp = Window.partitionBy("tier", "merge_seq")
+    return (
+        ranked.withColumn("n_members", F.count(F.lit(1)).over(grp))
+        .withColumn("merge_total", F.sum("size_tokens").over(grp).cast("long"))
+        .filter(F.col("n_members") == merge_factor)
+        .select("tier", "merge_seq", "segment_id", "size_tokens", "merge_total")
+    )

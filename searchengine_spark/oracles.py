@@ -4652,3 +4652,39 @@ SELECT doc_id, score_micros FROM scores
 ORDER BY score_micros DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def compaction_plan_sql(shard_span: int = 16, merge_factor: int = 4) -> str:
+    """Twin of segments.compaction_plan: integer-log2 tiers via
+    length(bin(size))-1, (size desc, segment_id asc) packing, full groups
+    of merge_factor only."""
+    return f"""
+WITH dls AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                         x -> x <> ''))::BIGINT AS dl
+  FROM documents
+),
+stats AS (
+  SELECT (doc_id // {shard_span})::BIGINT AS segment_id,
+         sum(dl)::BIGINT AS size_tokens
+  FROM dls GROUP BY 1
+),
+ranked AS (
+  SELECT segment_id, size_tokens,
+         (length(bin(size_tokens)) - 1)::INT AS tier,
+         ((row_number() OVER (
+             PARTITION BY (length(bin(size_tokens)) - 1)
+             ORDER BY size_tokens DESC, segment_id ASC) - 1)
+          // {merge_factor})::BIGINT AS merge_seq
+  FROM stats
+),
+grouped AS (
+  SELECT tier, merge_seq, segment_id, size_tokens,
+         count(*) OVER (PARTITION BY tier, merge_seq) AS n_members,
+         sum(size_tokens) OVER (PARTITION BY tier, merge_seq)::BIGINT AS merge_total
+  FROM ranked
+)
+SELECT tier, merge_seq, segment_id, size_tokens, merge_total
+FROM grouped WHERE n_members = {merge_factor}
+"""
