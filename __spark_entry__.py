@@ -556,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema/partitioning/Arrow machinery is real, the media libs are
         # stubbed — SURVEY/VERDICT multimodal row) ---
         "image_features": lambda spark, sf: _media_features(spark, sf, "image"),
+        # CLIP-shape cross-modal retrieval: fake image tower -> joint space
+        # -> cosine top-k against the text-embedding corpus
+        "crossmodal_topk": lambda spark, sf: _crossmodal_topk(spark, sf),
         "audio_features": lambda spark, sf: _media_features(spark, sf, "audio"),
         "video_frame_sample": lambda spark, sf: _video_frames(spark, sf),
         # --- crawl-side plumbing (S2/F12 analogs) ---
@@ -759,6 +762,19 @@ def _media_features(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
 # stop-shingle cap (dedup_ngram_jaccard gate): integer-exact in both engines
 NGRAM_DF_CAP_MIN = 16
 NGRAM_DF_CAP_DEN = 100  # cap = max(16, ceil_div(n_docs, 100))
+
+
+def _crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators import multimodal
+
+    n = _docs(spark, sf_dir).count()
+    return multimodal.crossmodal_topk(
+        spark,
+        multimodal.make_fake_media(spark, n),
+        load_table(spark, sf_dir, "embeddings"),
+        n_query_media=4,
+        k=5,
+    )
 
 
 def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": oracles.compaction_plan_sql(shard_span=16, merge_factor=4),
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
         "image_features": oracles.image_features_sql(),
+        "crossmodal_topk": oracles.crossmodal_topk_sql(n_query_media=4, k=5),
         "audio_features": oracles.audio_features_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(every_n_seconds=5),
         "fetch_pages": oracles.fetch_pages_sql(n_hosts=7),

@@ -260,3 +260,83 @@ def _byte_capped(df: DataFrame, cap_bytes: int | None) -> DataFrame:
     if n_parts > src_parts:
         df = df.repartition(n_parts)
     return df
+
+
+def crossmodal_topk(
+    spark, media: DataFrame, embeddings: DataFrame, n_query_media: int = 4, k: int = 5
+) -> DataFrame:
+    """CLIP-style cross-modal retrieval plumbing: image → (stubbed) encoder
+    → joint embedding space → cosine top-k against the embedding corpus —
+    (query_media_id, rank, neighbor_id, cosine_micros).
+
+    The "image tower" here is the deterministic fake encoder: the joint
+    64-dim vector is the 32 bytes of the fake decode's content digest
+    followed by the 32 bytes of its re-hash (a frozen random-but-stable
+    projection, same stub contract as image_features). A real CLIP tower
+    slots into the same collect point — queries are a bounded |Q|-row driver
+    constant, exactly like ann_bruteforce_topk's.
+
+    Scale shape: identical to the gated brute-force ANN — one corpus pass,
+    per-Arrow-batch int64 matmul emitting only per-batch top-k per query, a
+    final window over ≤ k·n_batches rows. Cosine is scale-invariant, so the
+    byte-valued image vector and the micros-quantized text embeddings score
+    on the shared (1e6·dot)/(√na·√nb) integer-micros tree.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.similarity import _micros_np, _quantize_np
+
+    feats = image_features(
+        media.filter(F.col("media_id") < 3 * n_query_media),
+        deterministic_fake=True,
+        media_repartition_bytes=None,
+    )
+    q_rows = sorted(
+        feats.select("media_id", "sha256").collect(), key=lambda r: r["media_id"]
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_media_id long, rank int, neighbor_id long, cosine_micros long"
+        )
+
+    def _joint(hx: str) -> list[int]:
+        return list(bytes.fromhex(hx)) + list(hashlib.sha256(hx.encode()).digest())
+
+    q_ids = np.array([r["media_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([_joint(r["sha256"]) for r in q_rows], dtype=np.int64)
+    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy("int64")
+            import numpy as _np
+
+            C = _quantize_np(_np.stack(pdf["embedding"].to_numpy()))
+            cn = _np.sqrt((C * C).sum(axis=1).astype(_np.float64))
+            micros = _micros_np(
+                (1e6 * (C @ Q.T).astype(_np.float64)) / (cn[:, None] * qn[None, :])
+            )
+            out = []
+            for j, qid in enumerate(q_ids):
+                sel = _np.lexsort((ids, -micros[:, j]))[: min(k, ids.size)]
+                out.extend(
+                    (int(qid), int(ids[i]), int(micros[i, j])) for i in sel
+                )
+            yield pd.DataFrame(
+                out, columns=["query_media_id", "neighbor_id", "cosine_micros"]
+            ).astype("int64")
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, "query_media_id long, neighbor_id long, cosine_micros long"
+    )
+    w = Window.partitionBy("query_media_id").orderBy(
+        F.desc("cosine_micros"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_media_id", "rank", "neighbor_id", "cosine_micros")
+    )

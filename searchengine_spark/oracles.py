@@ -4688,3 +4688,34 @@ grouped AS (
 SELECT tier, merge_seq, segment_id, size_tokens, merge_total
 FROM grouped WHERE n_members = {merge_factor}
 """
+
+
+def crossmodal_topk_sql(n_query_media: int = 4, k: int = 5) -> str:
+    """Twin of multimodal.crossmodal_topk: joint image vector = 32 digest
+    bytes + 32 re-hash bytes, shared integer-micros cosine vs the quantized
+    embeddings."""
+    jv = (
+        "list_transform(range(0, 64), i -> CASE WHEN i < 32 "
+        "THEN CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT) "
+        "ELSE CAST(('0x' || substr(sha256(hx), 2*(i-32)+1, 2)) AS BIGINT) END)"
+    )
+    return f"""
+WITH {_MEDIA_CTE},
+imgq AS (
+  SELECT media_id, hx FROM feats
+  WHERE kind_id = 0 AND media_id < {3 * n_query_media}
+),
+jv AS (SELECT media_id, {jv} AS v FROM imgq),
+emb AS (SELECT vec_id, {_QUANT_EMB} AS e FROM embeddings),
+scored AS (
+  SELECT jv.media_id AS query_media_id, emb.vec_id AS neighbor_id,
+         {_cos_micros_sql('jv.v', 'emb.e')} AS cosine_micros
+  FROM jv CROSS JOIN emb
+)
+SELECT query_media_id, rank, neighbor_id, cosine_micros FROM (
+  SELECT query_media_id, neighbor_id, cosine_micros,
+         row_number() OVER (PARTITION BY query_media_id
+                            ORDER BY cosine_micros DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
