@@ -194,6 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": lambda spark, sf: serve.phrase_match(
             spark, gate_index(spark, sf), PHRASE
         ),
+        # ranked phrase query: exact-phrase candidate filter, then BM25
+        # over the phrase terms (Lucene PhraseQuery scored)
+        "phrase_topk": lambda spark, sf: serve.phrase_topk(
+            spark, gate_index(spark, sf), PHRASE, k=TOPK
+        ),
         # proximity (within-k positions) — the sloppy-phrase generalization
         "proximity_match": lambda spark, sf: serve.proximity_match(
             spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
@@ -256,6 +261,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid lexical+vector retrieval: BM25 top-r and cosine top-r fused
         # by reciprocal rank (RRF) — each side is the engine's own gated path
         "hybrid_rrf_topk": lambda spark, sf: serve.hybrid_rrf_topk(
+            spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, k=TOPK, r=50
+        ),
+        # normalized-score fusion (CombMNZ) beside the rank-based RRF:
+        # min-max to [0,1e6] integers per list, boost multi-list hits
+        "hybrid_combmnz_topk": lambda spark, sf: serve.hybrid_combmnz_topk(
             spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, k=TOPK, r=50
         ),
         # MMR diversification: BM25 top-r recall, greedy relevance-vs-
@@ -1223,6 +1233,8 @@ def oracle_sql() -> dict[str, str]:
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
+        "phrase_topk": oracles.phrase_topk_sql(PHRASE, k=TOPK),
+        "hybrid_combmnz_topk": oracles.hybrid_combmnz_sql(BM25_TERMS, k=TOPK, r=50),
         "proximity_match": oracles.proximity_match_sql(PHRASE[0], PHRASE[1], slop=3),
         "proximity_ordered": oracles.ordered_proximity_sql(PHRASE[0], PHRASE[1], slop=3),
         "synonym_topk": oracles.synonym_bm25_sql(SYNONYM_GROUPS, k=TOPK),

@@ -2368,3 +2368,91 @@ def corrected_search(
     if not corrected:
         return spark.createDataFrame([], _EMPTY_TOPK)
     return bm25_topk(spark, idx, corrected, k=k)
+
+
+def phrase_topk(
+    spark: SparkSession, idx: dict, phrase_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Ranked phrase query: exact-phrase filter (stored positional postings,
+    the phrase_match candidate set) then BM25 over the phrase's terms —
+    Lucene's PhraseQuery *scored*, not just matched. Both legs are the
+    engine's gated paths; the join keeps scoring work at |candidates|, and
+    the top-k heap runs after the filter (the limit applies to phrase hits,
+    not to the raw term candidates)."""
+    cand = phrase_match(spark, idx, phrase_terms).select("doc_id")
+    return (
+        bm25_scores(spark, idx, phrase_terms)
+        .join(cand, "doc_id")
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_combmnz_topk(
+    spark: SparkSession,
+    idx: dict,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    r: int = 50,
+) -> DataFrame:
+    """CombMNZ score fusion (Fox & Shaw 1994) — the normalized-SCORE member
+    of the fusion family beside the rank-based RRF gate: each list's top-r
+    scores min-max normalize to [0, 1e6] integers, and
+    ``fused = n_lists_hit · Σ norm`` rewards docs found by both retrievers.
+
+    Same bounded shape as hybrid_rrf_topk: both inputs are the engine's own
+    gated rankings cut to r rows before fusion; min/max are 1-row broadcast
+    aggregates over those r rows; the only float op is the one rounded
+    normalization division over exact integer differences."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.similarity import ann_bruteforce_topk
+
+    order = [F.desc("score_micros"), F.asc("doc_id")]
+    lex = bm25_scores(spark, idx, query_terms).orderBy(*order).limit(r)
+    vec = ann_bruteforce_topk(embeddings, k=r, query_ids=[query_vec_id]).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cosine_micros").alias("score_micros"),
+    )
+
+    def norm(df: DataFrame, out: str) -> DataFrame:
+        mm = df.agg(
+            F.min("score_micros").alias("mn"), F.max("score_micros").alias("mx")
+        )
+        nrm = F.when(F.col("mx") == F.col("mn"), F.lit(1_000_000).cast("long")).otherwise(
+            F.round(
+                F.lit(1e6)
+                * (F.col("score_micros") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn")).cast("double")
+            ).cast("long")
+        )
+        return df.crossJoin(F.broadcast(mm)).select("doc_id", nrm.alias(out))
+
+    lexn, vecn = norm(lex, "lnorm"), norm(vec, "vnorm")
+    ids = lexn.select("doc_id").union(vecn.select("doc_id")).distinct()
+    nz = (
+        F.col("lnorm").isNotNull().cast("long")
+        + F.col("vnorm").isNotNull().cast("long")
+    )
+    fused = (
+        ids.join(F.broadcast(lexn), "doc_id", "left")
+        .join(F.broadcast(vecn), "doc_id", "left")
+        .select(
+            "doc_id",
+            (nz * (F.coalesce(F.col("lnorm"), F.lit(0)) + F.coalesce(F.col("vnorm"), F.lit(0)))).alias(
+                "combmnz_micros"
+            ),
+        )
+        .orderBy(F.desc("combmnz_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w_final = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("combmnz_micros"), F.asc("doc_id")
+    )
+    return fused.select(
+        F.row_number().over(w_final).cast("int").alias("rank"),
+        "doc_id",
+        "combmnz_micros",
+    )

@@ -4719,3 +4719,97 @@ SELECT query_media_id, rank, neighbor_id, cosine_micros FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def phrase_topk_sql(phrase_terms: list[str], k: int = 10) -> str:
+    """Twin of serve.phrase_topk: adjacency candidates (raw split-array
+    positions) semi-joined into the shared BM25 scores CTE."""
+    conds = " AND ".join(
+        f"p{i}.term = '{t}' AND p{i}.pos = p0.pos + {i}"
+        for i, t in enumerate(phrase_terms)
+        if i > 0
+    )
+    joins = "\n".join(
+        f"JOIN posx p{i} ON p{i}.doc_id = p0.doc_id"
+        for i in range(1, len(phrase_terms))
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+posx AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+cand AS (
+  SELECT DISTINCT p0.doc_id
+  FROM posx p0
+{joins}
+  WHERE p0.term = '{phrase_terms[0]}' AND {conds}
+),
+{_bm25_scores_cte(phrase_terms)}
+SELECT s.doc_id, s.score_micros
+FROM scores s JOIN cand USING (doc_id)
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def hybrid_combmnz_sql(
+    terms: list[str], query_vec_id: int = 0, k: int = 10, r: int = 50
+) -> str:
+    """Twin of serve.hybrid_combmnz_topk: per-list min-max normalization to
+    [0, 1e6] integers over the top-r rows, fused = n_lists_hit * sum."""
+    qq = "list_transform(qv.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    cc = "list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    norm = (
+        "CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT) ELSE "
+        "CAST(round(1e6 * CAST((score_micros - mn) AS DOUBLE)"
+        " / CAST((mx - mn) AS DOUBLE)) AS BIGINT) END"
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms)},
+lex_ranked AS (
+  SELECT doc_id, score_micros FROM (
+    SELECT doc_id, score_micros,
+           row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS lrank
+    FROM scores
+  ) WHERE lrank <= {r}
+),
+lex_norm AS (
+  SELECT doc_id, {norm} AS lnorm
+  FROM lex_ranked
+  CROSS JOIN (SELECT min(score_micros) AS mn, max(score_micros) AS mx
+              FROM lex_ranked) mm
+),
+vec_scored AS (
+  SELECT e.vec_id AS doc_id, {_cos_micros_sql(qq, cc)} AS score_micros
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) qv
+  WHERE e.vec_id <> {query_vec_id}
+),
+vec_ranked AS (
+  SELECT doc_id, score_micros FROM (
+    SELECT doc_id, score_micros,
+           row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS vrank
+    FROM vec_scored
+  ) WHERE vrank <= {r}
+),
+vec_norm AS (
+  SELECT doc_id, {norm} AS vnorm
+  FROM vec_ranked
+  CROSS JOIN (SELECT min(score_micros) AS mn, max(score_micros) AS mx
+              FROM vec_ranked) mm
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         ((CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END))::BIGINT
+         * (coalesce(l.lnorm, 0) + coalesce(v.vnorm, 0)) AS combmnz_micros
+  FROM lex_norm l FULL OUTER JOIN vec_norm v ON l.doc_id = v.doc_id
+)
+SELECT rank, doc_id, combmnz_micros FROM (
+  SELECT row_number() OVER (ORDER BY combmnz_micros DESC, doc_id ASC)::INT AS rank,
+         doc_id, combmnz_micros
+  FROM fused
+) WHERE rank <= {k}
+"""
