@@ -274,6 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": lambda spark, sf: serve.mmr_topk(
             spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, k=TOPK, r=50
         ),
+        # SERP result clustering (Carrot2 shape): BM25 top-r grouped by
+        # nearest corpus-trained k-means centroid
+        "cluster_results": lambda spark, sf: serve.cluster_results(
+            spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, r=50
+        ),
         # retrieve-then-rerank: BM25 top-50 recall, Arrow-batched surrogate
         # cross-encoder (hashed frozen weights) re-ranks the bounded
         # candidate set — the neural-serving shape with a deterministic model
@@ -1235,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "phrase_topk": oracles.phrase_topk_sql(PHRASE, k=TOPK),
         "hybrid_combmnz_topk": oracles.hybrid_combmnz_sql(BM25_TERMS, k=TOPK, r=50),
+        "cluster_results": oracles.cluster_results_sql(BM25_TERMS, r=50),
         "proximity_match": oracles.proximity_match_sql(PHRASE[0], PHRASE[1], slop=3),
         "proximity_ordered": oracles.ordered_proximity_sql(PHRASE[0], PHRASE[1], slop=3),
         "synonym_topk": oracles.synonym_bm25_sql(SYNONYM_GROUPS, k=TOPK),

@@ -2456,3 +2456,63 @@ def hybrid_combmnz_topk(
         "doc_id",
         "combmnz_micros",
     )
+
+
+def cluster_results(
+    spark: SparkSession,
+    idx: dict,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    r: int = 50,
+    n_clusters: int = 3,
+    iterations: int = 2,
+) -> DataFrame:
+    """Search-result clustering (the Carrot2 / SERP-"topics" family): the
+    BM25 top-r candidate set grouped by nearest corpus-trained k-means
+    centroid — (doc_id, cluster_id, cosine_micros). Users see the result
+    page folded into topic groups instead of a flat list.
+
+    Composition of gated paths only: the candidate list is the index-served
+    BM25 top-r; the topic model is kmeans_centroids (deterministic Lloyd's,
+    a k×dim driver constant); assignment is the same broadcast-join +
+    bounded per-vector window as the trained-IVF gate. At scale the
+    candidate set is r rows per query — clustering work is r·k cosines,
+    independent of corpus size."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.similarity import (
+        _quantized,
+        cosine_micros_qq,
+        kmeans_centroids,
+    )
+
+    order = [F.desc("score_micros"), F.asc("doc_id")]
+    cand = bm25_scores(spark, idx, query_terms).orderBy(*order).limit(r).select("doc_id")
+    vecs = embeddings.join(
+        F.broadcast(cand), embeddings["vec_id"] == cand["doc_id"]
+    ).select("doc_id", "embedding")
+
+    crows = kmeans_centroids(embeddings, k=n_clusters, iterations=iterations).collect()
+    bycid: dict[int, dict[int, int]] = {}
+    for row in crows:
+        bycid.setdefault(row["cid"], {})[row["i"]] = row["val"]
+    cents = spark.createDataFrame(
+        [
+            (cid, [vals[i] for i in range(len(vals))])
+            for cid, vals in sorted(bycid.items())
+        ],
+        "cid int, _cent array<bigint>",
+    )
+    cm = vecs.join(F.broadcast(cents)).select(
+        "doc_id",
+        "cid",
+        cosine_micros_qq(_quantized(F.col("embedding")), F.col("_cent")).alias(
+            "cosine_micros"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cosine_micros"), F.asc("cid"))
+    return (
+        cm.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("cid").alias("cluster_id"), "cosine_micros")
+    )

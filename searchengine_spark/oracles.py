@@ -4813,3 +4813,47 @@ SELECT rank, doc_id, combmnz_micros FROM (
   FROM fused
 ) WHERE rank <= {k}
 """
+
+
+def cluster_results_sql(
+    terms: list[str], r: int = 50, n_clusters: int = 3, iterations: int = 2
+) -> str:
+    """Twin of serve.cluster_results: k-means oracle embedded verbatim as
+    the centroid source, BM25 top-r candidates, integer-cosine argmax
+    assignment (ties -> smallest cid)."""
+    return f"""
+WITH cents AS (SELECT cid, i, val FROM ({kmeans_sql(n_clusters, iterations)})),
+{_TOKENS_CTE},
+{_bm25_scores_cte(terms)},
+cand AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS rn
+    FROM scores
+  ) WHERE rn <= {r}
+),
+qv AS (
+  SELECT e.vec_id AS doc_id, {_QUANT_EMB.replace('embedding', 'e.embedding')} AS v
+  FROM embeddings e JOIN cand ON e.vec_id = cand.doc_id
+),
+vrows AS (SELECT doc_id, generate_subscripts(v, 1)::INT - 1 AS i, unnest(v) AS val
+          FROM qv),
+vn AS (SELECT doc_id, sum(val * val) AS n2 FROM vrows GROUP BY 1),
+cn2 AS (SELECT cid, sum(val * val) AS n2 FROM cents GROUP BY 1),
+dotc AS (
+  SELECT v.doc_id, c.cid, sum(v.val * c.val) AS d
+  FROM vrows v JOIN cents c ON v.i = c.i GROUP BY 1, 2
+),
+cm AS (
+  SELECT dotc.doc_id, dotc.cid,
+         CAST(round(1e6 * dotc.d::DOUBLE
+              / (sqrt(vn.n2::DOUBLE) * sqrt(cn2.n2::DOUBLE))) AS BIGINT) AS cosine_micros
+  FROM dotc JOIN vn ON dotc.doc_id = vn.doc_id JOIN cn2 ON dotc.cid = cn2.cid
+)
+SELECT doc_id, cid AS cluster_id, cosine_micros FROM (
+  SELECT doc_id, cid, cosine_micros,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cosine_micros DESC, cid ASC) AS rn
+  FROM cm
+) WHERE rn = 1
+"""
