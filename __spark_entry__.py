@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-tokenization — SURVEY.md §2.3-2.6, §3)
         "postings_tf": lambda spark, sf: serve.postings_tf(spark, gate_index(spark, sf)),
         "lexicon_stats": lambda spark, sf: serve.lexicon_stats(spark, gate_index(spark, sf)),
+        # prefix-compressed term dictionary (Lucene front coding): per-block
+        # (prefix_len, suffix) relative to the predecessor term
+        "front_coded_dictionary": lambda spark, sf: serve.front_coded_dictionary(
+            spark, gate_index(spark, sf), block=8, n_buckets=4
+        ),
         "bm25_topk": lambda spark, sf: serve.bm25_topk(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
@@ -1132,6 +1137,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "postings_tf": oracles.postings_sql(),
         "lexicon_stats": oracles.lexicon_sql(),
+        "front_coded_dictionary": oracles.front_coded_dictionary_sql(
+            block=8, n_buckets=4
+        ),
         "bm25_topk": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         # WAND path answers the SAME oracle as the columnar path — the
         # compressed index is hash-gated, not just property-tested

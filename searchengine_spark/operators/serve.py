@@ -2516,3 +2516,53 @@ def cluster_results(
         .filter(F.col("_rn") == 1)
         .select("doc_id", F.col("cid").alias("cluster_id"), "cosine_micros")
     )
+
+
+def front_coded_dictionary(
+    spark: SparkSession, idx: dict, block: int = 16, n_buckets: int = 16
+) -> DataFrame:
+    """Front-coded term dictionary (the Lucene/classic-IR prefix-compressed
+    lexicon layout): within each block of ``block`` sorted terms, the leader
+    is stored whole and every following term stores only
+    (prefix_len, suffix) relative to its predecessor — sorted dictionaries
+    share long prefixes, so this typically removes 30-60% of dictionary
+    bytes. Output: (bucket, blk, slot, term, prefix_len, suffix, df); a
+    reader reconstructs term_i = term_{i-1}[:prefix_len] + suffix.
+
+    Scale shape: coding is per-bucket (engine-portable md5 bucket — the
+    serving lexicon's Spark-hash bucket is not recomputable in SQL), so the
+    sort window is partitioned by bucket (|V|/n_buckets terms each), never a
+    global single-partition sort; common-prefix length is an in-row
+    expression (monotone prefix-match count), no extra shuffle beyond the
+    one per-bucket sort."""
+    from pyspark.sql import Window
+
+    lex = idx["lexicon"].select("term", "df")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 2), 16, 10).cast("int")
+        % n_buckets
+    )
+    w = Window.partitionBy("bucket").orderBy("term")
+    t = (
+        lex.withColumn("bucket", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("prev", F.lag("term").over(w))
+        .withColumn("blk", F.expr(f"(rn - 1) div {int(block)}"))
+        .withColumn("slot", ((F.col("rn") - 1) % block).cast("int"))
+    )
+    cpl = F.when(F.col("slot") == 0, F.lit(0)).otherwise(
+        F.expr(
+            "size(filter(sequence(1, least(length(term), length(prev))), "
+            "i -> substring(term, 1, i) = substring(prev, 1, i)))"
+        )
+    )
+    t = t.withColumn("prefix_len", cpl.cast("int"))
+    return t.select(
+        "bucket",
+        "blk",
+        "slot",
+        "term",
+        "prefix_len",
+        F.expr("substring(term, prefix_len + 1)").alias("suffix"),
+        "df",
+    )

@@ -4857,3 +4857,35 @@ SELECT doc_id, cid AS cluster_id, cosine_micros FROM (
   FROM cm
 ) WHERE rn = 1
 """
+
+
+def front_coded_dictionary_sql(block: int = 16, n_buckets: int = 16) -> str:
+    """Twin of serve.front_coded_dictionary: md5 bucket, per-bucket sorted
+    blocks of ``block`` terms, prefix-match-count common-prefix length."""
+    return f"""
+WITH {_TOKENS_CTE},
+lex AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+b AS (
+  SELECT term, df,
+         (CAST(('0x' || substr(md5(term), 1, 2)) AS INT) % {n_buckets}) AS bucket
+  FROM lex
+),
+r AS (
+  SELECT term, df, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY term) AS rn,
+         lag(term) OVER (PARTITION BY bucket ORDER BY term) AS prev
+  FROM b
+),
+c AS (
+  SELECT bucket, ((rn - 1) // {block})::BIGINT AS blk,
+         ((rn - 1) % {block})::INT AS slot, term, df,
+         (CASE WHEN (rn - 1) % {block} = 0 THEN 0 ELSE
+            len(list_filter(range(1, least(length(term), length(prev)) + 1),
+                            i -> substr(term, 1, i) = substr(prev, 1, i)))
+          END)::INT AS prefix_len
+  FROM r
+)
+SELECT bucket, blk, slot, term, prefix_len,
+       substr(term, prefix_len + 1) AS suffix, df
+FROM c
+"""

@@ -440,3 +440,25 @@ def test_term_vectors_matches_postings(spark, idx):
         .collect()
     }
     assert tv == post and tv
+
+
+def test_front_coded_dictionary_roundtrip(spark, idx):
+    """Reconstructing term_i = term_{i-1}[:prefix_len] + suffix along each
+    (bucket, blk, slot) chain recovers the exact lexicon term set."""
+    from searchengine_spark.operators import serve
+
+    rows = serve.front_coded_dictionary(spark, idx, block=8, n_buckets=4).collect()
+    assert rows
+    rows.sort(key=lambda r: (r["bucket"], r["blk"], r["slot"]))
+    rebuilt, prev = set(), {}
+    for r in rows:
+        rec = (
+            r["suffix"]
+            if r["slot"] == 0 and r["blk"] == 0 or r["prefix_len"] == 0
+            else prev[r["bucket"]][: r["prefix_len"]] + r["suffix"]
+        )
+        assert rec == r["term"]
+        prev[r["bucket"]] = rec
+        rebuilt.add(rec)
+    lex_terms = {r["term"] for r in idx["lexicon"].select("term").collect()}
+    assert rebuilt == lex_terms
