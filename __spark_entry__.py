@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": lambda spark, sf: serve.bm25_topk_maxscore(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # quantized-impact serving tier (Anserini impact index / SPLADE
+        # shape): 8-bit index-time impacts, pure integer query-time sum
+        "bm25_impact_topk": lambda spark, sf: serve.bm25_impact_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
         # STATIC index pruning (impact-ordered per-term posting truncation,
         # full-index idf) — the lossy serving-tier variant beside the two
         # lossless dynamic-pruning paths above
@@ -510,6 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tiered merge policy (Lucene TieredMergePolicy shape): which
         # same-size-tier segments merge next, full groups only
         "compaction_plan": lambda spark, sf: _compaction_plan(spark, sf),
+        # the ALTERNATIVE posting codec (FOR bit-packing, Lucene PackedInts
+        # family) encode->decode hash-gated like the varint path
+        "bitpacked_postings": lambda spark, sf: _bitpacked_postings(spark, sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda spark, sf: similarity.ann_bruteforce_topk(
             emb(spark, sf), n_queries=8, k=5
@@ -950,6 +958,12 @@ def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_build_postings(_docs(spark, sf_dir), shard_span=64)
 
 
+def _bitpacked_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.segments import bitpacked_postings_roundtrip
+
+    return bitpacked_postings_roundtrip(_docs(spark, sf_dir), shard_span=64)
+
+
 def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.segments import compaction_plan
 
@@ -1145,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         # compressed index is hash-gated, not just property-tested
         "bm25_topk_wand": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_topk_maxscore": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
+        "bm25_impact_topk": oracles.bm25_impact_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_topk_pruned": oracles.bm25_topk_pruned_sql(
             BM25_TERMS, k=TOPK, max_postings=64
         ),
@@ -1290,6 +1305,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_merge_postings": oracles.postings_sql(),
         "incremental_reindex": oracles.incremental_reindex_sql(),
         "compaction_plan": oracles.compaction_plan_sql(shard_span=16, merge_factor=4),
+        # bit-packed encode->decode must reproduce the corpus tokenization
+        "bitpacked_postings": oracles.postings_sql(),
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
         "image_features": oracles.image_features_sql(),
         "crossmodal_topk": oracles.crossmodal_topk_sql(n_query_media=4, k=5),

@@ -59,6 +59,17 @@ HEADLINE = [
     "ltr_features",
     "shard_selection",
     "phrase_match",
+    "phrase_topk",
+    "significant_terms",
+    "term_vectors",
+    "corrected_search",
+    "compaction_plan",
+    "crossmodal_topk",
+    "hybrid_combmnz_topk",
+    "cluster_results",
+    "front_coded_dictionary",
+    "bm25_impact_topk",
+    "bitpacked_postings",
     "postings_tf",
     "dedup_exact",
     "line_dedup",

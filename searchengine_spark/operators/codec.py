@@ -184,3 +184,37 @@ def decode_positions(block: dict) -> list[np.ndarray]:
         out.append(np.cumsum(stream[i : i + cnt]))
         i += cnt
     return out
+
+
+# ------------------------------------------------------- FOR / bit-packing
+
+def bitpack_encode(values: np.ndarray) -> bytes:
+    """Frame-of-Reference bit-packing (the Lucene PackedInts family, the
+    patent-free fixed-width cousin of PForDelta): one header byte carries
+    the block's bit width b = bit_length(max value), then every value is
+    packed at exactly b bits, little-endian bit order. Decode cost is one
+    vectorized unpack — no per-value branching, unlike varint."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return bytes([1])
+    b = max(1, int(v.max()).bit_length())
+    bits = ((v[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    flat = bits.reshape(-1)
+    pad = (-flat.size) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
+    return bytes([b]) + np.packbits(flat, bitorder="little").tobytes()
+
+
+def bitpack_decode(buf: bytes, count: int) -> np.ndarray:
+    """Inverse of :func:`bitpack_encode` → uint64 array of ``count`` values."""
+    if count == 0:
+        return np.array([], dtype=np.uint64)
+    b = buf[0]
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8, offset=1), bitorder="little")[
+        : count * b
+    ]
+    vals = bits.reshape(count, b).astype(np.uint64)
+    return vals @ (np.uint64(1) << np.arange(b, dtype=np.uint64))

@@ -885,3 +885,77 @@ def compaction_plan(
         .filter(F.col("n_members") == merge_factor)
         .select("tier", "merge_seq", "segment_id", "size_tokens", "merge_total")
     )
+
+
+BITPACKED_SCHEMA = (
+    "term string, shard int, n_postings int, ids_packed binary, tfs_packed binary"
+)
+
+
+def bitpacked_postings_roundtrip(docs: DataFrame, shard_span: int = 64) -> DataFrame:
+    """The ALTERNATIVE posting-list codec, gated end-to-end: delta-gap +
+    Frame-of-Reference bit-packing (codec.bitpack_encode — the Lucene
+    PackedInts family) instead of varint. Per (term, doc-range shard) the
+    sorted doc-id gaps and tfs each pack at their block's max bit width;
+    decode is one vectorized unpack per block, no per-byte branching.
+
+    Returned decoded back to (term, doc_id, tf), so the driver gate hashes
+    the whole encode→decode path against the corpus-tokenization oracle —
+    the same closure the varint path gets from incremental_merge_postings.
+    Scale shape matches encode_segments: group size is capped by shard_span
+    regardless of term hotness, every group one Arrow crossing."""
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    post = (
+        exploded_tokens(docs)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("shard", F.expr(f"doc_id div {int(shard_span)}").cast("int"))
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(np.uint64)
+        deltas = ids.copy()
+        deltas[1:] = ids[1:] - ids[:-1]
+        tfs = pdf["tf"].to_numpy(np.uint64)
+        return pd.DataFrame(
+            [
+                (
+                    pdf["term"].iloc[0],
+                    int(pdf["shard"].iloc[0]),
+                    len(ids),
+                    codec.bitpack_encode(deltas),
+                    codec.bitpack_encode(tfs),
+                )
+            ],
+            columns=["term", "shard", "n_postings", "ids_packed", "tfs_packed"],
+        )
+
+    seg = post.groupBy("term", "shard").applyInPandas(enc, BITPACKED_SCHEMA)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: list[str] = []
+            ids_out: list[np.ndarray] = []
+            tfs_out: list[np.ndarray] = []
+            for _, row in pdf.iterrows():
+                n = int(row["n_postings"])
+                ids = np.cumsum(codec.bitpack_decode(bytes(row["ids_packed"]), n))
+                tfs = codec.bitpack_decode(bytes(row["tfs_packed"]), n)
+                terms += [row["term"]] * n
+                ids_out.append(ids)
+                tfs_out.append(tfs)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": np.concatenate(ids_out).astype(np.int64)
+                    if ids_out
+                    else np.array([], dtype=np.int64),
+                    "tf": np.concatenate(tfs_out).astype(np.int64)
+                    if tfs_out
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    return seg.mapInPandas(dec, "term string, doc_id long, tf long")

@@ -2566,3 +2566,33 @@ def front_coded_dictionary(
         F.expr("substring(term, prefix_len + 1)").alias("suffix"),
         "df",
     )
+
+
+def bm25_impact_topk(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Quantized-impact serving (the Anserini/impact-index tier, the shape
+    learned-sparse models like SPLADE serve through): every posting's BM25
+    contribution was frozen AT INDEX TIME to an 8-bit level of the global
+    max contribution (gate_index v4 ``impacts/`` + the ``max_contrib``
+    manifest scalar), so query-time scoring is a pure integer sum — no
+    doc-length join, no idf lookup, no float op anywhere in the plan.
+
+    The price is score resolution (ties are common at 8 bits; doc_id breaks
+    them deterministically) — the classic efficiency/fidelity trade this
+    tier makes. Plan: bucket-pruned impacts scan → one hash aggregate →
+    bounded top-k heap."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, impact_score long")
+    buckets = sorted({int(r["bucket"]) for r in rows})
+    terms = [r["term"] for r in rows]
+    imp = idx["impacts"].filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    return (
+        imp.groupBy("doc_id")
+        .agg(F.sum("impact").cast("long").alias("impact_score"))
+        .orderBy(F.desc("impact_score"), F.asc("doc_id"))
+        .limit(k)
+    )

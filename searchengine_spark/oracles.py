@@ -4889,3 +4889,44 @@ SELECT bucket, blk, slot, term, prefix_len,
        substr(term, prefix_len + 1) AS suffix, df
 FROM c
 """
+
+
+def bm25_impact_topk_sql(
+    terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of serve.bm25_impact_topk: recompute every posting's BM25
+    contribution (the shared float tree), quantize to floor(255·c/max(c))
+    over the GLOBAL max, integer-sum the query terms' impacts."""
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+),
+contrib AS (
+  SELECT post.term, post.doc_id,
+         idf.idf_bm25 * (post.tf * {k1 + 1.0})
+         / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl)) AS c
+  FROM post
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+),
+maxc AS (SELECT max(c) AS m FROM contrib),
+impacts AS (
+  SELECT term, doc_id, CAST(floor(255.0 * c / maxc.m) AS INT) AS impact
+  FROM contrib CROSS JOIN maxc
+)
+SELECT doc_id, sum(impact)::BIGINT AS impact_score
+FROM impacts
+WHERE term IN (SELECT term FROM {_terms_values(terms)})
+GROUP BY doc_id
+ORDER BY impact_score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -43,7 +43,7 @@ from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
 from searchengine_spark.operators.ir import idf_bm25_expr, idf_compat_expr
 from searchengine_spark.sources.tables import load_table
 
-GATE_INDEX_VERSION = 3  # v3: + docvecs forward index (stored term vectors)
+GATE_INDEX_VERSION = 4  # v4: + quantized-impact postings (8-bit impacts)
 N_BUCKETS = 64
 
 # in-memory cache: (spark appId, digest) -> handles dict
@@ -143,8 +143,50 @@ def build_gate_index(spark: SparkSession, sf_dir: str, base: str) -> None:
         "bucket"
     ).parquet(os.path.join(base, "segments"))
 
+    # quantized-impact postings (Anserini-style impact index): each
+    # posting's BM25 contribution frozen to an 8-bit level of the GLOBAL
+    # max contribution — the serving tier where scoring is a pure integer
+    # sum with no doc-length or idf lookup at query time. One postings
+    # pass; the max-contribution scalar rides in meta.json.
+    from searchengine_spark.operators.serve import BM25_B, BM25_K1
+
+    avgdl_d = (float(sum_dl) / float(n_docs)) if n_docs else 1.0
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    contrib = F.col("idf_bm25") * (tf_d * (BM25_K1 + 1.0)) / (
+        tf_d + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d / F.lit(avgdl_d))
+    )
+    imp_in = post.join(
+        F.broadcast(
+            spark.read.parquet(os.path.join(base, "lexicon")).select(
+                "term", "idf_bm25"
+            )
+        ),
+        "term",
+    ).select("bucket", "term", "doc_id", contrib.alias("_c"))
+    max_contrib = imp_in.agg(F.max("_c").alias("m")).collect()[0]["m"]
+    max_contrib = float(max_contrib) if max_contrib is not None else 1.0
+    imp_in.select(
+        "bucket",
+        "term",
+        "doc_id",
+        F.floor(F.lit(255.0) * F.col("_c") / F.lit(max_contrib))
+        .cast("int")
+        .alias("impact"),
+    ).write.mode("overwrite").options(**term_bloom_options(1 << 14)).partitionBy(
+        "bucket"
+    ).parquet(os.path.join(base, "impacts"))
+
     with open(os.path.join(base, "meta.json"), "w") as f:
-        json.dump({"n_docs": n_docs, "sum_dl": sum_dl, "shard_span": span}, f)
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+                "shard_span": span,
+                "max_contrib": max_contrib,
+            },
+            f,
+        )
 
 
 def gate_index(spark: SparkSession, sf_dir: str) -> dict:
@@ -178,6 +220,8 @@ def gate_index(spark: SparkSession, sf_dir: str) -> dict:
         "lexicon": spark.read.parquet(os.path.join(base, "lexicon")),
         "segments": spark.read.parquet(os.path.join(base, "segments")),
         "docvecs": spark.read.parquet(os.path.join(base, "docvecs")),
+        "impacts": spark.read.parquet(os.path.join(base, "impacts")),
+        "max_contrib": float(meta.get("max_contrib", 1.0)),
         "n_docs": n_docs,
         "sum_dl": int(meta["sum_dl"]),
         "avgdl": (float(meta["sum_dl"]) / float(n_docs)) if n_docs else 1.0,

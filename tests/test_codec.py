@@ -63,3 +63,40 @@ def test_block_roundtrip(postings, idf):
         i, t, d = decode_block(b)
         contribs = bm25_contrib(t, d, idf, 50.0)
         assert (contribs <= b["block_max_score"] + 1e-12).all()
+
+
+def test_bitpack_roundtrip_and_width():
+    """FOR bit-packing: exact roundtrip across widths (0, 1-bit, boundary
+    powers of two, 63-bit), and the packed size is the predicted
+    ceil(n*b/8) + 1 header byte."""
+    import numpy as np
+
+    from searchengine_spark.operators.codec import bitpack_decode, bitpack_encode
+
+    cases = [
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([0, 1, 1, 0, 1], dtype=np.uint64),
+        np.array([1, 2, 4, 8, 16, 255, 256, 257], dtype=np.uint64),
+        np.array([2**40, 1, 2**63 - 1, 7], dtype=np.uint64),
+        np.arange(1000, dtype=np.uint64) * 37 + 5,
+    ]
+    for v in cases:
+        buf = bitpack_encode(v)
+        out = bitpack_decode(buf, len(v))
+        assert out.tolist() == v.tolist()
+        if len(v):
+            b = max(1, int(v.max()).bit_length())
+            assert len(buf) == 1 + (len(v) * b + 7) // 8
+        assert buf[0] >= 1
+
+
+def test_bitpack_beats_varint_on_small_gaps():
+    """Dense posting gaps (the common case) pack tighter than varint: 1000
+    gaps of ≤15 cost 4 bits each packed vs a full byte each varinted."""
+    import numpy as np
+
+    from searchengine_spark.operators.codec import bitpack_encode, varint_encode
+
+    gaps = (np.arange(1000, dtype=np.uint64) % 15) + 1
+    assert len(bitpack_encode(gaps)) < len(varint_encode(gaps)) / 1.9

@@ -727,3 +727,30 @@ def test_mmr_topk_corpus_side_is_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # the stage-1 candidate heap
+
+
+def test_round2_wave2_plan_shapes(spark):
+    """Plan audits for the second-wave round-2 operators: bounded heaps not
+    global sorts, broadcasts not shuffles for the small sides, and the
+    impact tier's pure-integer aggregate."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, SF_DIR)
+    terms = ["spark", "hash", "join"]
+
+    p = plan_of(serve.significant_terms(spark, idx, terms, k=20))
+    assert "TakeOrderedAndProject" in p  # top-k heap
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # 1-row n_hits
+
+    p = plan_of(serve.phrase_topk(spark, idx, ["hash", "join"], k=10))
+    assert "TakeOrderedAndProject" in p
+
+    p = plan_of(serve.bm25_impact_topk(spark, idx, terms, k=10))
+    assert "TakeOrderedAndProject" in p
+    # integer tier: no doc-length join, no lexicon join in the scoring plan
+    assert "SortMergeJoin" not in p
+
+    # forward-index point read: partition pruning on dbucket
+    p = plan_of(serve.term_vectors(spark, idx, [3, 10, 41]))
+    assert "dbucket" in p and "SortMergeJoin" not in p
