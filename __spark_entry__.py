@@ -51,6 +51,8 @@ SYNONYM_GROUPS = {"g_sortmerge": ["sort", "merge"], "g_streamwin": ["stream", "w
 MLT_DOC = 3
 # term-vectors gate: a handful of point-lookup docs spanning buckets
 TV_DOCS = [3, 10, 41]
+# per-term query boosts (Lucene term^boost) — exact binary doubles
+BOOSTS = {"spark": 2.0, "hash": 1.0, "join": 0.5}
 # rendezvous-routing gate: shard count (the S→S+1 property is pytest-only)
 N_SHARDS_ROUTE = 5
 
@@ -152,6 +154,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": lambda spark, sf: serve.bm25_topk_maxscore(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # per-term query boosting (term^boost), same pruned-index plan
+        "bm25_boosted_topk": lambda spark, sf: serve.bm25_boosted_topk(
+            spark, gate_index(spark, sf), BOOSTS, k=TOPK
+        ),
+        # near-real-time two-tier serve: sealed index + fresh delta batch,
+        # query-time stats merge; must hash-equal a full rebuild
+        "nrt_two_tier_topk": lambda spark, sf: _nrt_two_tier(spark, sf),
         # quantized-impact serving tier (Anserini impact index / SPLADE
         # shape): 8-bit index-time impacts, pure integer query-time sum
         "bm25_impact_topk": lambda spark, sf: serve.bm25_impact_topk(
@@ -958,6 +967,27 @@ def _incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_build_postings(_docs(spark, sf_dir), shard_span=64)
 
 
+def _nrt_delta(docs: DataFrame) -> DataFrame:
+    """The not-yet-indexed fresh batch: doc_id%13==4 re-added at id+1e9
+    with ' fresh' appended (the _snapshot_b synthesis pattern — the oracle
+    rebuilds over the identical union)."""
+    from pyspark.sql import functions as F
+
+    return docs.filter(F.col("doc_id") % 13 == 4).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
+    )
+
+
+def _nrt_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index as _gi
+
+    return serve.nrt_two_tier_topk(
+        spark, _gi(spark, sf_dir), _nrt_delta(_docs(spark, sf_dir)), BM25_TERMS, k=TOPK
+    )
+
+
 def _bitpacked_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.segments import bitpacked_postings_roundtrip
 
@@ -1160,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_topk_maxscore": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_impact_topk": oracles.bm25_impact_topk_sql(BM25_TERMS, k=TOPK),
+        "bm25_boosted_topk": oracles.bm25_boosted_topk_sql(BOOSTS, k=TOPK),
+        "nrt_two_tier_topk": oracles.nrt_two_tier_sql(BM25_TERMS, k=TOPK),
         "bm25_topk_pruned": oracles.bm25_topk_pruned_sql(
             BM25_TERMS, k=TOPK, max_postings=64
         ),

@@ -2596,3 +2596,117 @@ def bm25_impact_topk(
         .orderBy(F.desc("impact_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_boosted_topk(
+    spark: SparkSession, idx: dict, boosts: dict[str, float], k: int = 10
+) -> DataFrame:
+    """Per-term query boosting (Lucene ``term^boost`` / ES query weights):
+    BM25 with each term's contribution scaled by its query-side boost —
+    contribution tree unchanged, one extra multiply before the micros
+    rounding. Same pruned-index plan as bm25_topk; the boost map rides in
+    the |q|-row broadcast lexicon frame."""
+    terms = list(boosts.keys())
+    rows = _qlex(spark, idx, terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    lex = spark.createDataFrame(
+        [
+            (r["term"], r["df"], r["idf_bm25"], float(boosts[r["term"]]))
+            for r in rows
+        ],
+        "term string, df long, idf_bm25 double, boost double",
+    )
+    contrib = F.col("boost") * _bm25_contrib(idx["avgdl"])
+    return (
+        post.join(F.broadcast(lex), "term")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def nrt_two_tier_topk(
+    spark: SparkSession,
+    idx: dict,
+    delta_docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Near-real-time two-tier serving (the Lucene NRT-reader / fresh-
+    segment design): queries answered from the SEALED index UNION a small
+    not-yet-indexed delta batch, with corpus statistics merged at query
+    time — documents become searchable without an index rebuild, and the
+    ranking is EXACTLY what a full rebuild over (corpus ∪ delta) would
+    produce (the driver gate hashes it against that rebuild's oracle).
+
+    Statistics merge (the part naive two-tier serving gets wrong):
+      df'_t  = sealed df_t + delta df_t       (term-level, |q| rows)
+      N'     = sealed n_docs + |delta|
+      avgdl' = (sealed Σdl + delta Σdl) / N'
+    idf recomputes from the merged counts with the same Spark ln-expression
+    the sealed lexicon used, so both tiers score on one consistent model.
+
+    Scale shape: the sealed side stays the pruned postings scan; the delta
+    side tokenizes only the delta batch (the "in-memory segment" — bounded
+    by the refresh interval, not the corpus); the stats merge costs two
+    bounded aggregates (|q| rows + 1 row). No sealed-index rewrite."""
+    from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
+    from searchengine_spark.operators.ir import idf_bm25_expr
+
+    uniq = list(dict.fromkeys(query_terms))
+    rows = _qlex(spark, idx, uniq)
+    sealed_df = {r["term"]: int(r["df"]) for r in rows}
+
+    ddls = delta_docs.select("doc_id", doc_len(F.col("text")).alias("dl"))
+    dstats = ddls.agg(
+        F.count(F.lit(1)).alias("c"), F.sum("dl").alias("s")
+    ).collect()[0]
+    n_delta, sum_dl_delta = int(dstats["c"]), int(dstats["s"] or 0)
+    dpost = (
+        exploded_tokens(delta_docs)
+        .filter(F.col("term").isin(uniq))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(ddls, "doc_id")
+    )
+    delta_df = {
+        r["term"]: int(r["n"])
+        for r in dpost.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    n_merged = int(idx["n_docs"]) + n_delta
+    avgdl = (
+        float(int(idx["sum_dl"]) + sum_dl_delta) / float(n_merged)
+        if n_merged
+        else 1.0
+    )
+    terms_present = sorted(set(sealed_df) | set(delta_df))
+    if not terms_present:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    merged_lex = spark.createDataFrame(
+        [(t, sealed_df.get(t, 0) + delta_df.get(t, 0)) for t in terms_present],
+        "term string, df long",
+    ).select("term", idf_bm25_expr(n_merged).alias("idf_bm25"))
+
+    sealed_rows = [r for r in rows]  # postings pruned by the sealed lexicon
+    sealed_post = (
+        _pruned_postings(idx, sealed_rows).select("term", "doc_id", "tf", "dl")
+        if sealed_rows
+        else None
+    )
+    union = dpost.select("term", "doc_id", "tf", "dl")
+    if sealed_post is not None:
+        union = sealed_post.unionByName(union)
+    contrib = _bm25_contrib(avgdl)
+    return (
+        union.join(F.broadcast(merged_lex), "term")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )

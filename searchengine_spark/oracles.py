@@ -4930,3 +4930,99 @@ GROUP BY doc_id
 ORDER BY impact_score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_boosted_topk_sql(
+    boosts: dict[str, float], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of serve.bm25_boosted_topk: boost * the shared contribution
+    tree, rounded once to micros."""
+    vals = ", ".join(f"('{t}', {float(w)!r})" for t, w in boosts.items())
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+q AS (SELECT term, CAST(boost AS DOUBLE) AS boost
+      FROM (VALUES {vals}) AS v(term, boost)),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM q)
+),
+scored AS (
+  SELECT post.doc_id,
+         CAST(round(q.boost * (idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl)))
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM post
+  JOIN q ON post.term = q.term
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+)
+SELECT doc_id, sum(c_micros)::BIGINT AS score_micros
+FROM scored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def nrt_two_tier_sql(
+    terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of the NRT two-tier gate: a FULL BM25 rebuild over
+    corpus ∪ delta (delta = doc_id%13==4 re-added at id+1e9 with ' fresh'
+    appended — the _snapshot-style in-query synthesis). The two-tier serve
+    with query-time stats merge must hash-equal this rebuild."""
+    return f"""
+WITH corpus2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text || ' fresh' AS text
+  FROM documents WHERE doc_id % 13 = 4
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t
+  FROM corpus2
+),
+terms_ne AS (SELECT doc_id, unnest(t) AS term FROM toks),
+termz AS (SELECT doc_id, term FROM terms_ne WHERE term <> ''),
+post AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM termz GROUP BY 1, 2),
+dls AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                         x -> x <> ''))::BIGINT AS dl
+  FROM corpus2
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM corpus2),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+q AS (SELECT term FROM {_terms_values(terms)}),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM q)
+),
+scored AS (
+  SELECT post.doc_id,
+         CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM post
+  JOIN q ON post.term = q.term
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+)
+SELECT doc_id, sum(c_micros)::BIGINT AS score_micros
+FROM scored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -462,3 +462,18 @@ def test_front_coded_dictionary_roundtrip(spark, idx):
         rebuilt.add(rec)
     lex_terms = {r["term"] for r in idx["lexicon"].select("term").collect()}
     assert rebuilt == lex_terms
+
+
+def test_nrt_two_tier_fresh_docs_searchable(spark, idx, docs):
+    """A term that exists ONLY in the delta batch is retrievable before any
+    index rebuild, and every hit is a delta doc (ids shifted +1e9); the
+    sealed tier contributes nothing for it (sealed lexicon has no entry)."""
+    from __spark_entry__ import _nrt_delta
+    from searchengine_spark.operators import serve
+
+    rows = serve.nrt_two_tier_topk(
+        spark, idx, _nrt_delta(docs), ["fresh"], k=10
+    ).collect()
+    assert rows
+    assert all(r["doc_id"] >= 1_000_000_000 for r in rows)
+    assert all(r["score_micros"] > 0 for r in rows)
