@@ -53,6 +53,9 @@ MLT_DOC = 3
 TV_DOCS = [3, 10, 41]
 # per-term query boosts (Lucene term^boost) — exact binary doubles
 BOOSTS = {"spark": 2.0, "hash": 1.0, "join": 0.5}
+# common-terms gate: one rare driver term ("dup", df≈5%) + two
+# stopword-frequency terms (df≈75%) — candidates come from "dup" only
+COMMON_TERMS_QUERY = ["dup", "spark", "join"]
 # rendezvous-routing gate: shard count (the S→S+1 property is pytest-only)
 N_SHARDS_ROUTE = 5
 
@@ -153,6 +156,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MaxScore dynamic pruning over the same segments, same oracle
         "bm25_topk_maxscore": lambda spark, sf: serve.bm25_topk_maxscore(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
+        # common-terms query (ES cutoff_frequency): rare terms drive
+        # candidates, stopword-frequency terms only contribute scores
+        "common_terms_topk": lambda spark, sf: serve.common_terms_topk(
+            spark, gate_index(spark, sf), COMMON_TERMS_QUERY, k=TOPK
         ),
         # per-term query boosting (term^boost), same pruned-index plan
         "bm25_boosted_topk": lambda spark, sf: serve.bm25_boosted_topk(
@@ -1191,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_maxscore": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_impact_topk": oracles.bm25_impact_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_boosted_topk": oracles.bm25_boosted_topk_sql(BOOSTS, k=TOPK),
+        "common_terms_topk": oracles.common_terms_topk_sql(COMMON_TERMS_QUERY, k=TOPK),
         "nrt_two_tier_topk": oracles.nrt_two_tier_sql(BM25_TERMS, k=TOPK),
         "bm25_topk_pruned": oracles.bm25_topk_pruned_sql(
             BM25_TERMS, k=TOPK, max_postings=64

@@ -2710,3 +2710,45 @@ def nrt_two_tier_topk(
         .orderBy(F.desc("score_micros"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def common_terms_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    cutoff_ppm: int = 500_000,
+) -> DataFrame:
+    """Common-terms query (ES ``cutoff_frequency`` / Lucene
+    CommonTermsQuery): rare query terms drive candidate generation, while
+    stopword-frequency terms (df > cutoff fraction of the corpus) only
+    CONTRIBUTE to scores inside that candidate set — a stopword in the
+    query stops costing a corpus-sized posting traversal for ranking
+    membership. The classic query-time defense against stopword-laden
+    queries, complementary to index-side static pruning.
+
+    Rare/common split is an INTEGER cross-multiplication over the |q|-row
+    lexicon lookup (df·1e6 <= cutoff_ppm·N — no float boundary). Candidates
+    come from the rare terms' pruned postings only; the common terms'
+    postings are doc_id-semi-joined down to the candidate set before
+    scoring. All-common queries degenerate to plain bm25_topk."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    n_docs = int(idx["n_docs"])
+    required = [
+        r for r in rows if int(r["df"]) * 1_000_000 <= cutoff_ppm * n_docs
+    ]
+    if not required:
+        return bm25_topk(spark, idx, query_terms, k=k)
+    cand = _pruned_postings(idx, required).select("doc_id").distinct()
+    post = _pruned_postings(idx, rows).join(cand, "doc_id")
+    contrib = _bm25_contrib(idx["avgdl"])
+    return (
+        post.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -5026,3 +5026,55 @@ FROM scored GROUP BY doc_id
 ORDER BY score_micros DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def common_terms_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    cutoff_ppm: int = 500_000,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of serve.common_terms_topk (assumes >=1 rare term, which the
+    gate's query guarantees): candidates from rare terms only, all terms
+    score inside the candidate set."""
+    return f"""
+WITH {_TOKENS_CTE},
+ni AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+q AS (SELECT term FROM {_terms_values(terms)}),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM q)
+),
+req AS (
+  SELECT lex.term FROM lex, ni
+  WHERE lex.term IN (SELECT term FROM q)
+    AND lex.df * 1000000 <= {cutoff_ppm} * ni.n_docs
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM post WHERE term IN (SELECT term FROM req)
+),
+scored AS (
+  SELECT post.doc_id,
+         CAST(round(idf.idf_bm25 * (post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM post
+  JOIN q ON post.term = q.term
+  JOIN idf ON post.term = idf.term
+  JOIN cand ON post.doc_id = cand.doc_id
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+)
+SELECT doc_id, sum(c_micros)::BIGINT AS score_micros
+FROM scored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
