@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qpp_predictors": lambda spark, sf: serve.qpp_predictors(
             spark, gate_index(spark, sf), BATCH_QUERIES
         ),
+        # rank-biased overlap between the engine's BM25 and QLD rankings —
+        # exact-integer truncated RBO@k (no libm pow)
+        "rbo_rankings": lambda spark, sf: serve.rbo_rankings(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
         "term_search_all": lambda spark, sf: serve.term_search_all(
             spark, gate_index(spark, sf), ALL_TERMS
         ),
@@ -1211,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": oracles.hard_negatives_sql(BATCH_QUERIES, k=TOPK),
         "rank_metrics": oracles.rank_metrics_sql(BATCH_QUERIES, k=1000),
         "qpp_predictors": oracles.qpp_predictors_sql(BATCH_QUERIES),
+        "rbo_rankings": oracles.rbo_rankings_sql(BM25_TERMS, k=TOPK),
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),

@@ -2752,3 +2752,53 @@ def common_terms_topk(
         .orderBy(F.desc("score_micros"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rbo_rankings(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010) between two of the engine's
+    own rankers (BM25 vs Dirichlet QLD) on the same query — the top-weighted
+    ranking-similarity metric used to compare retrieval systems when no
+    qrels exist (the complement of rank_metrics, which needs judgments).
+
+    Truncated RBO@k with persistence p = 9/10, computed EXACTLY in integer
+    arithmetic: p^(d-1) = 9^(d-1)/10^(d-1), so each depth's contribution is
+    (1e9 · 9^(d-1) · X_d) div (10^d · d) nanos with X_d = |A_{1..d} ∩
+    B_{1..d}| — no libm pow anywhere, hence no cross-engine ulp drift.
+    Output: one row (pair, rbo_nanos, overlap_at_k).
+
+    Scale shape: both inputs are bounded k-row rankings; everything after
+    them is driver-scale (k² comparisons)."""
+    from pyspark.sql import Window
+
+    one = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("score_micros"), F.asc("doc_id")
+    )
+    a = bm25_topk(spark, idx, query_terms, k=k).select(
+        "doc_id", F.row_number().over(one).alias("ar")
+    )
+    b = qld_topk(spark, idx, query_terms, k=k).select(
+        "doc_id", F.row_number().over(one).alias("br")
+    )
+    pairs = a.join(b, "doc_id").select("ar", "br")
+    depths = spark.createDataFrame(
+        [(d, 9 ** (d - 1), 10**d) for d in range(1, k + 1)],
+        "d int, p9 long, p10 long",
+    )
+    xd = (
+        depths.join(
+            pairs, (pairs["ar"] <= depths["d"]) & (pairs["br"] <= depths["d"]), "left"
+        )
+        .groupBy("d", "p9", "p10")
+        .agg(F.count("ar").alias("xd"))
+    )
+    contrib = F.expr("(1000000000 * p9 * xd) div (p10 * d)")
+    return xd.select(
+        F.lit("bm25_vs_qld").alias("pair"),
+        contrib.alias("c"),
+        F.when(F.col("d") == k, F.col("xd")).otherwise(F.lit(0)).alias("ov"),
+    ).groupBy("pair").agg(
+        F.sum("c").cast("long").alias("rbo_nanos"),
+        F.sum("ov").cast("long").alias("overlap_at_k"),
+    )

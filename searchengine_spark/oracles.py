@@ -5078,3 +5078,39 @@ FROM scored GROUP BY doc_id
 ORDER BY score_micros DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def rbo_rankings_sql(terms: list[str], k: int = 10) -> str:
+    """Twin of serve.rbo_rankings: both rankings embedded as isolated
+    subselects (the gated bm25/qld oracles verbatim), truncated RBO@k in
+    exact integer arithmetic over an injected (d, 9^(d-1), 10^d) table."""
+    depth_vals = ", ".join(
+        f"({d}, {9 ** (d - 1)}, {10 ** d})" for d in range(1, k + 1)
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS ar
+  FROM ({bm25_topk_sql(terms, k)})
+),
+b AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS br
+  FROM ({qld_topk_sql(terms, k)})
+),
+pairs AS (SELECT a.ar, b.br FROM a JOIN b USING (doc_id)),
+depths AS (SELECT d, p9::BIGINT AS p9, p10::BIGINT AS p10
+           FROM (VALUES {depth_vals}) AS v(d, p9, p10)),
+x AS (
+  SELECT depths.d, depths.p9, depths.p10,
+         count(pairs.ar)::BIGINT AS xd
+  FROM depths
+  LEFT JOIN pairs ON pairs.ar <= depths.d AND pairs.br <= depths.d
+  GROUP BY 1, 2, 3
+)
+SELECT 'bm25_vs_qld' AS pair,
+       sum((1000000000::BIGINT * p9 * xd) // (p10 * d))::BIGINT AS rbo_nanos,
+       sum(CASE WHEN d = {k} THEN xd ELSE 0 END)::BIGINT AS overlap_at_k
+FROM x
+GROUP BY 1
+"""
