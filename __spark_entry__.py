@@ -141,6 +141,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-tokenization — SURVEY.md §2.3-2.6, §3)
         "postings_tf": lambda spark, sf: serve.postings_tf(spark, gate_index(spark, sf)),
         "lexicon_stats": lambda spark, sf: serve.lexicon_stats(spark, gate_index(spark, sf)),
+        # index statistics endpoint (CheckIndex / ES _stats shape)
+        "index_stats": lambda spark, sf: serve.index_stats(
+            spark, gate_index(spark, sf)
+        ),
+        # tombstone-aware serving (Lucene liveDocs): deletes filter results
+        # immediately, stats stay stale until compaction
+        "bm25_topk_tombstoned": lambda spark, sf: serve.bm25_topk_tombstoned(
+            spark, gate_index(spark, sf), BM25_TERMS, tombstoned_mod=7, k=TOPK
+        ),
         # prefix-compressed term dictionary (Lucene front coding): per-block
         # (prefix_len, suffix) relative to the predecessor term
         "front_coded_dictionary": lambda spark, sf: serve.front_coded_dictionary(
@@ -1196,6 +1205,10 @@ def oracle_sql() -> dict[str, str]:
         "lexicon_stats": oracles.lexicon_sql(),
         "front_coded_dictionary": oracles.front_coded_dictionary_sql(
             block=8, n_buckets=4
+        ),
+        "index_stats": oracles.index_stats_sql(),
+        "bm25_topk_tombstoned": oracles.bm25_topk_tombstoned_sql(
+            BM25_TERMS, tombstoned_mod=7, k=TOPK
         ),
         "bm25_topk": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         # WAND path answers the SAME oracle as the columnar path — the

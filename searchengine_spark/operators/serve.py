@@ -2802,3 +2802,49 @@ def rbo_rankings(
         F.sum("c").cast("long").alias("rbo_nanos"),
         F.sum("ov").cast("long").alias("overlap_at_k"),
     )
+
+
+def index_stats(spark: SparkSession, idx: dict) -> DataFrame:
+    """The index-statistics endpoint (Lucene CheckIndex summary / ES
+    ``_stats`` shape): one row of corpus-level invariants — doc count,
+    vocabulary size, posting count, total token mass, hottest-term df.
+    Everything is a map-side-combinable aggregate over lexicon-sized data;
+    nothing touches postings row-by-row (n_postings == Σ df because
+    postings are unique per (term, doc))."""
+    lex = idx["lexicon"]
+    return (
+        lex.agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("cf").cast("long").alias("n_tokens"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+        .withColumn("n_docs", F.lit(int(idx["n_docs"])).cast("long"))
+        .withColumn("sum_dl", F.lit(int(idx["sum_dl"])).cast("long"))
+        .select("n_docs", "n_terms", "n_postings", "n_tokens", "max_df", "sum_dl")
+    )
+
+
+def bm25_topk_tombstoned(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    tombstoned_mod: int = 7,
+    k: int = 10,
+) -> DataFrame:
+    """Deletion-aware serving with TOMBSTONES (the Lucene liveDocs
+    behavior): deleted documents disappear from results immediately, but
+    collection statistics (df, N, avgdl) stay STALE until the next
+    compaction folds the deletes in — scoring uses the sealed index's
+    numbers, the tombstone set only filters candidates. This is the
+    documented, deliberate semantics of every segment-based engine (fixing
+    the stats per-delete would mean rewriting the index on every delete).
+
+    The tombstone set here is doc_id % tombstoned_mod == 0 (synthesized
+    in-query, the oracle replicates it); at scale it is the broadcast
+    side of a LEFT ANTI join — deletes are rare relative to the corpus.
+    Composes with compaction_plan: the merge that policy schedules is
+    exactly where tombstones and stats reconcile."""
+    scores = bm25_scores(spark, idx, query_terms)
+    live = scores.filter(F.pmod(F.col("doc_id"), F.lit(tombstoned_mod)) != 0)
+    return live.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)

@@ -5114,3 +5114,35 @@ SELECT 'bm25_vs_qld' AS pair,
 FROM x
 GROUP BY 1
 """
+
+
+def index_stats_sql() -> str:
+    return f"""
+WITH {_TOKENS_CTE},
+lex AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM post GROUP BY 1
+)
+SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+       count(*)::BIGINT AS n_terms,
+       sum(df)::BIGINT AS n_postings,
+       sum(cf)::BIGINT AS n_tokens,
+       max(df)::BIGINT AS max_df,
+       (SELECT sum(dl)::BIGINT FROM dls) AS sum_dl
+FROM lex
+"""
+
+
+def bm25_topk_tombstoned_sql(
+    terms: list[str], tombstoned_mod: int = 7, k: int = 10
+) -> str:
+    """Twin of serve.bm25_topk_tombstoned: the UNCHANGED stale-stats BM25
+    scores CTE, tombstoned docs filtered after scoring."""
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms)}
+SELECT doc_id, score_micros FROM scores
+WHERE doc_id % {tombstoned_mod} <> 0
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
