@@ -627,6 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HTML tag strip (SearchService.java:276) over in-query-synthesized
         # HTML wrapping of each doc
         "strip_html": lambda spark, sf: textstats.strip_html(_docs(spark, sf)),
+        # analyzer component: accent/ASCII folding before tokenization
+        # (Lucene ASCIIFoldingFilter), seasoned accented markers
+        "ascii_fold": lambda spark, sf: textstats.ascii_fold(_docs(spark, sf)),
         # --- text analysis ---
         "token_stats": lambda spark, sf: textstats.token_stats(_docs(spark, sf)),
         # Gopher-family repetition signals (dup/top bigram fractions)
@@ -1374,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_sample": oracles.video_frame_sample_sql(every_n_seconds=5),
         "fetch_pages": oracles.fetch_pages_sql(n_hosts=7),
         "strip_html": oracles.strip_html_sql(),
+        "ascii_fold": oracles.ascii_fold_sql(),
         "token_stats": oracles.token_stats_sql(),
         "repetition_stats": oracles.repetition_stats_sql(),
         "pii_scrub": oracles.pii_scrub_sql(),

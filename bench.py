@@ -70,6 +70,12 @@ HEADLINE = [
     "front_coded_dictionary",
     "bm25_impact_topk",
     "bitpacked_postings",
+    "bm25_boosted_topk",
+    "common_terms_topk",
+    "nrt_two_tier_topk",
+    "rbo_rankings",
+    "index_stats",
+    "bm25_topk_tombstoned",
     "postings_tf",
     "dedup_exact",
     "line_dedup",

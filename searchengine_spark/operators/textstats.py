@@ -928,3 +928,48 @@ def percolate_matches(
         .filter(F.col("n_hit") == F.col("n_req"))
         .select(id_col, "query_id")
     )
+
+
+ACCENT_FROM = "éïüñàçøö"
+ACCENT_TO = "eiunacoo"
+_ACCENT_WORDS = ["café", "naïve", "zürich", "señor", "à-propos", "façade", "smørbrød"]
+
+
+def ascii_fold(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """ASCII/accent folding (the Lucene ``ASCIIFoldingFilter`` analyzer
+    component): diacritics map to their base letters BEFORE tokenization so
+    "café" and "cafe" hit the same posting list — required the moment a
+    code corpus carries non-English comments or doc strings.
+
+    The synthetic corpus is pure ASCII, so — the pii_scrub seasoning
+    pattern — each doc is seasoned in-query with an accented marker word
+    chosen by doc_id; both engines fold with the same explicit
+    ``translate`` character map (no ICU dependency, parity by
+    construction). Output: (term, df) for each folded marker term — the
+    postings a fold-less analyzer would have missed entirely. One map over
+    the scan, one small aggregate."""
+    did = F.col(id_col)
+    marker = F.element_at(
+        F.array(*[F.lit(w) for w in _ACCENT_WORDS]), (did % len(_ACCENT_WORDS) + 1).cast("int")
+    )
+    seasoned = F.concat(F.col(text_col), F.lit(" "), marker)
+    folded = F.translate(F.lower(seasoned), ACCENT_FROM, ACCENT_TO)
+    toks = docs.select(
+        did.alias("doc_id"),
+        F.explode(F.split(folded, "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    folded_markers = sorted(
+        {
+            t
+            for w in _ACCENT_WORDS
+            for t in w.translate(str.maketrans(ACCENT_FROM, ACCENT_TO))
+            .lower()
+            .replace("-", " ")
+            .split()
+        }
+    )
+    return (
+        toks.filter(F.col("term").isin(folded_markers))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )

@@ -5146,3 +5146,47 @@ WHERE doc_id % {tombstoned_mod} <> 0
 ORDER BY score_micros DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def ascii_fold_sql() -> str:
+    """Twin of textstats.ascii_fold: identical seasoning (marker word by
+    doc_id), identical explicit translate map, same tokenize-after-fold."""
+    from searchengine_spark.operators.textstats import (
+        ACCENT_FROM,
+        ACCENT_TO,
+        _ACCENT_WORDS,
+    )
+
+    words = ", ".join(f"'{w}'" for w in _ACCENT_WORDS)
+    folded_markers = sorted(
+        {
+            t
+            for w in _ACCENT_WORDS
+            for t in w.translate(str.maketrans(ACCENT_FROM, ACCENT_TO))
+            .lower()
+            .replace("-", " ")
+            .split()
+        }
+    )
+    marker_list = ", ".join(f"'{t}'" for t in folded_markers)
+    return f"""
+WITH seasoned AS (
+  SELECT doc_id,
+         text || ' ' || ([{words}])[(doc_id % {len(_ACCENT_WORDS)})::INT + 1]
+           AS text2
+  FROM documents
+),
+folded AS (
+  SELECT doc_id,
+         translate(lower(text2), '{ACCENT_FROM}', '{ACCENT_TO}') AS ftext
+  FROM seasoned
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(ftext, '[^a-z0-9]+')) AS term
+  FROM folded
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks
+WHERE term IN ({marker_list})
+GROUP BY term
+"""
