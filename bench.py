@@ -125,6 +125,7 @@ HEADLINE = [
     "stratified_sample",
     "fetch_pages",
     "strip_html",
+    "ascii_fold",
     "repetition_stats",
     "pii_scrub",
     "license_detect",
