@@ -278,6 +278,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_expansion_topk": lambda spark, sf: serve.prf_expansion_topk(
             spark, gate_index(spark, sf), _docs(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # BM25+ lower-bounded tf normalization (Lv & Zhai 2011)
+        "bm25plus_topk": lambda spark, sf: serve.bm25plus_topk(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
+        # Borda-count fusion — positional voting beside RRF/CombMNZ
+        "borda_fusion_topk": lambda spark, sf: serve.borda_fusion_topk(
+            spark, gate_index(spark, sf), emb(spark, sf), BM25_TERMS, k=TOPK, r=50
+        ),
         # Dirichlet query-likelihood ranking (Zhai & Lafferty) — the LM
         # ranking family beside BM25, served from the same pruned index scan
         "qld_topk": lambda spark, sf: serve.qld_topk(
@@ -1236,6 +1244,8 @@ def oracle_sql() -> dict[str, str]:
         "term_search_all": oracles.term_search_all_sql(ALL_TERMS),
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_topk": oracles.qld_topk_sql(BM25_TERMS, k=TOPK),
+        "bm25plus_topk": oracles.bm25plus_topk_sql(BM25_TERMS, k=TOPK),
+        "borda_fusion_topk": oracles.borda_fusion_sql(BM25_TERMS, k=TOPK, r=50),
         "qld_jm_topk": oracles.qld_jm_topk_sql(BM25_TERMS, k=TOPK),
         "sdm_topk": oracles.sdm_topk_sql(BM25_TERMS, k=TOPK),
         "pl2_topk": oracles.pl2_topk_sql(BM25_TERMS, k=TOPK),

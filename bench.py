@@ -53,6 +53,8 @@ HEADLINE = [
     "pl2_topk",
     "prf_expansion_topk",
     "hybrid_rrf_topk",
+    "borda_fusion_topk",
+    "bm25plus_topk",
     "rerank_ce_topk",
     "mmr_topk",
     "bm25_maxp_topk",

@@ -2848,3 +2848,91 @@ def bm25_topk_tombstoned(
     scores = bm25_scores(spark, idx, query_terms)
     live = scores.filter(F.pmod(F.col("doc_id"), F.lit(tombstoned_mod)) != 0)
     return live.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(k)
+
+
+def bm25plus_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    delta: float = 1.0,
+) -> DataFrame:
+    """BM25+ (Lv & Zhai CIKM 2011): the lower-bounded tf normalization —
+    every matched term contributes at least ``idf·δ``, fixing plain BM25's
+    over-penalization of very long documents (where tf/(tf+k1·norm) → 0 and
+    a long doc containing the term can score below a short doc not
+    containing it at all). Same pruned-index plan as bm25_topk; the only
+    change is ``+ δ`` inside the shared contribution tree before the idf
+    multiply."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = F.col("idf_bm25") * (
+        (tf * (BM25_K1 + 1.0))
+        / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(idx["avgdl"])))
+        + F.lit(float(delta))
+    )
+    return (
+        post.join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def borda_fusion_topk(
+    spark: SparkSession,
+    idx: dict,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    r: int = 50,
+) -> DataFrame:
+    """Borda-count fusion — the positional-voting member of the fusion
+    family beside RRF (reciprocal) and CombMNZ (normalized score): each
+    list awards a doc ``r - rank + 1`` points, absent docs award 0, fused
+    score is the pure-integer point sum. Same bounded two-list shape as the
+    other fusion gates; ties by doc_id."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.similarity import ann_bruteforce_topk
+
+    order = [F.desc("score_micros"), F.asc("doc_id")]
+    one = Window.partitionBy(F.col("doc_id") % 1).orderBy(*order)
+    lex = (
+        bm25_scores(spark, idx, query_terms)
+        .orderBy(*order)
+        .limit(r)
+        .select("doc_id", (F.lit(r) - F.row_number().over(one) + 1).alias("lpts"))
+    )
+    vec = ann_bruteforce_topk(embeddings, k=r, query_ids=[query_vec_id]).select(
+        F.col("neighbor_id").alias("doc_id"),
+        (F.lit(r) - F.col("rank") + 1).cast("long").alias("vpts"),
+    )
+    ids = lex.select("doc_id").union(vec.select("doc_id")).distinct()
+    fused = (
+        ids.join(F.broadcast(lex), "doc_id", "left")
+        .join(F.broadcast(vec), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("lpts"), F.lit(0)) + F.coalesce(F.col("vpts"), F.lit(0)))
+            .cast("long")
+            .alias("borda_points"),
+        )
+        .orderBy(F.desc("borda_points"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w_final = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("borda_points"), F.asc("doc_id")
+    )
+    return fused.select(
+        F.row_number().over(w_final).cast("int").alias("rank"),
+        "doc_id",
+        "borda_points",
+    )

@@ -5190,3 +5190,87 @@ FROM toks
 WHERE term IN ({marker_list})
 GROUP BY term
 """
+
+
+def bm25plus_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    delta: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of serve.bm25plus_topk: idf · (saturated_tf + δ)."""
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+q AS (SELECT term FROM {_terms_values(terms)}),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+  WHERE lex.term IN (SELECT term FROM q)
+),
+scored AS (
+  SELECT post.doc_id,
+         CAST(round(idf.idf_bm25 * ((post.tf * {k1 + 1.0})
+                    / (post.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                    + {float(delta)!r})
+                    * 1e6) AS BIGINT) AS c_micros
+  FROM post
+  JOIN q ON post.term = q.term
+  JOIN idf ON post.term = idf.term
+  JOIN dls ON post.doc_id = dls.doc_id
+  CROSS JOIN avg_dl
+)
+SELECT doc_id, sum(c_micros)::BIGINT AS score_micros
+FROM scored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def borda_fusion_sql(
+    terms: list[str], query_vec_id: int = 0, k: int = 10, r: int = 50
+) -> str:
+    """Twin of serve.borda_fusion_topk: r - rank + 1 points per list,
+    integer point sums, absent docs award 0."""
+    qq = "list_transform(qv.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    cc = "list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms)},
+lex_ranked AS (
+  SELECT doc_id, ({r} - lrank + 1)::BIGINT AS lpts FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS lrank
+    FROM scores
+  ) WHERE lrank <= {r}
+),
+vec_scored AS (
+  SELECT e.vec_id AS doc_id, {_cos_micros_sql(qq, cc)} AS cosine_micros
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) qv
+  WHERE e.vec_id <> {query_vec_id}
+),
+vec_ranked AS (
+  SELECT doc_id, ({r} - vrank + 1)::BIGINT AS vpts FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine_micros DESC, doc_id ASC) AS vrank
+    FROM vec_scored
+  ) WHERE vrank <= {r}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         (coalesce(l.lpts, 0) + coalesce(v.vpts, 0))::BIGINT AS borda_points
+  FROM lex_ranked l FULL OUTER JOIN vec_ranked v ON l.doc_id = v.doc_id
+)
+SELECT rank, doc_id, borda_points FROM (
+  SELECT row_number() OVER (ORDER BY borda_points DESC, doc_id ASC)::INT AS rank,
+         doc_id, borda_points
+  FROM fused
+) WHERE rank <= {k}
+"""
