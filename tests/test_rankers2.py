@@ -477,3 +477,37 @@ def test_nrt_two_tier_fresh_docs_searchable(spark, idx, docs):
     assert rows
     assert all(r["doc_id"] >= 1_000_000_000 for r in rows)
     assert all(r["score_micros"] > 0 for r in rows)
+
+
+def test_bm25plus_dominates_bm25(spark, idx):
+    """BM25+ adds idf·δ per matched term, so every candidate's score
+    strictly exceeds its plain-BM25 score (δ=1, idf>0 on this corpus)."""
+    from searchengine_spark.operators import serve
+
+    base = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.bm25_scores(spark, idx, TERMS).collect()
+    }
+    plus = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.bm25plus_topk(spark, idx, TERMS, k=10_000).collect()
+    }
+    assert set(plus) == set(base)
+    assert all(plus[d] > base[d] for d in base)
+
+
+def test_tombstoned_filters_but_keeps_scores(spark, idx):
+    """Tombstoned serving drops doc_id%7==0 and leaves every surviving
+    score EXACTLY equal to the stale-stats BM25 score (Lucene liveDocs:
+    deletes don't touch statistics until compaction)."""
+    from searchengine_spark.operators import serve
+
+    base = {
+        r["doc_id"]: r["score_micros"]
+        for r in serve.bm25_scores(spark, idx, TERMS).collect()
+    }
+    rows = serve.bm25_topk_tombstoned(spark, idx, TERMS, tombstoned_mod=7, k=50).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 7 != 0
+        assert base[r["doc_id"]] == r["score_micros"]
