@@ -227,6 +227,36 @@ class SearchAPI:
             for r in rows
         ]
 
+    def explain(self, raw_query: str, k: int = 10) -> list[dict]:
+        """Relevance-debugging route (Lucene ``explain``): per-(doc, term)
+        contribution breakdown of the top-k — the gated bm25_explain path
+        on the wire."""
+        from searchengine_spark.operators import serve
+
+        terms, _ = self.parse_query(raw_query)
+        if not terms:
+            return []
+        rows = serve.bm25_explain(self.spark, self.idx, terms, k=k).collect()
+        return [
+            {
+                "doc_id": int(r["doc_id"]),
+                "term": r["term"],
+                "tf": int(r["tf"]),
+                "df": int(r["df"]),
+                "contrib_micros": int(r["contrib_micros"]),
+                "score_micros": int(r["score_micros"]),
+            }
+            for r in rows
+        ]
+
+    def stats(self) -> dict:
+        """Index-statistics route (ES ``_stats`` shape) — the gated
+        index_stats one-row summary."""
+        from searchengine_spark.operators import serve
+
+        row = serve.index_stats(self.spark, self.idx).collect()[0]
+        return {c: int(row[c]) for c in row.asDict()}
+
     def start(self, port: int = 0) -> ThreadingHTTPServer:
         """Bind and serve on a daemon thread; returns the server (port via
         ``server.server_address[1]``, stop via ``server.shutdown()``)."""
@@ -291,6 +321,22 @@ def _make_handler(api: SearchAPI):
                     self._send(500, {"error": str(exc)})
                     return
                 self._send(200, {"similar": similar_docs, "total": len(similar_docs)})
+                return
+            if parsed.path == "/api/explain":
+                try:
+                    rows = api.explain(qs.get("query", [""])[0], k=k)
+                except Exception as exc:
+                    self._send(500, {"error": str(exc)})
+                    return
+                self._send(200, {"explain": rows, "total": len(rows)})
+                return
+            if parsed.path == "/api/stats":
+                try:
+                    payload = api.stats()
+                except Exception as exc:
+                    self._send(500, {"error": str(exc)})
+                    return
+                self._send(200, payload)
                 return
             if parsed.path != "/api/search":
                 self._send(404, {"error": "not found"})

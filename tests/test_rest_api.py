@@ -190,3 +190,25 @@ def test_mlt_route_matches_dataframe_path(spark, api_server):
     assert code == 400
     code, payload = _get(base, "/api/mlt?id=999999999")
     assert code == 200 and payload["total"] == 0
+
+
+def test_explain_contribs_sum_to_score(api_server):
+    api, base = api_server
+    status, body = _get(
+        base, "/api/explain?query=" + urllib.parse.quote("hash join")
+    )
+    assert status == 200 and body["total"] > 0
+    by_doc: dict[int, list[dict]] = {}
+    for r in body["explain"]:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rows in by_doc.items():
+        assert sum(r["contrib_micros"] for r in rows) == rows[0]["score_micros"]
+
+
+def test_stats_route_invariants(api_server):
+    api, base = api_server
+    status, body = _get(base, "/api/stats")
+    assert status == 200
+    assert body["n_docs"] > 0 and body["n_terms"] > 0
+    assert body["max_df"] <= body["n_docs"]
+    assert body["n_postings"] <= body["n_tokens"] == body["sum_dl"]
