@@ -2268,9 +2268,12 @@ def significant_terms(
 
     Physical plan (scale shape): the hit set comes from the PRUNED postings
     scan of the query terms (partition pruning, |q| buckets); the foreground
-    pass joins postings to the hit set doc_id-keyed — work proportional to
-    the postings OF THE HIT DOCS, exactly what ES pays per shard; background
-    df is a lexicon point read, never a second corpus scan. n_hits is an
+    pass joins the FORWARD index (docvecs, doc_id-bucketed) to the hit set
+    on its own partition key — the hit set broadcasts when small, and when
+    it doesn't, the doc-keyed side shuffles on the key it is already
+    bucketed by (never the term-bucketed postings re-keyed by doc);
+    background df is a lexicon point read, never a second corpus scan.
+    n_hits is an
     in-plan 1-row broadcast aggregate (no driver collect). Candidates where
     fg_pct <= bg_pct are dropped with an INTEGER cross-multiplication
     predicate (fg_df*n_docs > bg_df*n_hits) so the keep/drop boundary can
@@ -2289,7 +2292,7 @@ def significant_terms(
     hits = _pruned_postings(idx, rows).select("doc_id").distinct()
     n_docs = int(idx["n_docs"])
     fg = (
-        idx["postings"]
+        idx["docvecs"]
         .select("term", "doc_id")
         .join(hits, "doc_id")
         .groupBy("term")
