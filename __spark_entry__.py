@@ -706,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apply the learned merges back to the vocabulary (subword
         # segmentation — what the trained tokenizer does to new text)
         "bpe_encode": _bpe_encode,
+        # corpus-weighted tokenizer fertility over the trained BPE
+        # (tokens-per-word — the multilingual-tokenizer health metric)
+        "bpe_fertility": lambda spark, sf: _bpe_fertility(spark, sf),
         # HLL distinct-term sketch: portable md5 registers, max-merge —
         # the sub-linear-state cardinality path for 100 TB analytics
         "hll_term_registers": lambda spark, sf: _hll_registers(spark, sf),
@@ -948,6 +951,12 @@ def _bloom_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sketches.bloom_probe(positions, probes).join(F.broadcast(probes), "key")
+
+
+def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators import bpe
+
+    return bpe.bpe_fertility(_docs(spark, sf_dir), n_merges=6)
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_classify": oracles.nb_lang_classify_sql(),
         "bpe_merges": oracles.bpe_merges_sql(n_merges=6),
         "bpe_encode": oracles.bpe_encode_sql(n_merges=6),
+        "bpe_fertility": oracles.bpe_fertility_sql(n_merges=6),
         "hll_term_registers": oracles.hll_registers_sql(),
         "cms_term_counters": oracles.cms_counters_sql(),
         "bloom_visited": oracles.bloom_visited_sql(),

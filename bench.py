@@ -138,6 +138,7 @@ HEADLINE = [
     "lang_id",
     "nb_lang_classify",
     "bpe_merges",
+    "bpe_fertility",
     "bloom_visited",
     "fuzzy_suggest",
     "unigram_logprob",

@@ -128,3 +128,26 @@ def bpe_encode(
     for l, r in rules:
         seq = F.replace(seq, F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|"))
     return words.withColumn("pieces", F.split(F.btrim(seq, F.lit("|")), r"\|\|"))
+
+
+def bpe_fertility(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Corpus-weighted tokenizer fertility over the trained BPE: one row of
+    (total_words, total_pieces, total_chars, fertility_micros) where
+    fertility = pieces per word (the tokens-per-word statistic tokenizer
+    papers report; chars-per-token falls out of the same sums). Training
+    and segmentation are the gated bpe_train/bpe_encode paths; the stats
+    are one map-side-combinable aggregate over the vocabulary table, and
+    fertility is an exact integer division (1e6·pieces div words)."""
+    rules = bpe_train(docs, n_merges=n_merges).orderBy("merge_id").collect()
+    enc = bpe_encode(word_counts(docs), [(r["left"], r["right"]) for r in rules])
+    pieces = F.size("pieces").cast("long")
+    return enc.agg(
+        F.sum("n").cast("long").alias("total_words"),
+        F.sum(F.col("n") * pieces).cast("long").alias("total_pieces"),
+        F.sum(F.col("n") * F.length("word")).cast("long").alias("total_chars"),
+    ).select(
+        "total_words",
+        "total_pieces",
+        "total_chars",
+        F.expr("(1000000 * total_pieces) div total_words").alias("fertility_micros"),
+    )

@@ -5274,3 +5274,18 @@ SELECT rank, doc_id, borda_points FROM (
   FROM fused
 ) WHERE rank <= {k}
 """
+
+
+def bpe_fertility_sql(n_merges: int = 6) -> str:
+    """Twin of the bpe_fertility gate: corpus-weighted tokenizer-fertility
+    statistics over the trained BPE segmentation (the metric multilingual
+    tokenizer work reports as tokens-per-word / chars-per-token)."""
+    return f"""
+WITH enc AS (SELECT word, n, segmented FROM ({bpe_encode_sql(n_merges)}))
+SELECT sum(n)::BIGINT AS total_words,
+       sum(n * len(string_split(segmented, ' ')))::BIGINT AS total_pieces,
+       sum(n * length(word))::BIGINT AS total_chars,
+       ((1000000 * sum(n * len(string_split(segmented, ' ')))) // sum(n))::BIGINT
+         AS fertility_micros
+FROM enc
+"""
