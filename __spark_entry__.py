@@ -240,6 +240,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": lambda spark, sf: serve.phrase_topk(
             spark, gate_index(spark, sf), PHRASE, k=TOPK
         ),
+        # the same scored phrase served from the COMPRESSED segments
+        # (positions decoded from blobs, in-shard adjacency + micros BM25)
+        "phrase_topk_wand": lambda spark, sf: serve.phrase_topk_wand(
+            spark, gate_index(spark, sf), PHRASE, k=TOPK
+        ),
         # proximity (within-k positions) — the sloppy-phrase generalization
         "proximity_match": lambda spark, sf: serve.proximity_match(
             spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
@@ -1344,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "phrase_topk": oracles.phrase_topk_sql(PHRASE, k=TOPK),
+        "phrase_topk_wand": oracles.phrase_topk_sql(PHRASE, k=TOPK),
         "hybrid_combmnz_topk": oracles.hybrid_combmnz_sql(BM25_TERMS, k=TOPK, r=50),
         "cluster_results": oracles.cluster_results_sql(BM25_TERMS, r=50),
         "proximity_match": oracles.proximity_match_sql(PHRASE[0], PHRASE[1], slop=3),

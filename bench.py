@@ -62,6 +62,7 @@ HEADLINE = [
     "shard_selection",
     "phrase_match",
     "phrase_topk",
+    "phrase_topk_wand",
     "significant_terms",
     "term_vectors",
     "corrected_search",

@@ -859,6 +859,12 @@ def compaction_plan(
     stats source, keep the plan. Scale shape: the stats table has one row
     per segment (corpus_size/shard_span); every window is partitioned by
     tier over that bounded table — nothing here touches postings.
+
+    Sibling: :func:`plan_compaction` is the driver-side GENERATION-level
+    planner (a handful of named index generations, pure Python arithmetic,
+    executed by :func:`compact_generations`); this operator is the
+    distributed SEGMENT-level form for stats tables too large to collect —
+    same tiered policy, gated hash-exact against the DuckDB twin.
     """
     from searchengine_spark.functions.tokenize import doc_len
     from pyspark.sql import Window
@@ -959,3 +965,77 @@ def bitpacked_postings_roundtrip(docs: DataFrame, shard_span: int = 64) -> DataF
             )
 
     return seg.mapInPandas(dec, "term string, doc_id long, tf long")
+
+
+def _phrase_micros_in_shard(
+    term_blocks: dict[str, list[dict]],
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, int, None]]:
+    """Exact phrase top-k within one shard in **bigint micros**: the
+    _phrase_topk_in_shard candidate logic (position adjacency over decoded
+    blocks) with each term contribution rounded to micros BEFORE the sum —
+    the same integer contract as _wand_shard, so the segments-served phrase
+    ranking hash-matches the columnar phrase_topk oracle."""
+    per_term: list[dict[int, tuple]] = []
+    for t in terms:
+        blocks = term_blocks.get(t)
+        if not blocks:
+            return []
+        entry: dict[int, tuple] = {}
+        for b in sorted(blocks, key=lambda x: x["block_id"]):
+            ids, tfs, dls = codec.decode_block(b)
+            poss = codec.decode_positions(b)
+            for d, p, tf, dl in zip(ids.tolist(), poss, tfs.tolist(), dls.tolist()):
+                entry[d] = (p, tf, dl)
+        per_term.append(entry)
+    cand = set(per_term[0])
+    for pm in per_term[1:]:
+        cand &= set(pm)
+    out: list[tuple[int, int, None]] = []
+    for d in cand:
+        first, _, _ = per_term[0][d]
+        rest = [set(pm[d][0].tolist()) for pm in per_term[1:]]
+        if not any(
+            all((p + i + 1) in rest[i] for i in range(len(rest)))
+            for p in first.tolist()
+        ):
+            continue
+        score = 0
+        for t in sorted(set(terms)):
+            _, tf, dl = per_term[terms.index(t)][d]
+            score += _micros(
+                idfs[t]
+                * (tf * (codec.BM25_K1 + 1.0))
+                / (tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl))
+            )
+        out.append((score, d, None))
+    out.sort(key=lambda x: (-x[0], x[1]))
+    return out[:k]
+
+
+def phrase_topk_micros(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    phrase_terms: list[str],
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Scored phrase query served ENTIRELY from the compressed segments
+    (positions decoded from the blobs, adjacency checked in-shard, BM25 in
+    exact micros) — the physical twin of serve.phrase_topk, under the same
+    DuckDB oracle. Shares _pruned_topk_micros' driver plan with WAND and
+    MaxScore, so partition pruning and the bounded per-shard heap are one
+    definition across all three."""
+    ordered = list(phrase_terms)
+
+    def shard_fn(term_blocks, idfs, avgdl_, k_, micros=True):
+        return _phrase_micros_in_shard(term_blocks, ordered, idfs, avgdl_, k_)
+
+    return _pruned_topk_micros(
+        spark, segments, lexicon, ordered, avgdl, k, n_buckets, shard_fn
+    )

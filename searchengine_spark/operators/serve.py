@@ -2939,3 +2939,16 @@ def borda_fusion_topk(
         "doc_id",
         "borda_points",
     )
+
+
+def phrase_topk_wand(
+    spark: SparkSession, idx: dict, phrase_terms: list[str], k: int = 10
+) -> DataFrame:
+    """serve.phrase_topk's compressed-physical twin: exact-phrase BM25
+    top-k served from the segment blobs (segments.phrase_topk_micros) —
+    hash-identical to the columnar path under the same oracle."""
+    from searchengine_spark.operators.segments import phrase_topk_micros
+
+    return phrase_topk_micros(
+        spark, idx["segments"], idx["lexicon"], phrase_terms, idx["avgdl"], k=k
+    )
