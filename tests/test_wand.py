@@ -136,3 +136,17 @@ def test_maxscore_equals_wand_and_bruteforce(term_postings, k):
     ms = _maxscore_shard(fresh(), idfs, avgdl, k, micros=True)
     wd = _wand_shard(fresh(), idfs, avgdl, k, micros=True)
     assert [(d, s) for s, d, _ in ms] == [(d, s) for s, d, _ in wd]
+
+
+def test_phrase_micros_equals_columnar(spark):
+    """The segments-served scored phrase (positions decoded from blobs)
+    must equal the columnar phrase_topk row-for-row in exact micros."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, "/root/testdata/sf0.001")
+    cols = serve.phrase_topk(spark, idx, ["hash", "join"], k=10).collect()
+    wand = serve.phrase_topk_wand(spark, idx, ["hash", "join"], k=10).collect()
+    assert [tuple(r) for r in cols] == [tuple(r) for r in wand] and cols
+    # absent term -> unmatchable phrase, empty on both paths
+    assert serve.phrase_topk_wand(spark, idx, ["hash", "zzznope"], k=10).count() == 0
