@@ -273,6 +273,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": lambda spark, sf: serve.ltr_features(
             spark, gate_index(spark, sf), BM25_TERMS
         ),
+        # the TRAINING step those features feed: full-batch logistic GD in
+        # fixed-point integers (per-row nano-rounded gradients, exact
+        # truncating-division updates) — unrolled-GD DuckDB twin
+        # trained on the rare+common query so the candidate set carries
+        # BOTH classes (conjunctive positives need the rare "dup")
+        "ltr_train": lambda spark, sf: serve.ltr_train_logistic(
+            spark, gate_index(spark, sf), COMMON_TERMS_QUERY, r=50
+        ),
         # CORI resource ranking over doc_id-mod shards — the shard router
         # of selective search (query only the most promising shards)
         "shard_selection": lambda spark, sf: serve.shard_selection(
@@ -1267,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": oracles.bm25f_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_maxp_topk": oracles.bm25_maxp_topk_sql(BM25_TERMS, k=TOPK),
         "ltr_features": oracles.ltr_features_sql(BM25_TERMS),
+        "ltr_train": oracles.ltr_train_logistic_sql(COMMON_TERMS_QUERY, r=50),
         "shard_selection": oracles.shard_selection_sql(BM25_TERMS, n_shards=8),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "significant_terms": oracles.significant_terms_sql(BM25_TERMS, k=20),

@@ -59,6 +59,7 @@ HEADLINE = [
     "mmr_topk",
     "bm25_maxp_topk",
     "ltr_features",
+    "ltr_train",
     "shard_selection",
     "phrase_match",
     "phrase_topk",

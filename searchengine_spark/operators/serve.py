@@ -2952,3 +2952,99 @@ def phrase_topk_wand(
     return phrase_topk_micros(
         spark, idx["segments"], idx["lexicon"], phrase_terms, idx["avgdl"], k=k
     )
+
+
+def ltr_train_logistic(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    r: int = 50,
+    iterations: int = 3,
+    lr_den: int = 4000,
+) -> DataFrame:
+    """Learning-to-rank model TRAINING inside the engine: pointwise
+    logistic regression over the BM25 top-r candidates' ranking features —
+    the training step that consumes what ``ltr_features`` exports. Labels
+    are deterministic conjunctive relevance (doc matches ALL query terms);
+    features are integer-micros normalized (bias, minmax BM25 score,
+    coordination ppm, minmax doc length).
+
+    Determinism contract (the k-means/HITS pattern applied to gradient
+    descent): weights live in integer MICROS; each row's per-feature
+    gradient contribution is rounded to integer nanos BEFORE the sum, so
+    the gradient is an exact associative integer total on any engine and
+    any partition count; the update w -= trunc(grad_nanos / (n·lr_den)) is
+    exact truncate-toward-zero division in both engines (DuckDB's ``//``
+    truncates; Python's floors, so the driver matches DuckDB explicitly).
+    The only floats are each row's fixed
+    4-term dot product and one sigmoid — identical expression trees in
+    Spark and the unrolled DuckDB oracle.
+
+    Scale shape: one candidate generation (bounded r per query), then per
+    iteration ONE map-side-combinable 4-column aggregate over the feature
+    table — full-batch GD over 10^9 candidate rows is iterations × one
+    aggregate scan, no driver-side data beyond the 4 weight integers.
+
+    Output: (j, weight_micros) for j = 0(bias), 1(score), 2(coord), 3(dl).
+    """
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], "j int, weight_micros long")
+    n_q = len({r_["term"] for r_ in rows})
+    order = [F.desc("score_micros"), F.asc("doc_id")]
+    cand = bm25_scores(spark, idx, query_terms).orderBy(*order).limit(r)
+    matched = (
+        _pruned_postings(idx, rows)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nm"), F.max("dl").alias("dl"))
+    )
+    base = cand.join(matched, "doc_id")
+    mm = base.agg(
+        F.max("score_micros").alias("smax"), F.max("dl").alias("dlmax")
+    )
+    x1 = F.round(
+        F.lit(1e6) * F.col("score_micros").cast("double") / F.col("smax").cast("double")
+    ).cast("long")
+    x3 = F.round(
+        F.lit(1e6) * F.col("dl").cast("double") / F.col("dlmax").cast("double")
+    ).cast("long")
+    feats = (
+        base.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id",
+            x1.alias("x1"),
+            F.expr(f"(nm * 1000000) div {n_q}").alias("x2"),
+            x3.alias("x3"),
+            F.when(F.col("nm") == n_q, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        .localCheckpoint()  # tiny (r rows); freeze so 3 iterations share it
+    )
+    n = feats.count()
+    w = [0, 0, 0, 0]
+    xs = [F.lit(1_000_000).cast("long"), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(iterations):
+        z_int = (
+            F.lit(w[0]).cast("long") * F.lit(1_000_000).cast("long")
+            + F.lit(w[1]).cast("long") * F.col("x1")
+            + F.lit(w[2]).cast("long") * F.col("x2")
+            + F.lit(w[3]).cast("long") * F.col("x3")
+        )
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-(z_int.cast("double") / F.lit(1e12))))
+        aggs = [
+            F.sum(
+                F.round((sig - F.col("y").cast("double")) * xj.cast("double") * F.lit(1000.0)).cast(
+                    "long"
+                )
+            ).alias(f"g{j}")
+            for j, xj in enumerate(xs)
+        ]
+        g = feats.agg(*aggs).collect()[0]
+
+        def _tdiv(a: int, b: int) -> int:  # truncate toward zero = DuckDB //
+            q = abs(a) // b
+            return -q if a < 0 else q
+
+        w = [w[j] - _tdiv(int(g[f"g{j}"]), n * lr_den) for j in range(4)]
+    return spark.createDataFrame(
+        [(j, int(w[j])) for j in range(4)], "j int, weight_micros long"
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 TERMS = ["spark", "hash", "join"]
+LTR_TERMS = ["dup", "spark", "join"]  # rare driver term -> both label classes
 
 
 @pytest.fixture(scope="module")
@@ -511,3 +512,52 @@ def test_tombstoned_filters_but_keeps_scores(spark, idx):
     for r in rows:
         assert r["doc_id"] % 7 != 0
         assert base[r["doc_id"]] == r["score_micros"]
+
+
+def test_ltr_train_learns_separation(spark, idx):
+    """After 3 GD iterations the trained weights must score the positive
+    class (docs matching ALL query terms) above the negatives on average —
+    the minimal learning-happened check on top of the exact-parity gate."""
+    from searchengine_spark.operators import serve
+
+    w = {
+        r["j"]: r["weight_micros"]
+        for r in serve.ltr_train_logistic(spark, idx, LTR_TERMS, r=50).collect()
+    }
+    rows = _ltr_feature_rows(spark, idx, LTR_TERMS, r=50)
+    zs = {0: [], 1: []}
+    for x1, x2, x3, y in rows:
+        z = w[0] * 1_000_000 + w[1] * x1 + w[2] * x2 + w[3] * x3
+        zs[y].append(z)
+    assert zs[0] and zs[1]
+    assert sum(zs[1]) / len(zs[1]) > sum(zs[0]) / len(zs[0])
+
+
+def _ltr_feature_rows(spark, idx, terms, r):
+    """Recompute the gate's integer feature rows (mirrors the operator)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import serve
+
+    lex_rows = serve._qlex(spark, idx, terms)
+    n_q = len({x["term"] for x in lex_rows})
+    cand = (
+        serve.bm25_scores(spark, idx, terms)
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(r)
+    )
+    matched = (
+        serve._pruned_postings(idx, lex_rows)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nm"), F.max("dl").alias("dl"))
+    )
+    base = cand.join(matched, "doc_id").collect()
+    smax = max(x["score_micros"] for x in base)
+    dlmax = max(x["dl"] for x in base)
+    out = []
+    for x in base:
+        x1 = round(1e6 * x["score_micros"] / smax)
+        x2 = (x["nm"] * 1_000_000) // n_q
+        x3 = round(1e6 * x["dl"] / dlmax)
+        out.append((x1, x2, x3, 1 if x["nm"] == n_q else 0))
+    return out
