@@ -281,6 +281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_train": lambda spark, sf: serve.ltr_train_logistic(
             spark, gate_index(spark, sf), COMMON_TERMS_QUERY, r=50
         ),
+        # ...and SERVE with that model: integer logit rank over the shared
+        # feature table (sigmoid monotone -> no float at serve time)
+        "ltr_rerank_topk": lambda spark, sf: serve.ltr_rerank_topk(
+            spark, gate_index(spark, sf), COMMON_TERMS_QUERY, k=TOPK, r=50
+        ),
         # CORI resource ranking over doc_id-mod shards — the shard router
         # of selective search (query only the most promising shards)
         "shard_selection": lambda spark, sf: serve.shard_selection(
@@ -1276,6 +1281,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_maxp_topk": oracles.bm25_maxp_topk_sql(BM25_TERMS, k=TOPK),
         "ltr_features": oracles.ltr_features_sql(BM25_TERMS),
         "ltr_train": oracles.ltr_train_logistic_sql(COMMON_TERMS_QUERY, r=50),
+        "ltr_rerank_topk": oracles.ltr_rerank_topk_sql(
+            COMMON_TERMS_QUERY, k=TOPK, r=50
+        ),
         "shard_selection": oracles.shard_selection_sql(BM25_TERMS, n_shards=8),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),
         "significant_terms": oracles.significant_terms_sql(BM25_TERMS, k=20),

@@ -60,6 +60,7 @@ HEADLINE = [
     "bm25_maxp_topk",
     "ltr_features",
     "ltr_train",
+    "ltr_rerank_topk",
     "shard_selection",
     "phrase_match",
     "phrase_topk",

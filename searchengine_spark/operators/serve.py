@@ -2954,6 +2954,99 @@ def phrase_topk_wand(
     )
 
 
+def _ltr_candidate_features(
+    spark: SparkSession, idx: dict, query_terms: list[str], r: int
+):
+    """ONE definition of the LTR candidate feature table shared by the
+    trainer and the model server (so a feature change can never apply to
+    training and silently miss serving): BM25 top-r candidates with
+    integer-micros features x1 = minmax score, x2 = coordination ppm,
+    x3 = minmax doc length, and the deterministic conjunctive label y.
+    Returns a localCheckpointed r-row frame (doc_id, x1, x2, x3, y), or
+    None when no query term exists."""
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return None
+    n_q = len({r_["term"] for r_ in rows})
+    order = [F.desc("score_micros"), F.asc("doc_id")]
+    cand = bm25_scores(spark, idx, query_terms).orderBy(*order).limit(r)
+    matched = (
+        _pruned_postings(idx, rows)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nm"), F.max("dl").alias("dl"))
+    )
+    base = cand.join(matched, "doc_id")
+    mm = base.agg(
+        F.max("score_micros").alias("smax"), F.max("dl").alias("dlmax")
+    )
+    x1 = F.round(
+        F.lit(1e6) * F.col("score_micros").cast("double") / F.col("smax").cast("double")
+    ).cast("long")
+    x3 = F.round(
+        F.lit(1e6) * F.col("dl").cast("double") / F.col("dlmax").cast("double")
+    ).cast("long")
+    return (
+        base.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id",
+            x1.alias("x1"),
+            F.expr(f"(nm * 1000000) div {n_q}").alias("x2"),
+            x3.alias("x3"),
+            F.when(F.col("nm") == n_q, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        .localCheckpoint()  # tiny (r rows); freeze so iterations share it
+    )
+
+
+def ltr_rerank_topk(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    r: int = 50,
+    iterations: int = 3,
+    lr_den: int = 4000,
+) -> DataFrame:
+    """Serve with the model ltr_train_logistic just trained — the
+    train-then-rank loop closed inside the engine. The sigmoid is monotone,
+    so ranking by the raw integer logit z = w·x needs NO float at serve
+    time: z is an exact int64 (micros·micros scale), reported as
+    z div 1e6 micros. Output: (rank, doc_id, ltr_score_micros)."""
+    from pyspark.sql import Window
+
+    wts = {
+        row["j"]: int(row["weight_micros"])
+        for row in ltr_train_logistic(
+            spark, idx, query_terms, r=r, iterations=iterations, lr_den=lr_den
+        ).collect()
+    }
+    feats = _ltr_candidate_features(spark, idx, query_terms, r)
+    if not wts or feats is None:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, ltr_score_micros long"
+        )
+    z = (
+        F.lit(wts[0]).cast("long") * F.lit(1_000_000).cast("long")
+        + F.lit(wts[1]).cast("long") * F.col("x1")
+        + F.lit(wts[2]).cast("long") * F.col("x2")
+        + F.lit(wts[3]).cast("long") * F.col("x3")
+    )
+    scored = (
+        feats.select("doc_id", z.alias("_z"))
+        .select("doc_id", F.expr("_z div 1000000").alias("ltr_score_micros"))
+        .orderBy(F.desc("ltr_score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w_final = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("ltr_score_micros"), F.asc("doc_id")
+    )
+    return scored.select(
+        F.row_number().over(w_final).cast("int").alias("rank"),
+        "doc_id",
+        "ltr_score_micros",
+    )
+
+
 def ltr_train_logistic(
     spark: SparkSession,
     idx: dict,
@@ -2987,38 +3080,9 @@ def ltr_train_logistic(
 
     Output: (j, weight_micros) for j = 0(bias), 1(score), 2(coord), 3(dl).
     """
-    rows = _qlex(spark, idx, query_terms)
-    if not rows:
+    feats = _ltr_candidate_features(spark, idx, query_terms, r)
+    if feats is None:
         return spark.createDataFrame([], "j int, weight_micros long")
-    n_q = len({r_["term"] for r_ in rows})
-    order = [F.desc("score_micros"), F.asc("doc_id")]
-    cand = bm25_scores(spark, idx, query_terms).orderBy(*order).limit(r)
-    matched = (
-        _pruned_postings(idx, rows)
-        .groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("nm"), F.max("dl").alias("dl"))
-    )
-    base = cand.join(matched, "doc_id")
-    mm = base.agg(
-        F.max("score_micros").alias("smax"), F.max("dl").alias("dlmax")
-    )
-    x1 = F.round(
-        F.lit(1e6) * F.col("score_micros").cast("double") / F.col("smax").cast("double")
-    ).cast("long")
-    x3 = F.round(
-        F.lit(1e6) * F.col("dl").cast("double") / F.col("dlmax").cast("double")
-    ).cast("long")
-    feats = (
-        base.crossJoin(F.broadcast(mm))
-        .select(
-            "doc_id",
-            x1.alias("x1"),
-            F.expr(f"(nm * 1000000) div {n_q}").alias("x2"),
-            x3.alias("x3"),
-            F.when(F.col("nm") == n_q, F.lit(1)).otherwise(F.lit(0)).alias("y"),
-        )
-        .localCheckpoint()  # tiny (r rows); freeze so 3 iterations share it
-    )
     n = feats.count()
     w = [0, 0, 0, 0]
     xs = [F.lit(1_000_000).cast("long"), F.col("x1"), F.col("x2"), F.col("x3")]

@@ -5370,3 +5370,32 @@ UNION ALL SELECT 1, w1::BIGINT FROM {wf}
 UNION ALL SELECT 2, w2::BIGINT FROM {wf}
 UNION ALL SELECT 3, w3::BIGINT FROM {wf}
 """
+
+
+def ltr_rerank_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    r: int = 50,
+    iterations: int = 3,
+    lr_den: int = 4000,
+) -> str:
+    """Twin of serve.ltr_rerank_topk: the unrolled trainer's final weights
+    applied as the integer logit z = w·x (sigmoid is monotone, so no float
+    at serve time), z // 1e6 micros, bounded top-k."""
+    train = ltr_train_logistic_sql(terms, r=r, iterations=iterations, lr_den=lr_den)
+    # reuse the trainer's WITH chain: strip its final SELECT, keep the CTEs
+    chain = train[: train.rindex("SELECT 0 AS j")]
+    wf = f"w{iterations}"
+    return f"""{chain}
+SELECT rank, doc_id, ltr_score_micros FROM (
+  SELECT row_number() OVER (
+           ORDER BY ltr_score_micros DESC, doc_id ASC)::INT AS rank,
+         doc_id, ltr_score_micros
+  FROM (
+    SELECT f.doc_id,
+           ((w.w0 * 1000000 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)
+            // 1000000)::BIGINT AS ltr_score_micros
+    FROM feats f CROSS JOIN {wf} w
+  )
+) WHERE rank <= {k}
+"""
