@@ -249,6 +249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_match": lambda spark, sf: serve.proximity_match(
             spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
         ),
+        # the same proximity query served from the COMPRESSED segments
+        "proximity_match_wand": lambda spark, sf: serve.proximity_match_wand(
+            spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
+        ),
         # directional variant: term_a BEFORE term_b within k positions
         "proximity_ordered": lambda spark, sf: serve.ordered_proximity_match(
             spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
@@ -1370,6 +1374,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_combmnz_topk": oracles.hybrid_combmnz_sql(BM25_TERMS, k=TOPK, r=50),
         "cluster_results": oracles.cluster_results_sql(BM25_TERMS, r=50),
         "proximity_match": oracles.proximity_match_sql(PHRASE[0], PHRASE[1], slop=3),
+        "proximity_match_wand": oracles.proximity_match_sql(
+            PHRASE[0], PHRASE[1], slop=3
+        ),
         "proximity_ordered": oracles.ordered_proximity_sql(PHRASE[0], PHRASE[1], slop=3),
         "synonym_topk": oracles.synonym_bm25_sql(SYNONYM_GROUPS, k=TOPK),
         "host_stats": oracles.host_stats_sql(n_hosts=7),

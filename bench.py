@@ -65,6 +65,7 @@ HEADLINE = [
     "phrase_match",
     "phrase_topk",
     "phrase_topk_wand",
+    "proximity_match_wand",
     "significant_terms",
     "term_vectors",
     "corrected_search",

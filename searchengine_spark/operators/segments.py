@@ -1039,3 +1039,54 @@ def phrase_topk_micros(
     return _pruned_topk_micros(
         spark, segments, lexicon, ordered, avgdl, k, n_buckets, shard_fn
     )
+
+
+def proximity_match_segments(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Proximity search served ENTIRELY from the compressed segments:
+    (doc_id, min_dist) for docs where the two terms occur within ``slop``
+    raw-split positions, positions decoded from the blobs in-shard — the
+    physical twin of serve.proximity_match under the same oracle. Same
+    bucket-pruned scan + per-shard Arrow group as the phrase/WAND family;
+    a doc's pair work is bounded by its two term frequencies."""
+    terms = list(dict.fromkeys([term_a, term_b]))
+    lex_rows = (
+        lexicon.filter(F.col("term").isin(terms))
+        .select("term", F.pmod(F.hash("term"), F.lit(n_buckets)).alias("bucket"))
+        .collect()
+    )
+    present = {r["term"] for r in lex_rows}
+    if term_a not in present or term_b not in present:
+        return spark.createDataFrame([], "doc_id long, min_dist long")
+    buckets = sorted({int(r["bucket"]) for r in lex_rows})
+    pruned = segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, dict[int, np.ndarray]] = {t: {} for t in terms}
+        for _, row in pdf.iterrows():
+            entry = per_term[row["term"]]
+            ids, _, _ = codec.decode_block(row.to_dict())
+            poss = codec.decode_positions(row.to_dict())
+            for d, p in zip(ids.tolist(), poss):
+                entry[d] = p
+        pa, pb = per_term[term_a], per_term[term_b]
+        out = []
+        for d in set(pa) & set(pb):
+            md = int(np.abs(pa[d][:, None].astype(np.int64)
+                            - pb[d][None, :].astype(np.int64)).min())
+            if md <= slop:
+                out.append((d, md))
+        return pd.DataFrame(out, columns=["doc_id", "min_dist"]).astype("int64")
+
+    return pruned.groupBy("shard").applyInPandas(
+        run_shard, "doc_id long, min_dist long"
+    )

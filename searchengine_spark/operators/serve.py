@@ -3112,3 +3112,16 @@ def ltr_train_logistic(
     return spark.createDataFrame(
         [(j, int(w[j])) for j in range(4)], "j int, weight_micros long"
     )
+
+
+def proximity_match_wand(
+    spark: SparkSession, idx: dict, term_a: str, term_b: str, slop: int = 3
+) -> DataFrame:
+    """serve.proximity_match's compressed-physical twin: positions decoded
+    from the segment blobs in-shard (segments.proximity_match_segments) —
+    same DuckDB oracle as the columnar path."""
+    from searchengine_spark.operators.segments import proximity_match_segments
+
+    return proximity_match_segments(
+        spark, idx["segments"], idx["lexicon"], term_a, term_b, slop=slop
+    )
