@@ -285,6 +285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_train": lambda spark, sf: serve.ltr_train_logistic(
             spark, gate_index(spark, sf), COMMON_TERMS_QUERY, r=50
         ),
+        # the pairwise (RankNet) objective beside the pointwise trainer;
+        # bias cancels in every pair difference (provably stays 0)
+        "ltr_train_pairwise": lambda spark, sf: serve.ltr_train_pairwise(
+            spark, gate_index(spark, sf), COMMON_TERMS_QUERY, r=50
+        ),
         # ...and SERVE with that model: integer logit rank over the shared
         # feature table (sigmoid monotone -> no float at serve time)
         "ltr_rerank_topk": lambda spark, sf: serve.ltr_rerank_topk(
@@ -1287,6 +1292,9 @@ def oracle_sql() -> dict[str, str]:
         "ltr_train": oracles.ltr_train_logistic_sql(COMMON_TERMS_QUERY, r=50),
         "ltr_rerank_topk": oracles.ltr_rerank_topk_sql(
             COMMON_TERMS_QUERY, k=TOPK, r=50
+        ),
+        "ltr_train_pairwise": oracles.ltr_train_pairwise_sql(
+            COMMON_TERMS_QUERY, r=50
         ),
         "shard_selection": oracles.shard_selection_sql(BM25_TERMS, n_shards=8),
         "term_search_any": oracles.term_search_any_sql(ALL_TERMS),

@@ -61,6 +61,7 @@ HEADLINE = [
     "ltr_features",
     "ltr_train",
     "ltr_rerank_topk",
+    "ltr_train_pairwise",
     "shard_selection",
     "phrase_match",
     "phrase_topk",

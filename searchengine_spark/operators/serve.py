@@ -3125,3 +3125,78 @@ def proximity_match_wand(
     return proximity_match_segments(
         spark, idx["segments"], idx["lexicon"], term_a, term_b, slop=slop
     )
+
+
+def ltr_train_pairwise(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    r: int = 50,
+    iterations: int = 3,
+    lr_den: int = 4000,
+) -> DataFrame:
+    """Pairwise learning-to-rank training (the RankNet objective with a
+    linear scorer): minimize −log σ(s(pos) − s(neg)) over all
+    (positive, negative) candidate pairs — the ranking-native loss beside
+    the pointwise trainer, sharing its feature table, integer-exactness
+    contract (per-pair gradient contributions rounded to nanos before the
+    associative sum; truncating-division updates) and its unrolled-GD
+    DuckDB twin. The bias feature cancels in every pair difference, so its
+    weight provably stays 0 — the pairwise objective is translation-
+    invariant, which the gate exhibits rather than hides.
+
+    Scale shape: the pair table is |pos|·|neg| ≤ r² rows PER QUERY (never
+    corpus-scale — candidates were already cut to r); each iteration is one
+    map-side-combinable aggregate over it."""
+    feats = _ltr_candidate_features(spark, idx, query_terms, r)
+    if feats is None:
+        return spark.createDataFrame([], "j int, weight_micros long")
+    pos = feats.filter(F.col("y") == 1).select(
+        F.col("x1").alias("px1"), F.col("x2").alias("px2"), F.col("x3").alias("px3")
+    )
+    neg = feats.filter(F.col("y") == 0).select(
+        F.col("x1").alias("nx1"), F.col("x2").alias("nx2"), F.col("x3").alias("nx3")
+    )
+    pairs = (
+        pos.crossJoin(neg)
+        .select(
+            (F.col("px1") - F.col("nx1")).alias("d1"),
+            (F.col("px2") - F.col("nx2")).alias("d2"),
+            (F.col("px3") - F.col("nx3")).alias("d3"),
+        )
+        .localCheckpoint()
+    )
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return spark.createDataFrame(
+            [(j, 0) for j in range(4)], "j int, weight_micros long"
+        )
+    w = [0, 0, 0, 0]
+
+    def _tdiv(a: int, b: int) -> int:  # truncate toward zero = DuckDB //
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    for _ in range(iterations):
+        zd_int = (
+            F.lit(w[1]).cast("long") * F.col("d1")
+            + F.lit(w[2]).cast("long") * F.col("d2")
+            + F.lit(w[3]).cast("long") * F.col("d3")
+        )
+        sig = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(zd_int.cast("double") / F.lit(1e12)))
+        )
+        aggs = [
+            F.sum(
+                F.round(
+                    (sig - F.lit(1.0)) * F.col(f"d{j}").cast("double") * F.lit(1000.0)
+                ).cast("long")
+            ).alias(f"g{j}")
+            for j in (1, 2, 3)
+        ]
+        g = pairs.agg(*aggs).collect()[0]
+        for j in (1, 2, 3):
+            w[j] = w[j] - _tdiv(int(g[f"g{j}"]), n_pairs * lr_den)
+    return spark.createDataFrame(
+        [(j, int(w[j])) for j in range(4)], "j int, weight_micros long"
+    )

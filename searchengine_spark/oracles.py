@@ -5399,3 +5399,84 @@ SELECT rank, doc_id, ltr_score_micros FROM (
   )
 ) WHERE rank <= {k}
 """
+
+
+def ltr_train_pairwise_sql(
+    terms: list[str],
+    r: int = 50,
+    iterations: int = 3,
+    lr_den: int = 4000,
+) -> str:
+    """Unrolled twin of serve.ltr_train_pairwise: RankNet pairwise logistic
+    over (positive, negative) feature differences, nanos-rounded per-pair
+    gradients, truncating-division updates; the bias weight stays 0."""
+    uniq = list(dict.fromkeys(terms))
+    n_q = len(uniq)
+    head = f"""cand AS (
+  SELECT doc_id, score_micros FROM (
+    SELECT doc_id, score_micros,
+           row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS rn
+    FROM scores
+  ) WHERE rn <= {r}
+),
+matched AS (
+  SELECT post.doc_id, count(DISTINCT post.term)::BIGINT AS nm,
+         max(dls.dl)::BIGINT AS dl
+  FROM post JOIN q ON post.term = q.term JOIN dls ON post.doc_id = dls.doc_id
+  GROUP BY 1
+),
+mm AS (
+  SELECT max(c.score_micros)::BIGINT AS smax, max(m.dl)::BIGINT AS dlmax
+  FROM cand c JOIN matched m ON c.doc_id = m.doc_id
+),
+feats AS (
+  SELECT c.doc_id,
+         CAST(round(1e6 * CAST(c.score_micros AS DOUBLE)
+                    / CAST(mm.smax AS DOUBLE)) AS BIGINT) AS x1,
+         ((m.nm * 1000000) // {n_q})::BIGINT AS x2,
+         CAST(round(1e6 * CAST(m.dl AS DOUBLE)
+                    / CAST(mm.dlmax AS DOUBLE)) AS BIGINT) AS x3,
+         (CASE WHEN m.nm = {n_q} THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM cand c JOIN matched m ON c.doc_id = m.doc_id CROSS JOIN mm
+),
+pairs AS (
+  SELECT (p.x1 - n.x1)::BIGINT AS d1, (p.x2 - n.x2)::BIGINT AS d2,
+         (p.x3 - n.x3)::BIGINT AS d3
+  FROM feats p JOIN feats n ON p.y = 1 AND n.y = 0
+),
+np AS (SELECT count(*)::BIGINT AS n FROM pairs),
+w0 AS (SELECT 0::BIGINT AS w1, 0::BIGINT AS w2, 0::BIGINT AS w3)"""
+    parts = [head]
+    for t in range(iterations):
+        w, g, nw = f"w{t}", f"g{t}", f"w{t + 1}"
+        parts.append(
+            f"""{g} AS (
+  SELECT
+    sum(CAST(round((sig - 1.0) * CAST(d1 AS DOUBLE) * 1000.0) AS BIGINT))::BIGINT AS g1,
+    sum(CAST(round((sig - 1.0) * CAST(d2 AS DOUBLE) * 1000.0) AS BIGINT))::BIGINT AS g2,
+    sum(CAST(round((sig - 1.0) * CAST(d3 AS DOUBLE) * 1000.0) AS BIGINT))::BIGINT AS g3
+  FROM (
+    SELECT d1, d2, d3,
+           1.0 / (1.0 + exp(-(CAST({w}.w1 * d1 + {w}.w2 * d2
+                                   + {w}.w3 * d3 AS DOUBLE) / 1e12))) AS sig
+    FROM pairs CROSS JOIN {w}
+  )
+),
+{nw} AS (
+  SELECT {w}.w1 - ({g}.g1 // (np.n * {lr_den})) AS w1,
+         {w}.w2 - ({g}.g2 // (np.n * {lr_den})) AS w2,
+         {w}.w3 - ({g}.g3 // (np.n * {lr_den})) AS w3
+  FROM {w} CROSS JOIN {g} CROSS JOIN np
+)"""
+        )
+    chain = ",\n".join(parts)
+    wf = f"w{iterations}"
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(uniq)},
+{chain}
+SELECT 0 AS j, 0::BIGINT AS weight_micros
+UNION ALL SELECT 1, w1::BIGINT FROM {wf}
+UNION ALL SELECT 2, w2::BIGINT FROM {wf}
+UNION ALL SELECT 3, w3::BIGINT FROM {wf}
+"""
