@@ -421,6 +421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compat_topk": lambda spark, sf: serve.compat_topk(
             spark, sf, COMPAT_QUERY, k=TOPK
         ),
+        # multi-fragment highlighting (UnifiedHighlighter shape): merged
+        # token windows around index-served match positions, ranked
+        "highlight_fragments": lambda spark, sf: serve.highlight_fragments(
+            spark, gate_index(spark, sf), _docs(spark, sf), BM25_TERMS, k=TOPK
+        ),
         # result assembly (SearchService.convertDocumentsToResults shape:
         # term/url/title/snippet/id + rank/score) — snippet rendered at query
         # time over the <=k winners, bolding/ellipses per the reference
@@ -1375,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": oracles.mmr_topk_sql(BM25_TERMS, k=TOPK, r=50),
         "compat_topk": oracles.compat_topk_sql(COMPAT_TERMS, COMPAT_QUERY, k=TOPK),
         "search_results": oracles.search_results_sql(BM25_TERMS, k=TOPK),
+        "highlight_fragments": oracles.highlight_fragments_sql(BM25_TERMS, k=TOPK),
         "pagerank_integer": _pagerank_integer_sql(),
         "phrase_match": oracles.phrase_match_sql(PHRASE),
         "phrase_topk": oracles.phrase_topk_sql(PHRASE, k=TOPK),

@@ -45,6 +45,7 @@ HEADLINE = [
     "qpp_predictors",
     "compat_topk",
     "search_results",
+    "highlight_fragments",
     "tfidf_topk",
     "bm25f_topk",
     "qld_topk",

@@ -3200,3 +3200,99 @@ def ltr_train_pairwise(
     return spark.createDataFrame(
         [(j, int(w[j])) for j in range(4)], "j int, weight_micros long"
     )
+
+
+def highlight_fragments(
+    spark: SparkSession,
+    idx: dict,
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    frag_window: int = 4,
+    max_frags: int = 3,
+) -> DataFrame:
+    """Multi-fragment highlighting (the Lucene UnifiedHighlighter shape,
+    generalizing search_results' single snippet): for each BM25 top-k
+    winner, up to ``max_frags`` token windows around query-term matches,
+    overlapping windows merged gaps-and-islands style, fragments ranked by
+    match count (ties: earliest first).
+
+    Plan: the winners come from the gated bm25_topk; their match positions
+    come from the PRUNED postings' stored position lists (no corpus
+    re-scan); islands build with per-doc windows (bounded by matches per
+    doc); only the ≤ k winning docs' raw text is fetched, and the fragment
+    text is an array slice of the raw split array — positions index that
+    array (quirk Q4 contract), so the slice is exact in both engines.
+
+    Output: (doc_id, frag_seq, start_pos, end_pos, n_matches, fragment).
+    """
+    from pyspark.sql import Window
+
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, frag_seq int, start_pos long, end_pos long, "
+            "n_matches long, fragment string",
+        )
+    winners = bm25_topk(spark, idx, query_terms, k=k).select("doc_id")
+    hits = (
+        _pruned_postings(idx, rows)
+        .join(F.broadcast(winners), "doc_id")
+        .select("doc_id", F.explode("positions").alias("pos"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos", 1, -(10**9)).over(w_doc)
+    islands = hits.withColumn(
+        "new_island", (gap > 2 * frag_window).cast("int")
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    frags = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("mn"),
+        F.max("pos").alias("mx"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_matches"), F.asc("mn")
+    )
+    top = (
+        frags.withColumn("frag_seq", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("frag_seq") <= max_frags)
+        .select(
+            "doc_id",
+            "frag_seq",
+            F.greatest(F.col("mn") - frag_window, F.lit(0)).alias("start_pos"),
+            (F.col("mx") + frag_window).alias("end_pos"),
+            "n_matches",
+        )
+    )
+    from searchengine_spark.functions.tokenize import tokens_array
+
+    toks = documents.join(F.broadcast(winners), "doc_id").select(
+        "doc_id", tokens_array(F.col("text")).alias("_t")
+    )
+    # clamp end to the array, slice 1-based, join with single spaces
+    frag = F.array_join(
+        F.slice(
+            F.col("_t"),
+            (F.col("start_pos") + 1).cast("int"),
+            (
+                F.least(F.col("end_pos"), F.size("_t") - 1)
+                - F.col("start_pos")
+                + 1
+            ).cast("int"),
+        ),
+        " ",
+    )
+    return top.join(toks, "doc_id").select(
+        "doc_id",
+        "frag_seq",
+        "start_pos",
+        F.least(F.col("end_pos"), (F.size("_t") - 1).cast("long")).alias("end_pos"),
+        "n_matches",
+        frag.alias("fragment"),
+    )

@@ -5480,3 +5480,71 @@ UNION ALL SELECT 1, w1::BIGINT FROM {wf}
 UNION ALL SELECT 2, w2::BIGINT FROM {wf}
 UNION ALL SELECT 3, w3::BIGINT FROM {wf}
 """
+
+
+def highlight_fragments_sql(
+    terms: list[str],
+    k: int = 10,
+    frag_window: int = 4,
+    max_frags: int = 3,
+) -> str:
+    """Twin of serve.highlight_fragments: BM25 top-k winners, query-term
+    match positions, gaps-and-islands window merge, per-doc fragment rank
+    (n_matches desc, start asc), raw-split-array slice joined with ' '."""
+    return f"""
+WITH {_TOKENS_CTE},
+{_bm25_scores_cte(terms)},
+winners AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS rn
+    FROM scores
+  ) WHERE rn <= {k}
+),
+toksraw AS (
+  SELECT doc_id, string_split_regex(lower(text), '{TOKEN_SPLIT_RE}') AS t
+  FROM documents JOIN winners USING (doc_id)
+),
+posx AS (
+  SELECT tr.doc_id, unnest(tr.t) AS term, generate_subscripts(tr.t, 1) - 1 AS pos
+  FROM toksraw tr
+),
+hits AS (
+  SELECT doc_id, pos FROM posx
+  WHERE term IN (SELECT term FROM q)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos, 1, -1000000000)
+                      OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {2 * frag_window} THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+frags AS (
+  SELECT doc_id, island, min(pos) AS mn, max(pos) AS mx,
+         count(*)::BIGINT AS n_matches
+  FROM islands GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, frag_seq, greatest(mn - {frag_window}, 0)::BIGINT AS start_pos,
+         (mx + {frag_window})::BIGINT AS end_pos, n_matches
+  FROM (
+    SELECT doc_id, mn, mx, n_matches,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_matches DESC, mn ASC)::INT AS frag_seq
+    FROM frags
+  ) WHERE frag_seq <= {max_frags}
+)
+SELECT top.doc_id, top.frag_seq, top.start_pos,
+       least(top.end_pos, len(tr.t) - 1)::BIGINT AS end_pos, top.n_matches,
+       array_to_string(
+         list_slice(tr.t, top.start_pos + 1,
+                    least(top.end_pos, len(tr.t) - 1) + 1), ' ') AS fragment
+FROM top JOIN toksraw tr ON top.doc_id = tr.doc_id
+"""
