@@ -257,6 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_ordered": lambda spark, sf: serve.ordered_proximity_match(
             spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
         ),
+        # ...and its directional sibling from the segments
+        "ordered_proximity_wand": lambda spark, sf: serve.ordered_proximity_wand(
+            spark, gate_index(spark, sf), PHRASE[0], PHRASE[1], slop=3
+        ),
         # synonym-group scoring (Lucene SynonymQuery semantics: macro-term
         # tf sum, group df -> idf)
         "synonym_topk": lambda spark, sf: serve.synonym_bm25_topk(
@@ -1392,6 +1396,9 @@ def oracle_sql() -> dict[str, str]:
             PHRASE[0], PHRASE[1], slop=3
         ),
         "proximity_ordered": oracles.ordered_proximity_sql(PHRASE[0], PHRASE[1], slop=3),
+        "ordered_proximity_wand": oracles.ordered_proximity_sql(
+            PHRASE[0], PHRASE[1], slop=3
+        ),
         "synonym_topk": oracles.synonym_bm25_sql(SYNONYM_GROUPS, k=TOPK),
         "host_stats": oracles.host_stats_sql(n_hosts=7),
         "crawl_delta": oracles.crawl_delta_sql(),

@@ -68,6 +68,7 @@ HEADLINE = [
     "phrase_topk",
     "phrase_topk_wand",
     "proximity_match_wand",
+    "ordered_proximity_wand",
     "significant_terms",
     "term_vectors",
     "corrected_search",

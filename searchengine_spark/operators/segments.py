@@ -1090,3 +1090,53 @@ def proximity_match_segments(
     return pruned.groupBy("shard").applyInPandas(
         run_shard, "doc_id long, min_dist long"
     )
+
+
+def ordered_proximity_segments(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Ordered proximity (a BEFORE b within ``slop``) served from the
+    compressed segments — (doc_id, min_gap), gap = pb − pa ≥ 1 — the
+    directional sibling of :func:`proximity_match_segments`, same shard
+    shape, same oracle as the columnar ordered_proximity_match."""
+    terms = list(dict.fromkeys([term_a, term_b]))
+    lex_rows = (
+        lexicon.filter(F.col("term").isin(terms))
+        .select("term", F.pmod(F.hash("term"), F.lit(n_buckets)).alias("bucket"))
+        .collect()
+    )
+    present = {r["term"] for r in lex_rows}
+    if term_a not in present or term_b not in present:
+        return spark.createDataFrame([], "doc_id long, min_gap long")
+    buckets = sorted({int(r["bucket"]) for r in lex_rows})
+    pruned = segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, dict[int, np.ndarray]] = {t: {} for t in terms}
+        for _, row in pdf.iterrows():
+            entry = per_term[row["term"]]
+            ids, _, _ = codec.decode_block(row.to_dict())
+            poss = codec.decode_positions(row.to_dict())
+            for d, p in zip(ids.tolist(), poss):
+                entry[d] = p
+        pa, pb = per_term[term_a], per_term[term_b]
+        out = []
+        for d in set(pa) & set(pb):
+            gaps = (pb[d][None, :].astype(np.int64)
+                    - pa[d][:, None].astype(np.int64)).reshape(-1)
+            gaps = gaps[gaps >= 1]
+            if gaps.size and int(gaps.min()) <= slop:
+                out.append((d, int(gaps.min())))
+        return pd.DataFrame(out, columns=["doc_id", "min_gap"]).astype("int64")
+
+    return pruned.groupBy("shard").applyInPandas(
+        run_shard, "doc_id long, min_gap long"
+    )

@@ -3296,3 +3296,15 @@ def highlight_fragments(
         "n_matches",
         frag.alias("fragment"),
     )
+
+
+def ordered_proximity_wand(
+    spark: SparkSession, idx: dict, term_a: str, term_b: str, slop: int = 3
+) -> DataFrame:
+    """ordered_proximity_match's compressed-physical twin (positions from
+    the segment blobs) — same oracle as the columnar path."""
+    from searchengine_spark.operators.segments import ordered_proximity_segments
+
+    return ordered_proximity_segments(
+        spark, idx["segments"], idx["lexicon"], term_a, term_b, slop=slop
+    )
