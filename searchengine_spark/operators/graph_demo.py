@@ -58,6 +58,13 @@ def pagerank_integer(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     e = edges.join(outdeg, "src")
     src_set = outdeg.select(F.col("src").alias("doc_id"))
+    # loop-invariants: cut lineage ONCE so each iteration joins a
+    # materialized edge table instead of re-deriving it from source
+    # (pagerank.py:71 pattern — at scale this is the difference between
+    # one edge shuffle per iteration and a full recompute per iteration)
+    e = e.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    src_set = src_set.localCheckpoint(eager=True)
 
     base = (SCALE * 15 // 100) // n
     ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
@@ -108,6 +115,10 @@ def personalized_pagerank_integer(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     e = edges.join(outdeg, "src")
     src_set = outdeg.select(F.col("src").alias("doc_id"))
+    # loop-invariant lineage cuts (pagerank.py:71 pattern)
+    e = e.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    src_set = src_set.localCheckpoint(eager=True)
     is_seed = F.col("doc_id") < seed_below
 
     base = (SCALE * 15 // 100) // n_seeds
@@ -161,6 +172,10 @@ def hits_integer(
     (measured ~25% faster, identical output)."""
     nodes = docs.select(F.col(id_col).alias("doc_id"))
     edges = synthetic_edges(docs, id_col)
+    # loop-invariant lineage cuts (pagerank.py:71 pattern): edges are
+    # joined twice per iteration — materialize once, not 2×iterations times
+    edges = edges.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     h = nodes.withColumn("h", F.lit(1).cast("long"))
     a = nodes.withColumn("a", F.lit(1).cast("long"))
     for _ in range(iterations):
@@ -368,10 +383,15 @@ def symbol_rank(
         .unionByName(refs.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # loop-invariants: the def/ref regex extraction is the expensive part —
+    # checkpoint so the corpus is parsed ONCE, not ~2× per iteration
+    # (pagerank.py:71 pattern)
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    e = edges.join(outdeg, "src")
-    src_set = outdeg.select(F.col("src").alias("node"))
+    e = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    src_set = outdeg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
 
     base = (SCALE * 15 // 100) // n
     ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
@@ -738,6 +758,9 @@ def label_propagation(
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
         und.select(F.col("b").alias("v"), F.col("a").alias("u"))
     )
+    # loop-invariant lineage cuts (pagerank.py:71 pattern)
+    adj = adj.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
     for i in range(iterations):
         nbr = adj.join(

@@ -287,8 +287,17 @@ def crossmodal_topk(
 
     from searchengine_spark.operators.similarity import _micros_np, _quantize_np
 
+    # query set derived STRUCTURALLY (first n_query_media image rows by
+    # media_id), not via the 3*n arithmetic that duplicated make_fake_media's
+    # kind-cycle layout — the oracle twin uses the same ORDER BY/LIMIT shape,
+    # so a change to the fake-media layout can't desync the two sides
+    q_media = (
+        media.filter(F.col("kind") == "image")
+        .orderBy("media_id")
+        .limit(n_query_media)
+    )
     feats = image_features(
-        media.filter(F.col("media_id") < 3 * n_query_media),
+        q_media,
         deterministic_fake=True,
         media_repartition_bytes=None,
     )

@@ -881,8 +881,13 @@ def compaction_plan(
     w = Window.partitionBy("tier").orderBy(
         F.desc("size_tokens"), F.asc("segment_id")
     )
-    ranked = stats.withColumn("tier", tier).withColumn(
-        "merge_seq", ((F.row_number().over(w) - 1) / F.lit(merge_factor)).cast("long")
+    # integer division (the repo's exactness convention): the DuckDB twin
+    # uses //, and a keep/group boundary must never cross through a double
+    ranked = (
+        stats.withColumn("tier", tier)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("merge_seq", F.expr(f"(_rn - 1) div {int(merge_factor)}").cast("long"))
+        .drop("_rn")
     )
     grp = Window.partitionBy("tier", "merge_seq")
     return (

@@ -2967,7 +2967,10 @@ def _ltr_candidate_features(
     rows = _qlex(spark, idx, query_terms)
     if not rows:
         return None
-    n_q = len({r_["term"] for r_ in rows})
+    # distinct terms IN THE QUERY LITERAL (not just lexicon hits) — the
+    # oracle twins (oracles.py ltr_*) define n_q the same way, so an
+    # out-of-vocabulary query term lowers x2/y identically on both sides
+    n_q = len(dict.fromkeys(query_terms))
     order = [F.desc("score_micros"), F.asc("doc_id")]
     cand = bm25_scores(spark, idx, query_terms).orderBy(*order).limit(r)
     matched = (

@@ -4702,8 +4702,12 @@ def crossmodal_topk_sql(n_query_media: int = 4, k: int = 5) -> str:
     return f"""
 WITH {_MEDIA_CTE},
 imgq AS (
+  -- structural twin of the Spark side's query-set derivation: first
+  -- n_query_media image rows ordered by media_id (no kind-cycle arithmetic)
   SELECT media_id, hx FROM feats
-  WHERE kind_id = 0 AND media_id < {3 * n_query_media}
+  WHERE kind_id = 0
+  ORDER BY media_id
+  LIMIT {n_query_media}
 ),
 jv AS (SELECT media_id, {jv} AS v FROM imgq),
 emb AS (SELECT vec_id, {_QUANT_EMB} AS e FROM embeddings),
@@ -5463,9 +5467,12 @@ w0 AS (SELECT 0::BIGINT AS w1, 0::BIGINT AS w2, 0::BIGINT AS w3)"""
   )
 ),
 {nw} AS (
-  SELECT {w}.w1 - ({g}.g1 // (np.n * {lr_den})) AS w1,
-         {w}.w2 - ({g}.g2 // (np.n * {lr_den})) AS w2,
-         {w}.w3 - ({g}.g3 // (np.n * {lr_den})) AS w3
+  -- zero-pair edge: empty pairs CTE yields NULL gradients and np.n = 0;
+  -- coalesce/greatest keep the weights at 0 exactly as the Spark side's
+  -- n_pairs == 0 short-circuit does
+  SELECT {w}.w1 - (coalesce({g}.g1, 0) // (greatest(np.n, 1) * {lr_den})) AS w1,
+         {w}.w2 - (coalesce({g}.g2, 0) // (greatest(np.n, 1) * {lr_den})) AS w2,
+         {w}.w3 - (coalesce({g}.g3, 0) // (greatest(np.n, 1) * {lr_den})) AS w3
   FROM {w} CROSS JOIN {g} CROSS JOIN np
 )"""
         )
