@@ -455,6 +455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
         ),
+        # query-HISTORY-ranked suggestions (suggestionService.js semantics:
+        # case-folded counts, first-seen casing, stable-sort tie-break)
+        "history_suggest": lambda spark, sf: serve.history_suggest(
+            spark, serve.synth_query_log(spark, 64), "s", k=5
+        ),
         # wildcard (prefix*) search: dictionary prefix scan -> bounded term
         # expansion -> one pruned postings pass (Lucene's automaton plan)
         "wildcard_search": lambda spark, sf: serve.wildcard_search(
@@ -668,6 +673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed fetch with host-partitioned politeness; deterministic
         # fake transport (sandbox has no network), oracle-recomputed content
         "fetch_pages": lambda spark, sf: _fetch_pages(spark, sf),
+        # robots.txt body parse -> per-host Disallow prefixes (S3 completed:
+        # UA sections, case-sensitive quirks, allow-on-missing)
+        "robots_rules": lambda spark, sf: _robots_rules(spark, sf),
+        # the crawl-family e2e: fetch robots -> parse -> allow-filter the
+        # frontier -> fetch the surviving URLs (sha256 ingest invariant)
+        "robots_filtered_fetch": lambda spark, sf: _robots_filtered_fetch(spark, sf),
         # HTML tag strip (SearchService.java:276) over in-query-synthesized
         # HTML wrapping of each doc
         "strip_html": lambda spark, sf: textstats.strip_html(_docs(spark, sf)),
@@ -1151,6 +1162,28 @@ def _fetch_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.fetch import parse_robots, synth_robots_bodies
+
+    return parse_robots(synth_robots_bodies(spark, n_hosts=7))
+
+
+def _robots_filtered_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.fetch import (
+        fetch_pages,
+        parse_robots,
+        robots_allowed,
+        synth_robots_bodies,
+        synth_urls,
+    )
+
+    rules = parse_robots(synth_robots_bodies(spark, n_hosts=7))
+    allowed = robots_allowed(synth_urls(_docs(spark, sf_dir), n_hosts=7), rules)
+    return fetch_pages(allowed, deterministic_fake=True).select(
+        "url", "content_sha256"
+    )
+
+
 def _search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.results import search_results
 
@@ -1345,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_rp_project": oracles.rp_project_sql(out_dim=16),
         "embedding_sq8": oracles.sq8_codes_sql(),
         "prefix_suggest": oracles.prefix_suggest_sql("s", k=5),
+        "history_suggest": oracles.history_suggest_sql("s", k=5, n=64),
         "wildcard_search": oracles.wildcard_search_sql("s"),
         "substring_search": oracles.substring_search_sql("park"),
         "regex_search": oracles.regex_search_sql("spark|merge"),
@@ -1446,6 +1480,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": oracles.audio_features_sql(),
         "video_frame_sample": oracles.video_frame_sample_sql(every_n_seconds=5),
         "fetch_pages": oracles.fetch_pages_sql(n_hosts=7),
+        "robots_rules": oracles.robots_rules_sql(n_hosts=7),
+        "robots_filtered_fetch": oracles.robots_filtered_fetch_sql(n_hosts=7),
         "strip_html": oracles.strip_html_sql(),
         "ascii_fold": oracles.ascii_fold_sql(),
         "token_stats": oracles.token_stats_sql(),

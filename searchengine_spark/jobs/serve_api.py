@@ -60,6 +60,7 @@ class SearchAPI:
         self.spark = spark
         self.idx = gate_index(spark, sf_dir)
         self.documents = load_table(spark, sf_dir, "documents")
+        self._history: list[tuple[int, str]] = []  # (seq, query) saveQuery log
         try:
             self.embeddings = load_table(spark, sf_dir, "embeddings")
         except Exception:  # corpus dirs without an embeddings table
@@ -176,6 +177,30 @@ class SearchAPI:
         rows = serve.prefix_suggest(self.spark, self.idx, prefix, k=k).collect()
         return [{"term": r[0], "count": int(r[1])} for r in rows]
 
+    def record_query(self, query: str) -> None:
+        """saveQuery twin (suggestionService.js:16-30): append to the
+        in-process query log; blank queries are never saved. The log is the
+        localStorage analog — a real deployment swaps in a log table."""
+        if query.strip():
+            self._history.append((len(self._history), query))
+
+    def suggest_history(self, prefix: str, k: int = 5) -> list[dict]:
+        """History-ranked autocomplete (getSuggestions twin): queries the
+        user actually ran, case-folded counts, first-seen casing, stable
+        count-desc order. Falls back to the synthetic demo log when no
+        query has been recorded yet."""
+        from searchengine_spark.operators import serve
+
+        prefix = prefix.strip()
+        if not prefix:
+            return []
+        if self._history:
+            log = self.spark.createDataFrame(self._history, "seq long, query string")
+        else:
+            log = serve.synth_query_log(self.spark, 64)
+        rows = serve.history_suggest(self.spark, log, prefix, k=k).collect()
+        return [{"query": r["query"], "count": int(r["n"])} for r in rows]
+
     def similar(self, vec_id: int, k: int = 5) -> list[dict]:
         """Vector similar-items route: exact cosine top-k neighbors of one
         stored embedding (the single-query form of ann_bruteforce_topk —
@@ -289,8 +314,13 @@ def _make_handler(api: SearchAPI):
                 self._send(400, {"error": "bad k"})
                 return
             if parsed.path == "/api/suggest":
+                # ?source=history ranks by the user's past queries
+                # (suggestionService.js twin); default stays corpus-frequency
                 try:
-                    terms = api.suggest_prefix(qs.get("prefix", [""])[0], k=k)
+                    if qs.get("source", [""])[0] == "history":
+                        terms = api.suggest_history(qs.get("prefix", [""])[0], k=k)
+                    else:
+                        terms = api.suggest_prefix(qs.get("prefix", [""])[0], k=k)
                 except Exception as exc:
                     self._send(500, {"error": str(exc)})
                     return
@@ -344,6 +374,7 @@ def _make_handler(api: SearchAPI):
             query = qs.get("query", [""])[0]
             try:
                 results = api.search(query, k=k)
+                api.record_query(query)  # feed the history suggester
             except Exception as exc:  # surface, don't kill the server
                 self._send(500, {"error": str(exc)})
                 return

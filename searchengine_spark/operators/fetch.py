@@ -240,3 +240,139 @@ def crawl_schedule(
             .alias("fetch_offset_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt family (S3): fetch → parse → per-URL allow filter
+# ---------------------------------------------------------------------------
+
+ROBOTS_BODY_SCHEMA = "host string, status int, content string"
+
+
+def synth_robots_bodies(spark, n_hosts: int = 7) -> DataFrame:
+    """Deterministic synthetic robots.txt fetch results for the gate
+    corpus hosts — (host, status, content), built DISTRIBUTED with JVM
+    expressions (spark.range + concat), reproduced bit-for-bit by
+    oracles.robots_rules_sql.
+
+    Body layout exercises every branch of the reference parser
+    (RobotsTxtHandler.java:42-55): a comment, an OtherBot section (must be
+    ignored), a matching section (``*`` for hosts ``i%3==0``, the exact
+    crawler UA for ``i%3==1``), a lowercase ``disallow:`` line (the
+    reference regex is case-sensitive — ignored), an EMPTY ``Disallow:``
+    (regex needs a non-empty path — ignored), a ``Crawl-delay`` line
+    (ignored), a whole-site ``Disallow: /`` on host 6, and a trailing
+    ThirdBot section (ignored). Hosts ``i%3==2`` 404 (allow-on-missing:
+    RobotsTxtHandler.java:56-58 leaves the denylist empty on fetch error).
+
+    Real mode is ``fetch_pages(hosts + '/robots.txt')`` — same downstream
+    parse; this synthesizer replaces only the transport, like
+    make_fake_media does for the decode family.
+    """
+    i = F.col("id")
+    s = i.cast("string")
+    ua_line = F.when(i % 3 == 0, F.lit("User-agent: *")).otherwise(
+        F.lit(f"User-agent: {DEFAULT_UA}")
+    )
+    # concat_ws skips NULL args — conditional lines appear only when set
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for host"), s),
+        F.lit(""),
+        F.lit("User-agent: OtherBot"),
+        F.lit("Disallow: /private"),
+        F.lit(""),
+        ua_line,
+        F.concat(F.lit("Disallow: /p"), s),
+        F.concat(F.lit("Disallow: /q"), s, F.lit("/deep")),
+        F.when(i % 3 == 1, F.lit("Disallow: /1")),
+        F.lit("disallow: /lowercase-ignored"),
+        F.lit("Disallow:"),
+        F.lit("Crawl-delay: 1"),
+        F.when(i == 6, F.lit("Disallow: /")),
+        F.lit("User-agent: ThirdBot"),
+        F.lit("Disallow: /x"),
+    )
+    status = F.when(i % 3 == 2, F.lit(404)).otherwise(F.lit(200))
+    return spark.range(n_hosts).select(
+        F.concat(F.lit("host"), s, F.lit(".example")).alias("host"),
+        status.cast("int").alias("status"),
+        F.when(status == 200, body).otherwise(F.lit("")).alias("content"),
+    )
+
+
+def parse_robots(bodies: DataFrame, user_agent: str = DEFAULT_UA) -> DataFrame:
+    """(host, line_no, disallow_prefix) — parse fetched robots.txt bodies
+    into the per-host Disallow prefix table, with the reference parser's
+    exact semantics (RobotsTxtHandler.java:42-55):
+
+    - lines are trimmed; a ``User-agent:`` line (case-sensitive prefix)
+      opens a section; the section applies iff its value (chars after
+      position 11, trimmed) equals ``*`` or the crawler UA exactly;
+    - inside an applying section, any line fully matching
+      ``Disallow:\\s*(.+)`` contributes chars after position 9, trimmed,
+      as a disallow prefix (so an empty ``Disallow:`` is a no-op and a
+      lowercase ``disallow:`` never matches);
+    - a host whose body is empty (fetch error / 404) contributes no rules
+      — allow-on-missing.
+
+    Plan is pure JVM: split + posexplode, then the section state is a
+    running ``last(ua, ignorenulls)`` window per host ordered by line
+    position — no Python, one narrow shuffle on host. At scale the state
+    window is per-host and robots bodies are tiny (few KB), so a hot host
+    costs one small task; rules feed a broadcast join downstream.
+    """
+    from pyspark.sql import Window
+
+    lines = bodies.select(
+        "host", F.posexplode(F.split("content", "\n")).alias("pos", "raw")
+    ).select("host", "pos", F.trim("raw").alias("line"))
+    ua_val = F.when(
+        F.col("line").startswith("User-agent:"),
+        F.trim(F.expr("substring(line, 12)")),
+    )
+    w = Window.partitionBy("host").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    st = lines.select(
+        "host",
+        "pos",
+        "line",
+        F.last(ua_val, ignorenulls=True).over(w).alias("cur_ua"),
+    )
+    return (
+        st.filter(
+            F.col("cur_ua").isin("*", user_agent)
+            & F.col("line").rlike(r"^Disallow:\s*(.+)$")
+        )
+        .select(
+            "host",
+            (F.col("pos") + 1).cast("int").alias("line_no"),
+            F.trim(F.expr("substring(line, 10)")).alias("disallow_prefix"),
+        )
+    )
+
+
+def robots_allowed(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
+    """Filter a URL frontier by parsed robots rules — the distributed form
+    of RobotsTxtHandler.isAllowed (RobotsTxtHandler.java:60-74): a URL is
+    dropped iff its host has a rule that is ``/`` (whole site) or whose
+    prefix starts the URL's path; URLs on hosts with no rules pass
+    (different-domain / allow-on-missing semantics).
+
+    Plan: extract (host, path) from the URL, broadcast LEFT ANTI join
+    against the rules table on the prefix predicate — the same shape as
+    ingest.apply_exclusions. Rules are per-host denylists (tiny: robots
+    files are KBs), so broadcast is always right even at a 10^12-URL
+    frontier; the anti-join is map-side, zero shuffle of the frontier.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    u = urls.withColumn("_host", host).withColumn("_path", path)
+    r = rules.select(
+        F.col("host").alias("_rhost"), F.col("disallow_prefix").alias("_pre")
+    )
+    cond = (F.col("_host") == F.col("_rhost")) & (
+        (F.col("_pre") == "/") | F.col("_path").startswith(F.col("_pre"))
+    )
+    return u.join(F.broadcast(r), cond, "left_anti").drop("_host", "_path")

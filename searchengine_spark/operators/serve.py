@@ -458,6 +458,82 @@ def prefix_suggest(
     )
 
 
+def synth_query_log(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic query-history log — (seq, query), built
+    DISTRIBUTED (spark.range + JVM expressions; oracle twin recomputes it
+    with the same arithmetic). The 16-slot vocabulary cycle gives distinct
+    frequencies plus an exact tie ('stream window' / 'spark shuffle'), a
+    blank slot (saveQuery's ``!query.trim()`` guard), and one query whose
+    FIRST occurrence is ucfirst-cased (seq 5 → 'Spark join') so the
+    case-preservation quirk is observable."""
+    vocab = [
+        "spark sql", "spark sql", "spark sql", "spark sql", "spark sql",
+        "spark join", "spark join", "spark join",
+        "hash join", "hash join", "hash join",
+        "sort merge", "sort merge",
+        "stream window",
+        "spark shuffle",
+        "",
+    ]
+    arr = F.array(*[F.lit(v) for v in vocab])
+    q = F.element_at(arr, (F.col("id") % 16).cast("int") + 1)
+    cased = F.when(
+        F.col("seq") % 7 == 5,
+        F.concat(F.upper(F.expr("substring(q, 1, 1)")), F.expr("substring(q, 2)")),
+    ).otherwise(F.col("q"))
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("seq"), q.alias("q"))
+        .select("seq", cased.alias("query"))
+    )
+
+
+def history_suggest(
+    spark: SparkSession, log: DataFrame, prefix: str, k: int = 5
+) -> DataFrame:
+    """(rank, query, n) — top-k suggestions ranked by the USER'S past query
+    counts, the reference frontend's suggestion semantics
+    (suggestionService.js:6-31) turned into a distributed aggregate:
+
+    - saveQuery folds case-insensitively (count += 1 on a lowercase match)
+      and keeps the casing of the FIRST occurrence; blank queries are never
+      saved (``!query.trim()``);
+    - getSuggestions filters ``lower(query) startswith lower(prefix)``,
+      sorts by count desc — JS ``Array.sort`` is stable, so ties keep the
+      history's insertion order, i.e. ascending first-occurrence seq — and
+      returns the stored (first-seen-case) query strings, top 5.
+
+    Plan: one map-side-combined groupBy on lower(query) (count + min
+    (seq, query) struct = first occurrence), prefix filter, top-k sort —
+    a query log is orders of magnitude smaller than the corpus, and the
+    aggregate is associative, so this is one small shuffle at any scale.
+    The per-user localStorage becomes a (user-partitionable) log table —
+    the same operator serves per-user or global history."""
+    from pyspark.sql import Window
+
+    hist = (
+        log.filter(F.trim("query") != "")
+        .groupBy(F.lower(F.col("query")).alias("qkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("seq", "query")).alias("first"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("n"), F.asc("first_seq"))
+    return (
+        hist.filter(F.col("qkey").startswith(prefix.lower()))
+        .select(
+            F.col("first.query").alias("query"),
+            "n",
+            F.col("first.seq").alias("first_seq"),
+        )
+        .orderBy(F.desc("n"), F.asc("first_seq"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "query", "n")
+    )
+
+
 def facet_counts(
     spark: SparkSession,
     idx: dict,

@@ -5555,3 +5555,133 @@ SELECT top.doc_id, top.frag_seq, top.start_pos,
                     least(top.end_pos, len(tr.t) - 1) + 1), ' ') AS fragment
 FROM top JOIN toksraw tr ON top.doc_id = tr.doc_id
 """
+
+
+def _robots_ctes(n_hosts: int = 7, user_agent: str = "SparkCrawler/1.0") -> str:
+    """Shared CTE block: synthetic robots bodies (twin of
+    fetch.synth_robots_bodies) + the stateful section parse (twin of
+    fetch.parse_robots) as a per-host last_value(... IGNORE NULLS) window."""
+    return f"""
+hosts AS (SELECT unnest(range(0, {n_hosts})) AS i),
+bodies AS (
+  SELECT 'host' || i::VARCHAR || '.example' AS host,
+         CASE WHEN i % 3 = 2 THEN '' ELSE concat_ws(chr(10),
+           '# robots for host' || i::VARCHAR,
+           '',
+           'User-agent: OtherBot',
+           'Disallow: /private',
+           '',
+           CASE WHEN i % 3 = 0 THEN 'User-agent: *'
+                ELSE 'User-agent: {user_agent}' END,
+           'Disallow: /p' || i::VARCHAR,
+           'Disallow: /q' || i::VARCHAR || '/deep',
+           CASE WHEN i % 3 = 1 THEN 'Disallow: /1' END,
+           'disallow: /lowercase-ignored',
+           'Disallow:',
+           'Crawl-delay: 1',
+           CASE WHEN i = 6 THEN 'Disallow: /' END,
+           'User-agent: ThirdBot',
+           'Disallow: /x'
+         ) END AS content
+  FROM hosts
+),
+rlines AS (
+  SELECT host, pos, trim(line) AS line FROM (
+    SELECT host, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+    FROM (SELECT host, string_split(content, chr(10)) AS l FROM bodies)
+  )
+),
+rstate AS (
+  SELECT host, pos, line,
+         last_value(CASE WHEN starts_with(line, 'User-agent:')
+                         THEN trim(substring(line, 12)) END IGNORE NULLS)
+           OVER (PARTITION BY host ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_ua
+  FROM rlines
+),
+rrules AS (
+  SELECT host, pos::INT AS line_no,
+         trim(substring(line, 10)) AS disallow_prefix
+  FROM rstate
+  WHERE cur_ua IN ('*', '{user_agent}')
+    AND regexp_full_match(line, 'Disallow:\\s*(.+)')
+)"""
+
+
+def robots_rules_sql(n_hosts: int = 7) -> str:
+    """Twin of fetch.parse_robots over fetch.synth_robots_bodies:
+    section-state parse with the reference quirks (case-sensitive
+    prefixes, empty-Disallow no-op, allow-on-missing)."""
+    return f"""
+WITH {_robots_ctes(n_hosts)}
+SELECT host, line_no, disallow_prefix
+FROM rrules
+ORDER BY host, line_no
+"""
+
+
+def robots_filtered_fetch_sql(n_hosts: int = 7) -> str:
+    """Twin of the fetch->parse->filter pipeline: synth_urls filtered by
+    robots_allowed (host match AND (rule = '/' OR path prefix)) then fake
+    transport; RobotsTxtHandler.isAllowed semantics vectorized."""
+    return f"""
+WITH {_robots_ctes(n_hosts)},
+u AS (
+  SELECT 'http://host' || (doc_id % {n_hosts})::VARCHAR || '.example/'
+           || doc_id::VARCHAR AS url,
+         'host' || (doc_id % {n_hosts})::VARCHAR || '.example' AS host,
+         '/' || doc_id::VARCHAR AS path
+  FROM documents
+),
+allowed AS (
+  SELECT u.url FROM u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rrules r
+    WHERE r.host = u.host
+      AND (r.disallow_prefix = '/' OR starts_with(u.path, r.disallow_prefix))
+  )
+)
+SELECT url,
+       sha256('<html><body>' || md5(url) || '</body></html>') AS content_sha256
+FROM allowed
+"""
+
+
+def history_suggest_sql(prefix: str = "s", k: int = 5, n: int = 64) -> str:
+    """Twin of serve.history_suggest over serve.synth_query_log: fold case
+    per lowercased query (arg_min keeps the first-seen casing), blank rows
+    dropped, count-desc with first-seen-seq tie-break (the JS stable sort),
+    top-k."""
+    vocab = (
+        "['spark sql', 'spark sql', 'spark sql', 'spark sql', 'spark sql', "
+        "'spark join', 'spark join', 'spark join', "
+        "'hash join', 'hash join', 'hash join', "
+        "'sort merge', 'sort merge', "
+        "'stream window', "
+        "'spark shuffle', "
+        "'']"
+    )
+    return f"""
+WITH qlog AS (
+  SELECT s AS seq,
+         CASE WHEN s % 7 = 5
+              THEN upper(substring(q, 1, 1)) || substring(q, 2)
+              ELSE q END AS query
+  FROM (
+    SELECT s, ({vocab})[(s % 16)::INT + 1] AS q
+    FROM (SELECT unnest(range(0, {n})) AS s)
+  )
+),
+hist AS (
+  SELECT lower(query) AS qkey, count(*)::BIGINT AS n,
+         min(seq) AS first_seq, arg_min(query, seq) AS query
+  FROM qlog WHERE trim(query) <> ''
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY n DESC, first_seq ASC)::INT AS rank,
+       query, n
+FROM hist
+WHERE starts_with(qkey, '{prefix.lower()}')
+ORDER BY rank
+LIMIT {k}
+"""

@@ -212,3 +212,27 @@ def test_stats_route_invariants(api_server):
     assert body["n_docs"] > 0 and body["n_terms"] > 0
     assert body["max_df"] <= body["n_docs"]
     assert body["n_postings"] <= body["n_tokens"] == body["sum_dl"]
+
+
+def test_history_suggest_route(api_server):
+    """?source=history: demo-log fallback first, then recorded searches
+    dominate — saveQuery/getSuggestions semantics over the wire."""
+    api, base = api_server
+    # no recorded history yet -> synthetic demo log backs the route
+    status, body = _get(base, "/api/suggest?prefix=spark&source=history")
+    assert status == 200
+    got = [s["query"] for s in body["suggestions"]]
+    assert got[0] == "spark sql"  # highest demo-log count
+    assert all(q.lower().startswith("spark") for q in got)
+    # run searches (records history); counts fold case-insensitively and
+    # the first-seen casing is preserved
+    for q in ("Hash join", "hash join", "hash aggregate"):
+        _get(base, "/api/search?query=" + urllib.parse.quote(q))
+    status, body = _get(base, "/api/suggest?prefix=hash&source=history")
+    assert status == 200
+    assert [s["query"] for s in body["suggestions"]] == [
+        "Hash join",
+        "hash aggregate",
+    ]
+    assert [s["count"] for s in body["suggestions"]] == [2, 1]
+    api._history.clear()  # leave the module-scoped server clean
