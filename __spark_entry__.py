@@ -134,7 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb(spark, sf):
         return load_table(spark, sf, "embeddings")
 
-    return {
+    out = {
         # --- inverted index / retrieval, SERVED FROM THE BUILT INDEX ---
         # (plans/gate_index.py builds postings/lexicon/segments once per sf;
         # every entry below is a partition-pruned index lookup, not a corpus
@@ -849,6 +849,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the write-time layout that lets parquet min/max stats prune scans
         # on either predicate dimension
         "zorder_layout": lambda spark, sf: _zorder_layout(spark, sf),
+    }
+    # driver-gate rotation (VERDICT r02 item 7): the driver checks only the
+    # FIRST 50 entries, so each round this list pulls operators that have
+    # never been driver-checked (plus everything changed this round) to the
+    # front; the rest keep their original order. Rotation log: COVERAGE.md.
+    rotate_front = [
+        "robots_rules",
+        "robots_filtered_fetch",
+        "history_suggest",
+        "symbol_rank",
+        "ppr_scores",
+        "hits_scores",
+        "graph_communities",
+        "compaction_plan",
+        "crossmodal_topk",
+        "federated_topk",
+        "boolean_query",
+        "more_like_this",
+        "semdedup",
+        "ann_ivf_kmeans_topk",
+        "exact_substring_spans",
+        "incremental_reindex",
+    ]
+    return {
+        **{k: out[k] for k in rotate_front},
+        **{k: v for k, v in out.items() if k not in rotate_front},
     }
 
 
