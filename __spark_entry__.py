@@ -698,6 +698,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "code_metrics": lambda spark, sf: _codestats().code_metrics(_docs(spark, sf)),
+        # function-level code chunking: split files at def/class boundaries
+        # (CodeSearchNet granularity), content-addressed units
+        "function_chunks": lambda spark, sf: _codestats().function_chunks(
+            _docs(spark, sf)
+        ),
+        # fill-in-the-middle training transform (Bavarian et al. 2022):
+        # deterministic md5-derived cuts, PSM/SPM mix, 50% rate
+        "fim_transform": lambda spark, sf: textstats.fim_transform(
+            _docs(spark, sf)
+        ),
         # the composed pipeline: license -> shape -> dedup winner, one map
         # + one near-unique-key shuffle, per-doc drop reason
         "training_keep_list": lambda spark, sf: _codestats().training_keep_list(
@@ -858,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules",
         "robots_filtered_fetch",
         "history_suggest",
+        "function_chunks",
+        "fim_transform",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1515,6 +1527,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.pii_scrub_sql(),
         "quality_score": oracles.quality_score_sql(),
         "license_detect": oracles.license_detect_sql(),
+        "function_chunks": oracles.function_chunks_sql(),
+        "fim_transform": oracles.fim_transform_sql(rate_pct=50, psm_pct=50),
         "code_metrics": oracles.code_metrics_sql(),
         "training_keep_list": oracles.training_keep_list_sql(),
         "doc_chunks": oracles.doc_chunks_sql(chunk_size=64, stride=48),

@@ -141,6 +141,8 @@ HEADLINE = [
     "pii_scrub",
     "license_detect",
     "code_metrics",
+    "function_chunks",
+    "fim_transform",
     "training_keep_list",
     "token_stats",
     "quality_score",

@@ -973,3 +973,72 @@ def ascii_fold(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         .groupBy("term")
         .agg(F.countDistinct("doc_id").cast("long").alias("df"))
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate_pct: int = 50,
+    psm_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022, the
+    code-LLM pretraining staple): split a document's text at two
+    deterministic character offsets into (prefix, middle, suffix) and emit
+    the sentinel-delimited training string — PSM layout
+    ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` or SPM layout
+    ``<fim_suffix>S<fim_prefix>P<fim_middle>M`` — leaving the rest of the
+    corpus untransformed (mode 'none'), exactly the rate/format mix the FIM
+    paper ablates (their joint p=0.5 PSM/SPM at 50% rate is the default).
+
+    Determinism contract: all randomness derives from md5 over the doc id
+    (the stratified_sample / epoch_shuffle pattern) — h1 % 100 < rate_pct
+    gates the transform, two more 32-bit hash words pick the cut points in
+    [0, n], a fourth picks PSM vs SPM — so the output is a pure function of
+    the row and the DuckDB twin reproduces it bit-for-bit (substring
+    arithmetic is 1-based chars in both engines).
+
+    Plan: ONE map over the scan, zero shuffle, whole-stage codegen; at
+    100 TB this is a free rider on whatever pass materializes training
+    text. Output: (doc_id, mode, prefix_len, middle_len, suffix_len,
+    fim_md5) — lengths + content digest rather than the (corpus-sized)
+    string itself; the string expression is shared with the digest.
+    """
+    did = F.col(id_col)
+    n = F.length(F.col(text_col))
+    h = F.md5(F.concat(F.lit("fim:"), did.cast("string")))
+    w = lambda a: F.conv(F.substring(h, a, 8), 16, 10).cast("long")  # noqa: E731
+    apply_ = (w(1) % 100) < rate_pct
+    c_a = w(9) % (n.cast("long") + 1)
+    c_b = w(17) % (n.cast("long") + 1)
+    lo = F.least(c_a, c_b).cast("int")
+    hi = F.greatest(c_a, c_b).cast("int")
+    prefix = F.col(text_col).substr(F.lit(1), lo)
+    middle = F.col(text_col).substr(lo + 1, hi - lo)
+    suffix = F.col(text_col).substr(hi + 1, n - hi)
+    is_psm = (w(25) % 100) < psm_pct
+    fim_text = F.when(
+        is_psm,
+        F.concat(
+            F.lit("<fim_prefix>"), prefix,
+            F.lit("<fim_suffix>"), suffix,
+            F.lit("<fim_middle>"), middle,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<fim_suffix>"), suffix,
+            F.lit("<fim_prefix>"), prefix,
+            F.lit("<fim_middle>"), middle,
+        )
+    )
+    return docs.select(
+        did,
+        F.when(~apply_, F.lit("none"))
+        .when(is_psm, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("mode"),
+        F.when(apply_, lo).otherwise(n).cast("long").alias("prefix_len"),
+        F.when(apply_, hi - lo).otherwise(F.lit(0)).cast("long").alias("middle_len"),
+        F.when(apply_, n - hi).otherwise(F.lit(0)).cast("long").alias("suffix_len"),
+        F.when(apply_, F.md5(fim_text)).otherwise(F.md5(F.col(text_col))).alias("fim_md5"),
+    )

@@ -5685,3 +5685,97 @@ WHERE starts_with(qkey, '{prefix.lower()}')
 ORDER BY rank
 LIMIT {k}
 """
+
+
+def fim_transform_sql(rate_pct: int = 50, psm_pct: int = 50) -> str:
+    """Twin of textstats.fim_transform: md5-derived 32-bit words gate the
+    transform, pick the two cut points in [0, n] and the PSM/SPM layout;
+    1-based substring arithmetic matches Spark exactly."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n,
+         md5('fim:' || doc_id::VARCHAR) AS h
+  FROM documents
+),
+words AS (
+  SELECT doc_id, text, n,
+         CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 100 < {rate_pct} AS apply,
+         CAST(('0x' || substr(h, 9, 8)) AS BIGINT) % (n + 1) AS c_a,
+         CAST(('0x' || substr(h, 17, 8)) AS BIGINT) % (n + 1) AS c_b,
+         CAST(('0x' || substr(h, 25, 8)) AS BIGINT) % 100 < {psm_pct} AS is_psm
+  FROM base
+),
+cuts AS (
+  SELECT doc_id, text, n, apply, is_psm,
+         least(c_a, c_b) AS lo, greatest(c_a, c_b) AS hi
+  FROM words
+),
+parts AS (
+  SELECT doc_id, n, apply, is_psm, lo, hi,
+         substring(text, 1, lo::INT) AS p,
+         substring(text, (lo + 1)::INT, (hi - lo)::INT) AS m,
+         substring(text, (hi + 1)::INT, (n - hi)::INT) AS s,
+         text
+  FROM cuts
+)
+SELECT doc_id,
+       CASE WHEN NOT apply THEN 'none'
+            WHEN is_psm THEN 'psm' ELSE 'spm' END AS mode,
+       (CASE WHEN apply THEN lo ELSE n END)::BIGINT AS prefix_len,
+       (CASE WHEN apply THEN hi - lo ELSE 0 END)::BIGINT AS middle_len,
+       (CASE WHEN apply THEN n - hi ELSE 0 END)::BIGINT AS suffix_len,
+       CASE WHEN apply THEN
+         md5(CASE WHEN is_psm
+             THEN '<fim_prefix>' || p || '<fim_suffix>' || s || '<fim_middle>' || m
+             ELSE '<fim_suffix>' || s || '<fim_prefix>' || p || '<fim_middle>' || m
+             END)
+         ELSE md5(text) END AS fim_md5
+FROM parts
+"""
+
+
+def function_chunks_sql() -> str:
+    """Twin of codestats.function_chunks: identical seasoning, line split,
+    running declaration count, per-unit aggregate with an ORDER BY-pinned
+    string_agg for the content digest."""
+    return """
+WITH seasoned AS (
+  SELECT doc_id,
+         'import os' || chr(10) ||
+         'def fn_' || (doc_id % 37)::VARCHAR || '(arg):' || chr(10) ||
+         '    pass' || chr(10) ||
+         'def fn_' || ((doc_id + 1) % 37)::VARCHAR || '(arg):' || chr(10) ||
+         '    ' || text AS s
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) - 1 AS pos
+    FROM (SELECT doc_id, string_split(s, chr(10)) AS l FROM seasoned)
+  )
+),
+marked AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN starts_with(line, 'def ') OR starts_with(line, 'class ')
+              THEN 1 ELSE 0 END AS m
+  FROM lines
+),
+units AS (
+  SELECT doc_id, pos, line, m,
+         sum(m) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::INT
+           AS unit_id
+  FROM marked
+)
+SELECT doc_id, unit_id,
+       coalesce(
+         max(CASE WHEN m = 1 THEN
+               regexp_extract(line, '(?:def|class) ([a-zA-Z_][a-zA-Z0-9_]*)', 1)
+             END),
+         '<module>') AS symbol,
+       count(*)::BIGINT AS n_lines,
+       sum(length(line))::BIGINT AS n_chars,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS unit_md5
+FROM units
+GROUP BY doc_id, unit_id
+"""
