@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "minhash_lsh_pairs",
+    "minhash_calibration",
     "simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",

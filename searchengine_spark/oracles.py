@@ -5779,3 +5779,62 @@ SELECT doc_id, unit_id,
 FROM units
 GROUP BY doc_id, unit_id
 """
+
+
+def minhash_calibration_sql(n_perms: int = 16, rows_per_band: int = 4) -> str:
+    """Twin of dedup.minhash_calibration: LSH candidate pairs, per-pair
+    signature agreement count vs exact distinct-token Jaccard (integer
+    ppm), aggregated per estimate level."""
+    return f"""
+WITH {_TOKHASH_CTE},
+perms(perm_id, a, b) AS (VALUES {_perms_values(n_perms)}),
+sig AS (
+  SELECT tok.doc_id, perms.perm_id,
+         min((perms.a * tok.x + perms.b) % {MERSENNE31})::BIGINT AS minhash
+  FROM tok CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, (perm_id // {rows_per_band})::INT AS band_id,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm_id) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::INT
+           AS est_matches
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm_id = sa.perm_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS n_inter
+  FROM pairs p
+  JOIN tok ta ON ta.doc_id = p.doc_a
+  JOIN tok tb ON tb.doc_id = p.doc_b AND tb.x = ta.x
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.doc_a, p.doc_b,
+         coalesce(i.n_inter, 0) * 1000000
+           // (za.sz + zb.sz - coalesce(i.n_inter, 0)) AS exact_ppm
+  FROM pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes za ON za.doc_id = p.doc_a
+  JOIN sizes zb ON zb.doc_id = p.doc_b
+)
+SELECT e.est_matches,
+       (e.est_matches * 1000000 // {n_perms})::BIGINT AS est_ppm,
+       count(*)::BIGINT AS n_pairs,
+       sum(x.exact_ppm)::BIGINT AS sum_exact_ppm,
+       (sum(x.exact_ppm) // count(*))::BIGINT AS mean_exact_ppm
+FROM est e
+JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+GROUP BY 1
+"""

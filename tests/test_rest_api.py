@@ -218,6 +218,7 @@ def test_history_suggest_route(api_server):
     """?source=history: demo-log fallback first, then recorded searches
     dominate — saveQuery/getSuggestions semantics over the wire."""
     api, base = api_server
+    api._history.clear()  # earlier tests in this module ran searches
     # no recorded history yet -> synthetic demo log backs the route
     status, body = _get(base, "/api/suggest?prefix=spark&source=history")
     assert status == 200
