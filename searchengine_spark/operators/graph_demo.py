@@ -69,11 +69,19 @@ def pagerank_integer(
     base = (SCALE * 15 // 100) // n
     ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
     for _ in range(iterations):
-        dangling_total = (
-            ranks.join(src_set, "doc_id", "left_anti").agg(F.sum("r").alias("s")).collect()[0]["s"]
-            or 0
+        # dangling mass stays IN-PLAN (1-row broadcast) instead of a
+        # blocking driver collect, and the per-iteration checkpoint is
+        # lazy: the loop builds ONE composed job with progressive lineage
+        # cuts rather than 2 driver round-trips per iteration (same exact
+        # integers — div truncates like Python // for the non-negative
+        # rank masses)
+        dang_row = (
+            ranks.join(src_set, "doc_id", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dt"))
+            .select(
+                F.expr(f"(dt * {DAMP_NUM} div {DAMP_DEN}) div {n}").alias("dang")
+            )
         )
-        dang = (dangling_total * DAMP_NUM // DAMP_DEN) // n
         contrib = (
             e.join(ranks, e.src == ranks.doc_id)
             .select(
@@ -85,12 +93,13 @@ def pagerank_integer(
         )
         ranks = (
             nodes.join(contrib, "doc_id", "left")
+            .crossJoin(F.broadcast(dang_row))
             .select(
                 "doc_id",
-                (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)) + F.lit(dang)).cast("long").alias("r"),
+                (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)) + F.col("dang")).cast("long").alias("r"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("doc_id", F.col("r").alias("rank_scaled"))
 
 
@@ -126,11 +135,14 @@ def personalized_pagerank_integer(
         "r", F.when(is_seed, F.lit(SCALE // n_seeds)).otherwise(F.lit(0)).cast("long")
     )
     for _ in range(iterations):
-        dangling_total = (
-            ranks.join(src_set, "doc_id", "left_anti").agg(F.sum("r").alias("s")).collect()[0]["s"]
-            or 0
+        # in-plan dangling mass + lazy checkpoint (see pagerank_integer)
+        dang_row = (
+            ranks.join(src_set, "doc_id", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dt"))
+            .select(
+                F.expr(f"(dt * {DAMP_NUM} div {DAMP_DEN}) div {n_seeds}").alias("dang")
+            )
         )
-        dang = (dangling_total * DAMP_NUM // DAMP_DEN) // n_seeds
         contrib = (
             e.join(ranks, e.src == ranks.doc_id)
             .select(
@@ -140,16 +152,20 @@ def personalized_pagerank_integer(
             .groupBy("doc_id")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = nodes.join(contrib, "doc_id", "left").select(
-            "doc_id",
-            (
-                F.when(is_seed, F.lit(base) + F.lit(dang)).otherwise(F.lit(0))
-                + F.coalesce(F.col("in_sum"), F.lit(0))
+        ranks = (
+            nodes.join(contrib, "doc_id", "left")
+            .crossJoin(F.broadcast(dang_row))
+            .select(
+                "doc_id",
+                (
+                    F.when(is_seed, F.lit(base) + F.col("dang")).otherwise(F.lit(0))
+                    + F.coalesce(F.col("in_sum"), F.lit(0))
+                )
+                .cast("long")
+                .alias("r"),
             )
-            .cast("long")
-            .alias("r"),
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("doc_id", F.col("r").alias("rank_scaled"))
 
 
@@ -195,7 +211,8 @@ def hits_integer(
         h = nodes.join(out_sum, nodes.doc_id == out_sum.src, "left").select(
             "doc_id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("h")
         )
-        h = h.localCheckpoint(eager=True)
+        h = h.localCheckpoint(eager=False)  # lazy: one composed job, lineage
+        # still cut per iteration when the final action materializes it
     return a.join(h, "doc_id").select(
         "doc_id", F.col("a").alias("auth"), F.col("h").alias("hub")
     )
@@ -396,11 +413,14 @@ def symbol_rank(
     base = (SCALE * 15 // 100) // n
     ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
     for _ in range(iterations):
-        dangling_total = (
-            ranks.join(src_set, "node", "left_anti").agg(F.sum("r").alias("s")).collect()[0]["s"]
-            or 0
+        # in-plan dangling mass + lazy checkpoint (see pagerank_integer)
+        dang_row = (
+            ranks.join(src_set, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dt"))
+            .select(
+                F.expr(f"(dt * {DAMP_NUM} div {DAMP_DEN}) div {n}").alias("dang")
+            )
         )
-        dang = (dangling_total * DAMP_NUM // DAMP_DEN) // n
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .select(
@@ -410,13 +430,17 @@ def symbol_rank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)) + F.lit(dang))
-            .cast("long")
-            .alias("r"),
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang_row))
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)) + F.col("dang"))
+                .cast("long")
+                .alias("r"),
+            )
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
