@@ -857,8 +857,32 @@ On a cluster the same command takes `--master <cluster>` plus
 `--driver-memory/--executor-memory`; `jobs/run_queries.py` is the query
 twin.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # splice: replace only the scaling section (everything before the first
+    # non-scaling "## " section of the existing file); keep every manually
+    # maintained section (query-suite snapshots, codec A/B, scale datum, …)
+    path = os.path.join(REPO, "BENCH.md")
+    keep = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        hits = [
+            i
+            for i in (
+                old.find("\n## Query suite"),
+                old.find("\n## Parquet codec A/B"),
+            )
+            if i != -1
+        ]
+        if hits:
+            keep = old[min(hits):]
+    # the template historically ended with the codec-A/B + spark-submit
+    # sections inline; when the existing file already carries them (keep),
+    # cut the template at the same boundary to avoid duplication
+    tmpl_idx = md.find("\n## Parquet codec A/B")
+    if keep and tmpl_idx != -1:
+        md = md[:tmpl_idx]
+    with open(path, "w") as f:
+        f.write(md + keep)
 
 
 if __name__ == "__main__":
