@@ -535,7 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash estimator calibration: per-estimate-level exact-Jaccard
         # means over the LSH candidate pairs (sketch-quality measurement)
         "minhash_calibration": lambda spark, sf: dedup.minhash_calibration(
-            _docs(spark, sf)
+            _docs(spark, sf), sample_den=4
         ),
         "minhash_lsh_pairs": lambda spark, sf: dedup.minhash_lsh_pairs(
             _docs(spark, sf), n_perms=16, rows_per_band=8
@@ -1492,7 +1492,7 @@ def oracle_sql() -> dict[str, str]:
             df_cap_den=NGRAM_DF_CAP_DEN,
         ),
         "minhash_signatures": oracles.minhash_sql(n_perms=16),
-        "minhash_calibration": oracles.minhash_calibration_sql(),
+        "minhash_calibration": oracles.minhash_calibration_sql(sample_den=4),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(n_perms=16, rows_per_band=8),
         "simhash": oracles.simhash_sql(n_bits=32),
         "simhash_hamming_pairs": oracles.simhash_hamming_pairs_sql(

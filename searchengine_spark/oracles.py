@@ -5781,10 +5781,18 @@ GROUP BY doc_id, unit_id
 """
 
 
-def minhash_calibration_sql(n_perms: int = 16, rows_per_band: int = 4) -> str:
-    """Twin of dedup.minhash_calibration: LSH candidate pairs, per-pair
-    signature agreement count vs exact distinct-token Jaccard (integer
-    ppm), aggregated per estimate level."""
+def minhash_calibration_sql(
+    n_perms: int = 16, rows_per_band: int = 4, sample_den: int = 1
+) -> str:
+    """Twin of dedup.minhash_calibration: LSH candidate pairs (md5-sampled
+    at 1/sample_den), per-pair signature agreement count vs exact
+    distinct-token Jaccard (integer ppm), aggregated per estimate level."""
+    samp = (
+        ""
+        if sample_den <= 1
+        else f"""
+  WHERE CAST(('0x' || substr(md5(a.doc_id::VARCHAR || ':' || b.doc_id::VARCHAR), 1, 15)) AS BIGINT) % {sample_den} = 0"""
+    )
     return f"""
 WITH {_TOKHASH_CTE},
 perms(perm_id, a, b) AS (VALUES {_perms_values(n_perms)}),
@@ -5801,7 +5809,7 @@ bands AS (
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id{samp}
 ),
 est AS (
   SELECT p.doc_a, p.doc_b,
