@@ -703,6 +703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "code_metrics": lambda spark, sf: _codestats().code_metrics(_docs(spark, sf)),
+        # repo-granularity license policy: one copyleft file poisons the
+        # repo for permissive-only training sets
+        "repo_license_rollup": lambda spark, sf: _codestats().repo_license_rollup(
+            _docs(spark, sf)
+        ),
         # function-level code chunking: split files at def/class boundaries
         # (CodeSearchNet granularity), content-addressed units
         "function_chunks": lambda spark, sf: _codestats().function_chunks(
@@ -876,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_chunks",
         "fim_transform",
         "minhash_calibration",
+        "repo_license_rollup",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1535,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracles.quality_score_sql(),
         "license_detect": oracles.license_detect_sql(),
         "function_chunks": oracles.function_chunks_sql(),
+        "repo_license_rollup": oracles.repo_license_rollup_sql(),
         "fim_transform": oracles.fim_transform_sql(rate_pct=50, psm_pct=50),
         "code_metrics": oracles.code_metrics_sql(),
         "training_keep_list": oracles.training_keep_list_sql(),

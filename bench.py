@@ -141,6 +141,7 @@ HEADLINE = [
     "repetition_stats",
     "pii_scrub",
     "license_detect",
+    "repo_license_rollup",
     "code_metrics",
     "function_chunks",
     "fim_transform",

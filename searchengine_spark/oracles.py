@@ -5846,3 +5846,49 @@ FROM est e
 JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
 GROUP BY 1
 """
+
+
+def repo_license_rollup_sql() -> str:
+    """Twin of codestats.repo_license_rollup over the license_detect
+    seasoning/CASE chain, grouped on the repo key (source)."""
+    return """
+WITH seasoned AS (
+  SELECT doc_id, source,
+         CASE doc_id % 5
+           WHEN 0 THEN '// Permission is hereby granted, free of charge, to any person' || chr(10)
+           WHEN 1 THEN '// Licensed under the Apache License, Version 2.0 (the "License")' || chr(10)
+           WHEN 2 THEN '// This program is free software: GNU General Public License' || chr(10)
+           WHEN 3 THEN '// Redistribution and use in source and binary forms, with or without' || chr(10)
+           ELSE ''
+         END || text AS s
+  FROM documents
+),
+low AS (SELECT doc_id, source, lower(s) AS l FROM seasoned),
+lic AS (
+  SELECT doc_id, source,
+    CASE
+      WHEN contains(l, 'permission is hereby granted') THEN 'mit'
+      WHEN contains(l, 'apache license') THEN 'apache-2.0'
+      WHEN contains(l, 'gnu general public license') THEN 'gpl-3.0'
+      WHEN contains(l, 'redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+      ELSE 'unknown'
+    END AS license,
+    (CASE
+      WHEN contains(l, 'permission is hereby granted') THEN 1
+      WHEN contains(l, 'apache license') THEN 1
+      WHEN contains(l, 'gnu general public license') THEN 0
+      WHEN contains(l, 'redistribution and use in source and binary forms') THEN 1
+      ELSE 0
+    END)::BIGINT AS permissive
+  FROM low
+)
+SELECT source,
+       count(*)::BIGINT AS n_files,
+       sum(permissive)::BIGINT AS n_permissive,
+       sum(CASE WHEN license = 'gpl-3.0' THEN 1 ELSE 0 END)::BIGINT AS n_copyleft,
+       sum(CASE WHEN license = 'unknown' THEN 1 ELSE 0 END)::BIGINT AS n_unknown,
+       (CASE WHEN sum(CASE WHEN license = 'gpl-3.0' THEN 1 ELSE 0 END) = 0
+             THEN 1 ELSE 0 END)::BIGINT AS trainable
+FROM lic
+GROUP BY source
+"""
