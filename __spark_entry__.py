@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # STATIC index pruning (impact-ordered per-term posting truncation,
         # full-index idf) — the lossy serving-tier variant beside the two
         # lossless dynamic-pruning paths above
+        # two-phase tiered serving: champion-list candidates -> exact rerank
+        "bm25_topk_tiered": lambda spark, sf: serve.bm25_topk_tiered(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK, max_postings=64
+        ),
         "bm25_topk_pruned": lambda spark, sf: serve.bm25_topk_pruned(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK, max_postings=64
         ),
@@ -882,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform",
         "minhash_calibration",
         "repo_license_rollup",
+        "bm25_topk_tiered",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1358,6 +1363,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosted_topk": oracles.bm25_boosted_topk_sql(BOOSTS, k=TOPK),
         "common_terms_topk": oracles.common_terms_topk_sql(COMMON_TERMS_QUERY, k=TOPK),
         "nrt_two_tier_topk": oracles.nrt_two_tier_sql(BM25_TERMS, k=TOPK),
+        "bm25_topk_tiered": oracles.bm25_topk_tiered_sql(
+            BM25_TERMS, k=TOPK, max_postings=64
+        ),
         "bm25_topk_pruned": oracles.bm25_topk_pruned_sql(
             BM25_TERMS, k=TOPK, max_postings=64
         ),

@@ -38,6 +38,7 @@ HEADLINE = [
     "bm25_topk_wand",
     "bm25_topk_maxscore",
     "bm25_topk_pruned",
+    "bm25_topk_tiered",
     "bm25_batch_topk",
     "bm25_explain",
     "hard_negatives",

@@ -255,6 +255,61 @@ def bm25_topk_pruned(
     )
 
 
+def bm25_topk_tiered(
+    spark: SparkSession,
+    idx: dict,
+    query_terms: list[str],
+    k: int = 10,
+    max_postings: int = 64,
+    salts: int = 8,
+) -> DataFrame:
+    """Two-phase tiered retrieval (the Lucene/production refinement of
+    static pruning): phase 1 generates CANDIDATES from each query term's
+    champion list (top ``max_postings`` postings by tf desc, doc_id asc —
+    the :func:`bm25_topk_pruned` truncation); phase 2 re-scores the
+    candidate union with the EXACT full-fidelity BM25 over ALL the
+    candidates' query-term postings. Unlike champion-only scoring, a doc
+    reached through one term's champion list still gets credit for its
+    non-champion postings on the other terms — the standard
+    accuracy/latency middle tier between pruned and exhaustive.
+
+    Scale shape: phase 1 is the salted grouped top-k (bounded per term —
+    a stopword costs a constant, not its posting list); phase 2's scan is
+    the same bucket-pruned postings read semi-joined down to
+    ≤ |q|·max_postings candidate docs before any scoring work. Both
+    phases share the single-definition :func:`_bm25_contrib` micros
+    contract."""
+    from pyspark.sql import Window
+
+    rows = _qlex(spark, idx, query_terms)
+    if not rows:
+        return spark.createDataFrame([], _EMPTY_TOPK)
+    post = _pruned_postings(idx, rows)
+    order = [F.desc("tf"), F.asc("doc_id")]
+    partial = Window.partitionBy("term", F.pmod(F.col("doc_id"), F.lit(salts))).orderBy(
+        *order
+    )
+    final = Window.partitionBy("term").orderBy(*order)
+    cands = (
+        post.withColumn("_pr", F.row_number().over(partial))
+        .filter(F.col("_pr") <= max_postings)
+        .withColumn("_r", F.row_number().over(final))
+        .filter(F.col("_r") <= max_postings)
+        .select("doc_id")
+        .distinct()
+    )
+    contrib = _bm25_contrib(idx["avgdl"])
+    return (
+        post.join(cands, "doc_id", "left_semi")
+        .join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select("doc_id", F.round(contrib * 1e6).cast("long").alias("c_micros"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_batch_topk(
     spark: SparkSession,
     idx: dict,

@@ -5892,3 +5892,32 @@ SELECT source,
 FROM lic
 GROUP BY source
 """
+
+
+def bm25_topk_tiered_sql(
+    terms: list[str],
+    k: int = 10,
+    max_postings: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of serve.bm25_topk_tiered: champion-list candidate union
+    (rank tf DESC, doc_id ASC per term), then EXACT full BM25 over the
+    candidates' complete query-term postings (full-index idf)."""
+    return f"""
+WITH {_TOKENS_CTE},
+champ AS (
+  SELECT term, doc_id FROM (
+    SELECT post.term, post.doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM post
+    WHERE term IN (SELECT term FROM {_terms_values(terms)})
+  ) WHERE rn <= {max_postings}
+),
+cand AS (SELECT DISTINCT doc_id FROM champ),
+cpost AS (SELECT post.* FROM post JOIN cand USING (doc_id)),
+{_bm25_scores_cte(terms, k1, b, postings_rel="cpost")}
+SELECT doc_id, score_micros FROM scores
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
