@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic label-propagation communities (most-frequent
         # neighbor label, ties to smallest), fixed 5 rounds
         "graph_communities": lambda spark, sf: _graph_communities(spark, sf),
+        # repo-level dependency graph from cross-repo symbol def/ref joins
+        "repo_dependency_edges": lambda spark, sf: _repo_dependency_edges(spark, sf),
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
         ),
@@ -887,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration",
         "repo_license_rollup",
         "bm25_topk_tiered",
+        "repo_dependency_edges",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1277,6 +1280,12 @@ def _link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_aa(_docs(spark, sf_dir), k=20)
 
 
+def _repo_dependency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import repo_dependency_edges
+
+    return repo_dependency_edges(_docs(spark, sf_dir))
+
+
 def _graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.graph_demo import label_propagation
 
@@ -1459,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _graph_triangles_sql(),
         "link_prediction_aa": _link_prediction_sql(),
         "graph_communities": _graph_communities_sql(),
+        "repo_dependency_edges": oracles.repo_dependency_edges_sql(),
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "bigram_logprob": oracles.bigram_logprob_sql(lam=0.75),
         "kn_bigram_logprob": oracles.kn_bigram_logprob_sql(discount=0.75),

@@ -176,6 +176,7 @@ HEADLINE = [
     "graph_triangles",
     "link_prediction_aa",
     "graph_communities",
+    "repo_dependency_edges",
     "q1_pricing_summary",
     "q3_top_orders",
     "events_sessionize",

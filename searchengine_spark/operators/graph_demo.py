@@ -845,3 +845,50 @@ l{t + 1} AS (
         + ",\n".join(parts)
         + f"\nSELECT doc_id, lbl AS community FROM l{iterations}"
     )
+
+
+def repo_dependency_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    repo_col: str = "source",
+) -> DataFrame:
+    """(from_repo, to_repo, n_symbols) — the REPO-level dependency graph:
+    an edge from the repo whose file REFERENCES a symbol to the repo that
+    DEFINES it (weight = distinct shared symbols), the cross-repo import
+    graph a monorepo-scale code-search/build system maintains (Bazel-style
+    reverse-deps, Sourcegraph's repo graph). A symbol defined in several
+    repos contributes an edge to each definer — linker ambiguity is kept
+    visible rather than resolved away.
+
+    Plan: the def/ref symbol extractions (one corpus regex pass each)
+    slim to DISTINCT (symbol, repo) pairs BEFORE the join — the join is
+    symbol-keyed over vocabulary-sized tables, never the posting stream;
+    the rollup is one associative aggregate on (from, to). At 10^12 files
+    the distinct pass is the only corpus-mass stage and it is map-side
+    combinable."""
+    from searchengine_spark.operators.textstats import (
+        symbol_definitions,
+        symbol_references,
+    )
+
+    repos = docs.select(F.col(id_col), F.col(repo_col))
+    sym = F.concat_ws(":", F.col("kind"), F.col("symbol"))
+    d = (
+        symbol_definitions(docs, id_col=id_col, text_col=text_col)
+        .join(repos, id_col)
+        .select(sym.alias("sym"), F.col(repo_col).alias("to_repo"))
+        .distinct()
+    )
+    r = (
+        symbol_references(docs, id_col=id_col, text_col=text_col)
+        .join(repos, id_col)
+        .select(sym.alias("sym"), F.col(repo_col).alias("from_repo"))
+        .distinct()
+    )
+    return (
+        r.join(d, "sym")
+        .filter(F.col("from_repo") != F.col("to_repo"))
+        .groupBy("from_repo", "to_repo")
+        .agg(F.countDistinct("sym").cast("long").alias("n_symbols"))
+    )

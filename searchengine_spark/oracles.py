@@ -5921,3 +5921,39 @@ SELECT doc_id, score_micros FROM scores
 ORDER BY score_micros DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def repo_dependency_edges_sql() -> str:
+    """Twin of graph_demo.repo_dependency_edges over the shared symbol
+    seasoning CTEs: distinct (symbol, repo) sides, symbol-keyed join,
+    cross-repo filter, per-(from, to) distinct-symbol count."""
+    season_def = (
+        "'def fn_' || (doc_id % 37)::VARCHAR || '(arg):' || chr(10) || "
+        "'    pass' || chr(10) || 'class Cls_' || (doc_id % 23)::VARCHAR || "
+        "':' || chr(10) || '    pass' || chr(10) || text"
+    )
+    return f"""
+WITH dseason AS (SELECT doc_id, {season_def} AS s FROM documents),
+defs AS (
+  SELECT doc_id, 'function' AS kind,
+         unnest(regexp_extract_all(s, 'def ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS symbol
+  FROM dseason
+  UNION ALL
+  SELECT doc_id, 'class' AS kind,
+         unnest(regexp_extract_all(s, 'class ([a-zA-Z_][a-zA-Z0-9_]*)', 1)) AS symbol
+  FROM dseason
+),
+{_XREF_REFS_CTE},
+d AS (
+  SELECT DISTINCT defs.kind || ':' || defs.symbol AS sym, dd.source AS to_repo
+  FROM defs JOIN documents dd USING (doc_id)
+),
+r AS (
+  SELECT DISTINCT refs.kind || ':' || refs.symbol AS sym, dd.source AS from_repo
+  FROM refs JOIN documents dd USING (doc_id)
+)
+SELECT from_repo, to_repo, count(DISTINCT sym)::BIGINT AS n_symbols
+FROM r JOIN d USING (sym)
+WHERE from_repo <> to_repo
+GROUP BY 1, 2
+"""
