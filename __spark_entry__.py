@@ -458,6 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": lambda spark, sf: _graph_communities(spark, sf),
         # repo-level dependency graph from cross-repo symbol def/ref joins
         "repo_dependency_edges": lambda spark, sf: _repo_dependency_edges(spark, sf),
+        # PageRank over the repo dependency graph (repo-importance ranking)
+        "repo_rank": lambda spark, sf: _repo_rank(spark, sf),
         "prefix_suggest": lambda spark, sf: serve.prefix_suggest(
             spark, gate_index(spark, sf), "s", k=5
         ),
@@ -890,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_license_rollup",
         "bm25_topk_tiered",
         "repo_dependency_edges",
+        "repo_rank",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1286,6 +1289,12 @@ def _repo_dependency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repo_dependency_edges(_docs(spark, sf_dir))
 
 
+def _repo_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.graph_demo import repo_rank
+
+    return repo_rank(_docs(spark, sf_dir), iterations=5)
+
+
 def _graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.graph_demo import label_propagation
 
@@ -1469,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_aa": _link_prediction_sql(),
         "graph_communities": _graph_communities_sql(),
         "repo_dependency_edges": oracles.repo_dependency_edges_sql(),
+        "repo_rank": oracles.repo_rank_sql(iterations=5),
         "pmi_top_pairs": oracles.pmi_top_pairs_sql(k=20, min_count=5),
         "bigram_logprob": oracles.bigram_logprob_sql(lam=0.75),
         "kn_bigram_logprob": oracles.kn_bigram_logprob_sql(discount=0.75),

@@ -177,6 +177,7 @@ HEADLINE = [
     "link_prediction_aa",
     "graph_communities",
     "repo_dependency_edges",
+    "repo_rank",
     "q1_pricing_summary",
     "q3_top_orders",
     "events_sessionize",

@@ -400,48 +400,81 @@ def symbol_rank(
         .unionByName(refs.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # loop-invariants: the def/ref regex extraction is the expensive part —
-    # checkpoint so the corpus is parsed ONCE, not ~2× per iteration
-    # (pagerank.py:71 pattern)
+    return _integer_pr_loop(nodes, edges, iterations, key="node")
+
+
+def _integer_pr_loop(
+    nodes: DataFrame, edges: DataFrame, iterations: int, key: str = "node"
+) -> DataFrame:
+    """The exact-integer PageRank fixpoint shared by :func:`symbol_rank`
+    and :func:`repo_rank`: loop-invariant lineage cuts (edges/nodes
+    checkpointed eagerly ONCE — the upstream extraction is the expensive
+    part), in-plan 1-row-broadcast dangling mass, lazy per-iteration
+    checkpoints so the whole loop composes into one job. ``nodes`` must be
+    one column named ``key``; ``edges`` two columns (src, dst) in the same
+    key space. Returns (key, rank_scaled)."""
     nodes = nodes.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     e = edges.join(outdeg, "src").localCheckpoint(eager=True)
-    src_set = outdeg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    src_set = outdeg.select(F.col("src").alias(key)).localCheckpoint(eager=True)
 
     base = (SCALE * 15 // 100) // n
     ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
     for _ in range(iterations):
         # in-plan dangling mass + lazy checkpoint (see pagerank_integer)
         dang_row = (
-            ranks.join(src_set, "node", "left_anti")
+            ranks.join(src_set, key, "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dt"))
             .select(
                 F.expr(f"(dt * {DAMP_NUM} div {DAMP_DEN}) div {n}").alias("dang")
             )
         )
         contrib = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(ranks, e.src == ranks[key])
             .select(
-                F.col("dst").alias("node"),
+                F.col("dst").alias(key),
                 F.expr(f"(r * {DAMP_NUM} div {DAMP_DEN}) div od").alias("c"),
             )
-            .groupBy("node")
+            .groupBy(key)
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(contrib, key, "left")
             .crossJoin(F.broadcast(dang_row))
             .select(
-                "node",
+                key,
                 (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)) + F.col("dang"))
                 .cast("long")
                 .alias("r"),
             )
         )
         ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
+    return ranks.select(key, F.col("r").alias("rank_scaled"))
+
+
+def repo_rank(
+    docs: DataFrame,
+    iterations: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    repo_col: str = "source",
+) -> DataFrame:
+    """(repo, rank_scaled) — PageRank over the REPO dependency graph
+    (:func:`repo_dependency_edges`, unweighted distinct edges): mass flows
+    from dependent repos toward their dependencies, so heavily-depended-
+    upon repos rank highest — the repo-importance ordering a code-search
+    engine uses to rank results across repositories (the repo-granularity
+    sibling of :func:`symbol_rank`). Nodes are ALL repos in the corpus, so
+    leaf repos (no outgoing deps) contribute dangling mass exactly like
+    dangling pages. Same exact-integer contract; DuckDB recursive-CTE twin
+    matches bit-for-bit."""
+    edges = repo_dependency_edges(
+        docs, id_col=id_col, text_col=text_col, repo_col=repo_col
+    ).select(F.col("from_repo").alias("src"), F.col("to_repo").alias("dst"))
+    nodes = docs.select(F.col(repo_col).alias("repo")).distinct()
+    return _integer_pr_loop(nodes, edges, iterations, key="repo")
 
 
 def symbol_rank_sql(iterations: int = 5) -> str:

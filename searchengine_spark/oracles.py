@@ -5957,3 +5957,64 @@ FROM r JOIN d USING (sym)
 WHERE from_repo <> to_repo
 GROUP BY 1, 2
 """
+
+
+def repo_rank_sql(iterations: int = 5) -> str:
+    """Twin of graph_demo.repo_rank: the repo_dependency_edges CTEs feed an
+    unweighted repo edge table; the pagerank_integer recursive scheme runs
+    over ALL repos (isolated/leaf repos are dangling)."""
+    season_def = (
+        "'def fn_' || (doc_id % 37)::VARCHAR || '(arg):' || chr(10) || "
+        "'    pass' || chr(10) || 'class Cls_' || (doc_id % 23)::VARCHAR || "
+        "':' || chr(10) || '    pass' || chr(10) || text"
+    )
+    from searchengine_spark.operators.graph_demo import DAMP_DEN, DAMP_NUM, SCALE
+
+    return f"""
+WITH RECURSIVE
+dseason AS (SELECT doc_id, {season_def} AS s FROM documents),
+defs AS (
+  SELECT doc_id, 'function' AS kind,
+         unnest(regexp_extract_all(s, 'def ([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\(', 1)) AS symbol
+  FROM dseason
+  UNION ALL
+  SELECT doc_id, 'class' AS kind,
+         unnest(regexp_extract_all(s, 'class ([a-zA-Z_][a-zA-Z0-9_]*)', 1)) AS symbol
+  FROM dseason
+),
+{_XREF_REFS_CTE},
+dside AS (
+  SELECT DISTINCT defs.kind || ':' || defs.symbol AS sym, dd.source AS to_repo
+  FROM defs JOIN documents dd USING (doc_id)
+),
+rside AS (
+  SELECT DISTINCT refs.kind || ':' || refs.symbol AS sym, dd.source AS from_repo
+  FROM refs JOIN documents dd USING (doc_id)
+),
+edges AS (
+  SELECT DISTINCT rside.from_repo AS src, dside.to_repo AS dst
+  FROM rside JOIN dside USING (sym)
+  WHERE rside.from_repo <> dside.to_repo
+),
+nodes AS (SELECT DISTINCT source AS node FROM documents),
+n AS (SELECT count(*)::BIGINT AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1),
+pr(it, node, r) AS (
+  SELECT 0, node, ({SCALE} // n.n)::BIGINT FROM nodes, n
+  UNION ALL
+  SELECT it + 1, node, base + contrib + dang FROM (
+    SELECT p.it AS it, nd.node AS node,
+           (({SCALE} * 15 // 100) // (SELECT n FROM n))::BIGINT AS base,
+           coalesce((SELECT sum((p2.r * {DAMP_NUM} // {DAMP_DEN}) // o.od)
+                     FROM pr p2 JOIN edges e ON e.src = p2.node
+                     JOIN outdeg o ON o.src = e.src
+                     WHERE e.dst = nd.node AND p2.it = p.it), 0)::BIGINT AS contrib,
+           (((SELECT coalesce(sum(p3.r), 0) FROM pr p3
+              WHERE p3.it = p.it AND p3.node NOT IN (SELECT src FROM outdeg))
+             * {DAMP_NUM} // {DAMP_DEN}) // (SELECT n FROM n))::BIGINT AS dang
+    FROM (SELECT DISTINCT it FROM pr) p, nodes nd
+    WHERE p.it < {iterations}
+  )
+)
+SELECT node AS repo, r AS rank_scaled FROM pr WHERE it = {iterations}
+"""
