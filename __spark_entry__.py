@@ -141,6 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-tokenization — SURVEY.md §2.3-2.6, §3)
         "postings_tf": lambda spark, sf: serve.postings_tf(spark, gate_index(spark, sf)),
         "lexicon_stats": lambda spark, sf: serve.lexicon_stats(spark, gate_index(spark, sf)),
+        # corpus-driven stopword generation (integer df-fraction boundary)
+        "stopword_list": lambda spark, sf: serve.stopword_list(
+            spark, gate_index(spark, sf), df_pct_num=60
+        ),
         # index statistics endpoint (CheckIndex / ES _stats shape)
         "index_stats": lambda spark, sf: serve.index_stats(
             spark, gate_index(spark, sf)
@@ -893,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_tiered",
         "repo_dependency_edges",
         "repo_rank",
+        "stopword_list",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1365,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "postings_tf": oracles.postings_sql(),
         "lexicon_stats": oracles.lexicon_sql(),
+        "stopword_list": oracles.stopword_list_sql(df_pct_num=60),
         "front_coded_dictionary": oracles.front_coded_dictionary_sql(
             block=8, n_buckets=4
         ),

@@ -84,6 +84,7 @@ HEADLINE = [
     "nrt_two_tier_topk",
     "rbo_rankings",
     "index_stats",
+    "stopword_list",
     "bm25_topk_tombstoned",
     "postings_tf",
     "dedup_exact",

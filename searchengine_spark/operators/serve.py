@@ -72,6 +72,33 @@ def lexicon_stats(spark: SparkSession, idx: dict) -> DataFrame:
     )
 
 
+def stopword_list(
+    spark: SparkSession, idx: dict, df_pct_num: int = 60, df_pct_den: int = 100
+) -> DataFrame:
+    """(term, df, df_ppm) — corpus-DRIVEN stopword generation: terms whose
+    document frequency exceeds ``df_pct_num/df_pct_den`` of the corpus,
+    the analyzer-construction step behind Lucene's CommonTermsQuery
+    cutoff and every per-domain stopword file (a code corpus stops
+    ``return``/``import``, not ``the``). The keep/drop boundary is the
+    integer cross-multiplication ``df * den > num * n_docs`` — no float
+    ever touches the decision — and df_ppm is the exact integer
+    ``df * 1e6 div n_docs`` for human inspection.
+
+    Plan: a lexicon-only scan (vocabulary-sized, never the corpus) with
+    a driver-constant n_docs from the index manifest; output is the
+    broadcast-class denylist the query analyzers consume."""
+    n_docs = int(idx["n_docs"])
+    return (
+        idx["lexicon"]
+        .filter(F.col("df").cast("long") * df_pct_den > df_pct_num * n_docs)
+        .select(
+            "term",
+            "df",
+            F.expr(f"df * 1000000 div {n_docs}").cast("long").alias("df_ppm"),
+        )
+    )
+
+
 def _bm25_contrib(avgdl: float) -> F.Column:
     """The per-posting BM25 contribution expression. ONE definition shared
     by the single-query and batch paths: the float op ORDER is load-bearing

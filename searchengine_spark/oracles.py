@@ -6018,3 +6018,18 @@ pr(it, node, r) AS (
 )
 SELECT node AS repo, r AS rank_scaled FROM pr WHERE it = {iterations}
 """
+
+
+def stopword_list_sql(df_pct_num: int = 60, df_pct_den: int = 100) -> str:
+    """Twin of serve.stopword_list: integer cross-multiplication keep
+    boundary over the recomputed lexicon df."""
+    return f"""
+WITH {_TOKENS_CTE},
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY 1
+)
+SELECT term, df, (df * 1000000 // n.n_docs)::BIGINT AS df_ppm
+FROM lex, n
+WHERE df * {df_pct_den} > {df_pct_num} * n.n_docs
+"""
