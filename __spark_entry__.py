@@ -142,6 +142,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": lambda spark, sf: serve.postings_tf(spark, gate_index(spark, sf)),
         "lexicon_stats": lambda spark, sf: serve.lexicon_stats(spark, gate_index(spark, sf)),
         # corpus-driven stopword generation (integer df-fraction boundary)
+        # PhraseQuery-style scoring: phrase occurrence count drives the tf
+        "phrase_freq_topk": lambda spark, sf: serve.phrase_freq_topk(
+            spark, gate_index(spark, sf), PHRASE, k=TOPK
+        ),
+        # SpanFirstQuery analog: term within the first max_pos positions
+        "span_first_topk": lambda spark, sf: serve.span_first_topk(
+            spark, gate_index(spark, sf), BM25_TERMS[0], k=TOPK, max_pos=8
+        ),
         "stopword_list": lambda spark, sf: serve.stopword_list(
             spark, gate_index(spark, sf), df_pct_num=60
         ),
@@ -898,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_dependency_edges",
         "repo_rank",
         "stopword_list",
+        "span_first_topk",
+        "phrase_freq_topk",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1371,6 +1381,8 @@ def oracle_sql() -> dict[str, str]:
         "postings_tf": oracles.postings_sql(),
         "lexicon_stats": oracles.lexicon_sql(),
         "stopword_list": oracles.stopword_list_sql(df_pct_num=60),
+        "span_first_topk": oracles.span_first_topk_sql(BM25_TERMS[0], k=TOPK, max_pos=8),
+        "phrase_freq_topk": oracles.phrase_freq_topk_sql(PHRASE, k=TOPK),
         "front_coded_dictionary": oracles.front_coded_dictionary_sql(
             block=8, n_buckets=4
         ),

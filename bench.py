@@ -85,6 +85,8 @@ HEADLINE = [
     "rbo_rankings",
     "index_stats",
     "stopword_list",
+    "span_first_topk",
+    "phrase_freq_topk",
     "bm25_topk_tombstoned",
     "postings_tf",
     "dedup_exact",

@@ -526,6 +526,109 @@ def phrase_match(
     return out.select("doc_id").distinct()
 
 
+def phrase_freq_topk(
+    spark: SparkSession, idx: dict, phrase_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Lucene-PhraseQuery-style SCORED phrase retrieval: unlike
+    :func:`phrase_topk` (which BM25-scores the constituent terms of
+    phrase-matching docs), the ranking signal here is the PHRASE itself —
+    tf = the number of exact phrase occurrences in the doc, saturated by
+    the shared BM25 tf curve, weighted by the SUM of the constituent
+    terms' idfs (Lucene's PhraseWeight = Σ idf with phrase freq):
+    ``score = (Σ idf_t) · pf·(k1+1) / (pf + k1·(1−b+b·dl/avgdl))``.
+    (doc_id, phrase_freq, score_micros).
+
+    Served from the stored positions arrays: per-term position explode,
+    adjacency chain join (the :func:`phrase_match` plan), occurrences
+    counted per doc instead of collapsed to existence. The float tree is
+    textually pinned to the oracle (idf sum in phrase order, same
+    saturation expression as _bm25_contrib). Work is bounded by the
+    phrase terms' posting masses — the same pruned scan phrase_match does,
+    plus one count aggregate."""
+    assert len(phrase_terms) >= 2
+    rows = _qlex(spark, idx, phrase_terms)
+    by_term = {r["term"]: r for r in rows}
+    if not set(phrase_terms) <= set(by_term):
+        return spark.createDataFrame(
+            [], "doc_id long, phrase_freq long, score_micros long"
+        )
+    # idf sum in PHRASE order — the oracle adds the same scalar subqueries
+    # left-to-right, so the float sum order is identical
+    idf_sum = 0.0
+    for t in phrase_terms:
+        idf_sum = idf_sum + float(by_term[t]["idf_bm25"])
+    post = _pruned_postings(idx, rows)
+    pos = post.select("doc_id", "term", F.explode("positions").alias("p"))
+    first = pos.filter(F.col("term") == phrase_terms[0]).select(
+        "doc_id", F.col("p").alias("p0")
+    )
+    out = first
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("_id"), F.col("p").alias(f"p{i}")
+        )
+        out = out.join(
+            nxt,
+            (out["doc_id"] == nxt["_id"]) & (nxt[f"p{i}"] == out["p0"] + i),
+            "inner",
+        ).select(out["doc_id"], out["p0"])
+    pf = out.distinct().groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_freq")
+    )
+    dls = post.filter(F.col("term") == phrase_terms[0]).select("doc_id", "dl")
+    pfd = F.col("phrase_freq").cast("double")
+    dl = F.col("dl").cast("double")
+    score = F.lit(idf_sum) * (pfd * (BM25_K1 + 1.0)) / (
+        pfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(idx["avgdl"]))
+    )
+    return (
+        pf.join(dls, "doc_id")
+        .select(
+            "doc_id",
+            "phrase_freq",
+            F.round(score * 1e6).cast("long").alias("score_micros"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def span_first_topk(
+    spark: SparkSession, idx: dict, term: str, k: int = 10, max_pos: int = 8
+) -> DataFrame:
+    """Lucene SpanFirstQuery analog: BM25 top-k among documents whose
+    FIRST occurrence of ``term`` falls within the leading ``max_pos``
+    token positions — the "matches near the start of the doc" constraint
+    behind title/lead-paragraph boosting when there is no field structure.
+    (doc_id, first_pos, score_micros).
+
+    Served entirely from the stored positions arrays: the pruned postings
+    row for the term carries its sorted positions, so the first occurrence
+    is ``element_at(positions, 1)`` — no corpus pass, no explode; scoring
+    shares the single-definition :func:`_bm25_contrib` tree with full-index
+    idf. Plan: |1-term| lexicon lookup → bucket-pruned postings scan →
+    array head filter → bounded top-k heap."""
+    rows = _qlex(spark, idx, [term])
+    if not rows:
+        return spark.createDataFrame(
+            [], "doc_id long, first_pos long, score_micros long"
+        )
+    post = _pruned_postings(idx, rows)
+    contrib = _bm25_contrib(idx["avgdl"])
+    return (
+        post.withColumn("first_pos", F.element_at("positions", 1).cast("long"))
+        .filter(F.col("first_pos") < max_pos)
+        .join(F.broadcast(_lex_df(spark, rows)), "term")
+        .select(
+            "doc_id",
+            "first_pos",
+            F.round(contrib * 1e6).cast("long").alias("score_micros"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def prefix_suggest(
     spark: SparkSession, idx: dict, prefix: str, k: int = 5
 ) -> DataFrame:

@@ -6033,3 +6033,80 @@ SELECT term, df, (df * 1000000 // n.n_docs)::BIGINT AS df_ppm
 FROM lex, n
 WHERE df * {df_pct_den} > {df_pct_num} * n.n_docs
 """
+
+
+def span_first_topk_sql(term: str, k: int = 10, max_pos: int = 8) -> str:
+    """Twin of serve.span_first_topk: first raw-split position per doc
+    (0-based, empties retained — the shared positions convention), BM25
+    single-term scoring with full-index idf."""
+    return f"""
+WITH {_TOKENS_CTE},
+posx AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+firstpos AS (
+  SELECT doc_id, min(pos)::BIGINT AS first_pos
+  FROM posx WHERE term = '{term}' GROUP BY 1
+),
+{_bm25_scores_cte([term])}
+SELECT s.doc_id, f.first_pos, s.score_micros
+FROM scores s JOIN firstpos f USING (doc_id)
+WHERE f.first_pos < {max_pos}
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def phrase_freq_topk_sql(
+    phrase_terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Twin of serve.phrase_freq_topk: adjacency-chain occurrence count
+    per doc, idf sum in phrase order (left-assoc scalar adds), same
+    saturation tree as the shared BM25 contribution."""
+    conds = " AND ".join(
+        f"p{i}.term = '{t}' AND p{i}.pos = p0.pos + {i}"
+        for i, t in enumerate(phrase_terms)
+        if i > 0
+    )
+    joins = "\n".join(
+        f"JOIN posx p{i} ON p{i}.doc_id = p0.doc_id"
+        for i in range(1, len(phrase_terms))
+    )
+    idf_sum = " + ".join(
+        f"(SELECT idf_bm25 FROM idf WHERE term = '{t}')" for t in phrase_terms
+    )
+    terms_in = ", ".join(f"'{t}'" for t in phrase_terms)
+    return f"""
+WITH {_TOKENS_CTE},
+posx AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+occ AS (
+  SELECT DISTINCT p0.doc_id, p0.pos AS p0
+  FROM posx p0
+{joins}
+  WHERE p0.term = '{phrase_terms[0]}' AND {conds}
+),
+pf AS (SELECT doc_id, count(*)::BIGINT AS phrase_freq FROM occ GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dls),
+lex AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post
+  WHERE term IN ({terms_in}) GROUP BY 1
+),
+idf AS (
+  SELECT lex.term,
+         ln(1.0 + (n.n_docs - lex.df + 0.5) / (lex.df + 0.5)) AS idf_bm25
+  FROM lex, n
+)
+SELECT pf.doc_id, pf.phrase_freq,
+       CAST(round(({idf_sum})
+                  * (pf.phrase_freq * {k1 + 1.0})
+                  / (pf.phrase_freq + {k1} * (1.0 - {b} + {b} * dls.dl / avg_dl.avgdl))
+                  * 1e6) AS BIGINT) AS score_micros
+FROM pf JOIN dls ON pf.doc_id = dls.doc_id CROSS JOIN avg_dl
+ORDER BY score_micros DESC, pf.doc_id ASC
+LIMIT {k}
+"""
