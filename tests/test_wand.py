@@ -150,3 +150,38 @@ def test_phrase_micros_equals_columnar(spark):
     assert [tuple(r) for r in cols] == [tuple(r) for r in wand] and cols
     # absent term -> unmatchable phrase, empty on both paths
     assert serve.phrase_topk_wand(spark, idx, ["hash", "zzznope"], k=10).count() == 0
+
+
+def test_phrase_freq_consistent_with_phrase_match(spark):
+    """phrase_freq_topk's doc set == phrase_match's (same adjacency), and
+    every phrase_freq >= 1; score is monotone in pf for equal dl."""
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, "/root/testdata/sf0.001")
+    phrase = ["hash", "join"]
+    match_ids = {r["doc_id"] for r in serve.phrase_match(spark, idx, phrase).collect()}
+    scored = serve.phrase_freq_topk(spark, idx, phrase, k=10_000).collect()
+    assert {r["doc_id"] for r in scored} == match_ids
+    assert all(r["phrase_freq"] >= 1 for r in scored)
+
+
+def test_span_first_topk_bounds(spark):
+    """Every result's first occurrence is inside the window, and the doc
+    set equals the brute positions check at gate scale."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import serve
+    from searchengine_spark.plans.gate_index import gate_index
+
+    idx = gate_index(spark, "/root/testdata/sf0.001")
+    out = serve.span_first_topk(spark, idx, "spark", k=10_000, max_pos=8).collect()
+    assert all(0 <= r["first_pos"] < 8 for r in out)
+    brute = (
+        idx["postings"]
+        .filter(F.col("term") == "spark")
+        .select("doc_id", F.element_at("positions", 1).alias("fp"))
+        .filter(F.col("fp") < 8)
+        .count()
+    )
+    assert len(out) == brute
