@@ -110,6 +110,12 @@ def _corpusstats():
     return corpusstats
 
 
+def _docid_reorder_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.layout import docid_reorder_gain
+
+    return docid_reorder_gain(_docs(spark, sf_dir))
+
+
 def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.operators.layout import zorder_layout
 
@@ -889,6 +895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the write-time layout that lets parquet min/max stats prune scans
         # on either predicate dimension
         "zorder_layout": lambda spark, sf: _zorder_layout(spark, sf),
+        # similarity-clustered doc-id reordering: varint gap bytes before
+        # vs after (the BP/document-reordering compression lever)
+        "docid_reorder_gain": lambda spark, sf: _docid_reorder_gain(spark, sf),
     }
     # driver-gate rotation (VERDICT r02 item 7): the driver checks only the
     # FIRST 50 entries, so each round this list pulls operators that have
@@ -908,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_list",
         "span_first_topk",
         "phrase_freq_topk",
+        "docid_reorder_gain",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1509,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": oracles.knn_graph_sql(
             k=3, n_planes=16, rows_per_band=8, max_bucket=1024
         ),
+        "docid_reorder_gain": oracles.docid_reorder_gain_sql(),
         "zorder_layout": oracles.zorder_layout_sql(bits=16, n_groups=64),
         "rerank_ce_topk": oracles.rerank_ce_topk_sql(BM25_TERMS, k=TOPK, n_candidates=50),
         "mmr_topk": oracles.mmr_topk_sql(BM25_TERMS, k=TOPK, r=50),

@@ -172,6 +172,7 @@ HEADLINE = [
     "zipf_slope",
     "heaps_law",
     "zorder_layout",
+    "docid_reorder_gain",
     "trending_topk",
     "weighted_sample",
     "crawl_schedule",

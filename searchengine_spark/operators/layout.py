@@ -97,3 +97,98 @@ def zorder_layout(
             F.shiftright(F.col("zval"), 2 * bits - group_bits).alias("file_group"),
         )
     )
+
+
+def docid_reorder_gain(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(layout, total_varint_bytes, n_postings) — measure the posting-list
+    compression gain from SIMILARITY-CLUSTERED doc-id assignment: the
+    index-layout technique (Blandford–Blelloch document reordering, the
+    BP/recursive-bisection family Lucene and PISA apply before writing
+    segments) where similar docs get adjacent ids so delta gaps shrink and
+    varint/FOR blocks pack tighter.
+
+    Two layouts are costed on the SAME postings: ``original`` (ids as
+    ingested) and ``clustered`` (ids = rank by the first MinHash band key,
+    zero-padded so lexicographic == numeric order, ties by doc_id — docs
+    sharing near-dup structure become neighbors). Cost model = exact
+    varint bytes of the per-term delta gaps (1 byte per 7 bits, CASE
+    ladder — no float log), the same encoding the segment codec ships.
+
+    Plan/scale: the band key is one corpus-pass MinHash (the shared
+    _minhash_wide aggregate); the clustered rank uses the two-phase
+    ordered-bucket pattern (epoch_shuffle): per-bucket row_number + a
+    broadcast prefix-sum of bucket counts — the bucket is a PREFIX of the
+    sort key (first 3 pad digits), so order is preserved without a global
+    window. Gap windows partition per term — the same per-list locality
+    the segment writer already exploits (at scale gaps are computed within
+    doc-range shards exactly as segments.py does)."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.functions.tokenize import exploded_tokens
+    from searchengine_spark.operators.dedup import _minhash_wide
+
+    spark = docs.sparkSession
+    wide = _minhash_wide(docs, 4, id_col, text_col)
+    band_key = F.concat_ws(
+        ",", *[F.lpad(F.col(f"m{j}").cast("string"), 10, "0") for j in range(4)]
+    )
+    keyed = wide.select(F.col(id_col), band_key.alias("bk")).withColumn(
+        "b", F.substring("bk", 1, 3)
+    )
+    counts = sorted(
+        (r["b"], r["n"])
+        for r in keyed.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    off = spark.createDataFrame(offsets, "b string, off long")
+    w = Window.partitionBy("b").orderBy(F.asc("bk"), F.asc(id_col))
+    mapping = (
+        keyed.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(off), "b")
+        .select(F.col(id_col), (F.col("off") + F.col("r") - 1).cast("long").alias("nid"))
+    )
+    post = exploded_tokens(docs, id_col, text_col).select(id_col, "term").distinct()
+
+    def cost(ids: DataFrame, layout: str) -> DataFrame:
+        wt = Window.partitionBy("term").orderBy(F.asc("nid"))
+        gaps = (
+            post.join(ids, id_col)
+            .withColumn("prev", F.lag("nid").over(wt))
+            .select(
+                "term",
+                F.when(F.col("prev").isNull(), F.col("nid") + 1)
+                .otherwise(F.col("nid") - F.col("prev"))
+                .alias("g"),
+            )
+        )
+        nbytes = (
+            F.when(F.col("g") < 128, 1)
+            .when(F.col("g") < 16384, 2)
+            .when(F.col("g") < 2097152, 3)
+            .when(F.col("g") < 268435456, 4)
+            .otherwise(5)
+        )
+        # FOR/bit-packing cost: exact bit width of each gap (CASE ladder,
+        # no float log) — the finer-grained measure where clustering shows
+        # up even when every gap already fits one varint byte
+        nbits = F.lit(40)
+        for w_ in range(39, 0, -1):
+            nbits = F.when(F.col("g") < (1 << w_), w_).otherwise(nbits)
+        return gaps.agg(
+            F.sum(nbytes).cast("long").alias("total_varint_bytes"),
+            F.sum(nbits).cast("long").alias("total_gap_bits"),
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            "total_varint_bytes",
+            "total_gap_bits",
+            "n_postings",
+        )
+
+    orig = docs.select(F.col(id_col), F.col(id_col).cast("long").alias("nid"))
+    return cost(orig, "original").unionByName(cost(mapping, "clustered"))

@@ -6110,3 +6110,54 @@ FROM pf JOIN dls ON pf.doc_id = dls.doc_id CROSS JOIN avg_dl
 ORDER BY score_micros DESC, pf.doc_id ASC
 LIMIT {k}
 """
+
+
+def docid_reorder_gain_sql(n_perms: int = 4) -> str:
+    """Twin of layout.docid_reorder_gain: first-band MinHash key (zero-
+    padded, lexicographic == numeric), clustered rank, exact varint gap
+    bytes per term under both layouts."""
+    gap_block = """
+  SELECT term,
+         CASE WHEN prev IS NULL THEN nid + 1 ELSE nid - prev END AS g
+  FROM (
+    SELECT term, nid, lag(nid) OVER (PARTITION BY term ORDER BY nid) AS prev
+    FROM {src}
+  )"""
+    bytes_expr = (
+        "CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2 "
+        "WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4 ELSE 5 END"
+    )
+    bits_expr = ("CASE " + " ".join(
+        f"WHEN g < {1 << w} THEN {w}" for w in range(1, 40)
+    ) + " ELSE 40 END")
+    return f"""
+WITH {_TOKHASH_CTE},
+perms(perm_id, a, b) AS (VALUES {_perms_values(n_perms)}),
+sig AS (
+  SELECT tok.doc_id, perms.perm_id,
+         min((perms.a * tok.x + perms.b) % {MERSENNE31})::BIGINT AS minhash
+  FROM tok CROSS JOIN perms GROUP BY 1, 2
+),
+bk AS (
+  SELECT doc_id,
+         string_agg(lpad(minhash::VARCHAR, 10, '0'), ',' ORDER BY perm_id) AS bk
+  FROM sig GROUP BY 1
+),
+mapping AS (
+  SELECT doc_id, (row_number() OVER (ORDER BY bk, doc_id) - 1)::BIGINT AS nid
+  FROM bk
+),
+pt AS (SELECT DISTINCT doc_id, term FROM terms WHERE term <> ''),
+po AS (SELECT pt.term, pt.doc_id::BIGINT AS nid FROM pt),
+pc AS (SELECT pt.term, m.nid FROM pt JOIN mapping m USING (doc_id)),
+go AS ({gap_block.format(src="po")}),
+gc AS ({gap_block.format(src="pc")})
+SELECT 'original' AS layout, sum({bytes_expr})::BIGINT AS total_varint_bytes,
+       sum({bits_expr})::BIGINT AS total_gap_bits,
+       count(*)::BIGINT AS n_postings
+FROM go
+UNION ALL
+SELECT 'clustered', sum({bytes_expr})::BIGINT, sum({bits_expr})::BIGINT,
+       count(*)::BIGINT
+FROM gc
+"""
