@@ -78,6 +78,12 @@ def _epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return epoch_shuffle(_docs(spark, sf), epoch=0)
 
 
+def _curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.sampling import curriculum_order
+
+    return curriculum_order(spark, gate_index(spark, sf_dir), _docs(spark, sf_dir))
+
+
 def _quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
     from searchengine_spark.operators.sampling import quality_tiers
     from searchengine_spark.plans.gate_index import gate_index as _gi
@@ -441,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": lambda spark, sf: _epoch_shuffle(spark, sf),
         # CCNet-style per-language perplexity terciles (head/middle/tail)
         "quality_tiers": lambda spark, sf: _quality_tiers(spark, sf),
+        # curriculum order: quality tier asc, md5-shuffled within tier
+        "curriculum_order": lambda spark, sf: _curriculum_order(spark, sf),
         # the reference's own ranking formula (Ranker.java:74-97: weighted
         # tfidf/pagerank/title/header-cap), gated end-to-end incl. url/title
         # result assembly
@@ -918,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk",
         "phrase_freq_topk",
         "docid_reorder_gain",
+        "curriculum_order",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1462,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
         "federated_topk": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "epoch_shuffle": oracles.epoch_shuffle_sql(0),
         "quality_tiers": oracles.quality_tiers_sql(),
+        "curriculum_order": oracles.curriculum_order_sql(),
         "ann_ivf_topk": oracles.ann_ivf_sql(n_queries=8, k=5, centroid_stride=64, nprobe=2),
         # the approximate LSH path is deterministic (integer plane dots), so
         # even recall<1 output is hash-checkable — no more rows-only gate

@@ -120,6 +120,7 @@ HEADLINE = [
     "federated_topk",
     "epoch_shuffle",
     "quality_tiers",
+    "curriculum_order",
     "winnowing_fingerprints",
     "compound_split",
     "pack_chunks",

@@ -336,3 +336,46 @@ def weighted_sample_topn(
         .orderBy(F.desc("key_nanos"), F.asc(id_col))
         .limit(n)
     )
+
+
+def curriculum_order(spark, idx: dict, docs: DataFrame) -> DataFrame:
+    """(pos, doc_id, tier) — curriculum training order: the corpus sorted
+    by ascending quality tier (:func:`quality_tiers` — fluent head first)
+    with a deterministic md5 shuffle WITHIN each tier, the
+    easy-to-hard/quality-first ordering curriculum-learning pipelines feed
+    the trainer (and the resumable analog of "train on head data first").
+
+    Global positions come from the two-phase ordered-bucket rank (the
+    epoch_shuffle pattern): the bucket (tier, first md5 byte) is a PREFIX
+    of the sort key, so per-bucket row_number + a broadcast prefix-sum of
+    the ≤ 3·256 bucket counts yields the exact global rank with no
+    single-partition window at any scale."""
+    from pyspark.sql import Window
+
+    qt = quality_tiers(spark, idx, docs).select("doc_id", "tier")
+    h = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    keyed = qt.select(
+        "doc_id",
+        "tier",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
+    )
+    counts = sorted(
+        ((r["tier"], r["b"]), r["n"])
+        for r in keyed.groupBy("tier", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    rows, acc = [], 0
+    for (tier, b), n in counts:
+        rows.append((tier, b, acc))
+        acc += n
+    off = spark.createDataFrame(rows, "tier long, b int, off long")
+    w = Window.partitionBy("tier", "b").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(off), ["tier", "b"])
+        .select(
+            (F.col("off") + F.col("r")).cast("long").alias("pos"),
+            "doc_id",
+            "tier",
+        )
+    )

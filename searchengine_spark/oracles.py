@@ -6161,3 +6161,18 @@ SELECT 'clustered', sum({bytes_expr})::BIGINT, sum({bits_expr})::BIGINT,
        count(*)::BIGINT
 FROM gc
 """
+
+
+def curriculum_order_sql() -> str:
+    """Twin of sampling.curriculum_order: the quality_tiers result ranked
+    by (tier, md5 shuffle, doc_id)."""
+    return f"""
+WITH qt AS (
+{quality_tiers_sql()}
+)
+SELECT row_number() OVER (
+         ORDER BY tier ASC, md5('cur:' || doc_id::VARCHAR) ASC, doc_id ASC
+       )::BIGINT AS pos,
+       doc_id, tier
+FROM qt
+"""
