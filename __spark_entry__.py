@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_tf": lambda spark, sf: serve.postings_tf(spark, gate_index(spark, sf)),
         "lexicon_stats": lambda spark, sf: serve.lexicon_stats(spark, gate_index(spark, sf)),
         # corpus-driven stopword generation (integer df-fraction boundary)
+        # exact-gap phrase ("hash ? join"): wildcard-slot SpanNear pattern
+        "gap_phrase_topk": lambda spark, sf: serve.gap_phrase_topk(
+            spark, gate_index(spark, sf), PHRASE, gap=1, k=TOPK
+        ),
         # PhraseQuery-style scoring: phrase occurrence count drives the tf
         "phrase_freq_topk": lambda spark, sf: serve.phrase_freq_topk(
             spark, gate_index(spark, sf), PHRASE, k=TOPK
@@ -927,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_freq_topk",
         "docid_reorder_gain",
         "curriculum_order",
+        "gap_phrase_topk",
         "symbol_rank",
         "ppr_scores",
         "hits_scores",
@@ -1402,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_list": oracles.stopword_list_sql(df_pct_num=60),
         "span_first_topk": oracles.span_first_topk_sql(BM25_TERMS[0], k=TOPK, max_pos=8),
         "phrase_freq_topk": oracles.phrase_freq_topk_sql(PHRASE, k=TOPK),
+        "gap_phrase_topk": oracles.gap_phrase_topk_sql(PHRASE, gap=1, k=TOPK),
         "front_coded_dictionary": oracles.front_coded_dictionary_sql(
             block=8, n_buckets=4
         ),

@@ -68,6 +68,7 @@ HEADLINE = [
     "phrase_match",
     "phrase_topk",
     "phrase_topk_wand",
+    "gap_phrase_topk",
     "proximity_match_wand",
     "ordered_proximity_wand",
     "significant_terms",

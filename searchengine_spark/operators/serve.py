@@ -2652,6 +2652,55 @@ def phrase_topk(
     )
 
 
+def gap_phrase_match(
+    spark: SparkSession, idx: dict, phrase_terms: list[str], gap: int = 1
+) -> DataFrame:
+    """Exact-GAP phrase filter ("hash ? join" with exactly ``gap`` wildcard
+    tokens between consecutive terms — the SpanNear/wildcard-slot pattern):
+    docs where term i occurs at position p₀ + i·(gap+1). Same stored-
+    positions adjacency-chain plan as :func:`phrase_match`, with the
+    stride widened from 1 to gap+1; work stays bounded by the phrase
+    terms' posting masses."""
+    assert len(phrase_terms) >= 2 and gap >= 0
+    rows = _qlex(spark, idx, phrase_terms)
+    found = {r["term"] for r in rows}
+    if not set(phrase_terms) <= found:
+        return spark.createDataFrame([], "doc_id long")
+    stride = gap + 1
+    pos = _pruned_postings(idx, rows).select(
+        "doc_id", "term", F.explode("positions").alias("p")
+    )
+    first = pos.filter(F.col("term") == phrase_terms[0]).select(
+        "doc_id", F.col("p").alias("p0")
+    )
+    out = first
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("_id"), F.col("p").alias(f"p{i}")
+        )
+        out = out.join(
+            nxt,
+            (out["doc_id"] == nxt["_id"]) & (nxt[f"p{i}"] == out["p0"] + i * stride),
+            "inner",
+        ).select(out["doc_id"], out["p0"])
+    return out.select("doc_id").distinct()
+
+
+def gap_phrase_topk(
+    spark: SparkSession, idx: dict, phrase_terms: list[str], gap: int = 1, k: int = 10
+) -> DataFrame:
+    """Ranked exact-gap phrase: :func:`gap_phrase_match` candidates scored
+    with the constituents' BM25 (the :func:`phrase_topk` scoring contract
+    applied to the gapped pattern)."""
+    cand = gap_phrase_match(spark, idx, phrase_terms, gap).select("doc_id")
+    return (
+        bm25_scores(spark, idx, phrase_terms)
+        .join(cand, "doc_id")
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def hybrid_combmnz_topk(
     spark: SparkSession,
     idx: dict,

@@ -6176,3 +6176,36 @@ SELECT row_number() OVER (
        doc_id, tier
 FROM qt
 """
+
+
+def gap_phrase_topk_sql(phrase_terms: list[str], gap: int = 1, k: int = 10) -> str:
+    """Twin of serve.gap_phrase_topk: positions chain with stride gap+1,
+    constituents' BM25 over the candidate docs."""
+    stride = gap + 1
+    conds = " AND ".join(
+        f"p{i}.term = '{t}' AND p{i}.pos = p0.pos + {i * stride}"
+        for i, t in enumerate(phrase_terms)
+        if i > 0
+    )
+    joins = "\n".join(
+        f"JOIN posx p{i} ON p{i}.doc_id = p0.doc_id"
+        for i in range(1, len(phrase_terms))
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+posx AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+cand AS (
+  SELECT DISTINCT p0.doc_id
+  FROM posx p0
+{joins}
+  WHERE p0.term = '{phrase_terms[0]}' AND {conds}
+),
+{_bm25_scores_cte(phrase_terms)}
+SELECT s.doc_id, s.score_micros
+FROM scores s JOIN cand USING (doc_id)
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT {k}
+"""
