@@ -134,9 +134,12 @@ def docid_reorder_gain(
     band_key = F.concat_ws(
         ",", *[F.lpad(F.col(f"m{j}").cast("string"), 10, "0") for j in range(4)]
     )
+    # keyed spans the bucket-count collect job AND the mapping plan —
+    # materialize the slim (doc_id, bk, b) frame so the MinHash corpus
+    # pass runs once, not once per consumer
     keyed = wide.select(F.col(id_col), band_key.alias("bk")).withColumn(
         "b", F.substring("bk", 1, 3)
-    )
+    ).localCheckpoint(eager=True)
     counts = sorted(
         (r["b"], r["n"])
         for r in keyed.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -152,7 +155,14 @@ def docid_reorder_gain(
         .join(F.broadcast(off), "b")
         .select(F.col(id_col), (F.col("off") + F.col("r") - 1).cast("long").alias("nid"))
     )
-    post = exploded_tokens(docs, id_col, text_col).select(id_col, "term").distinct()
+    # post is joined inside cost() twice (original + clustered layouts) —
+    # materialize the token explode+distinct once across both calls
+    post = (
+        exploded_tokens(docs, id_col, text_col)
+        .select(id_col, "term")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def cost(ids: DataFrame, layout: str) -> DataFrame:
         wt = Window.partitionBy("term").orderBy(F.asc("nid"))

@@ -354,12 +354,15 @@ def curriculum_order(spark, idx: dict, docs: DataFrame) -> DataFrame:
 
     qt = quality_tiers(spark, idx, docs).select("doc_id", "tier")
     h = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    # keyed feeds BOTH the bucket-count collect job and the final ranked
+    # plan — materialize the slim (doc_id, tier, h, b) frame once so the
+    # quality_tiers corpus pass runs once, not once per consumer
     keyed = qt.select(
         "doc_id",
         "tier",
         h.alias("h"),
         F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     counts = sorted(
         ((r["tier"], r["b"]), r["n"])
         for r in keyed.groupBy("tier", "b").agg(F.count(F.lit(1)).alias("n")).collect()
