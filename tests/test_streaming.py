@@ -161,6 +161,64 @@ def test_multimodal_audio_and_resize(spark):
         audio_features(media, deterministic_fake=False).collect()
 
 
+def test_real_wav_bmp_decode(spark):
+    """The REAL stdlib decode seam: spec-valid WAV/BMP containers built
+    JVM-side, parsed with wave/struct, stats matching the synthesis
+    closed form exactly; fake blobs still raise for compressed codecs."""
+    from searchengine_spark.operators.multimodal import (
+        audio_features,
+        bmp_decode_stats,
+        image_features,
+        make_bmp_media,
+        make_fake_media,
+        make_wav_media,
+        wav_decode_stats,
+    )
+
+    wav = make_wav_media(spark, 9)
+    for r in wav_decode_stats(wav).collect():
+        i = r["media_id"]
+        ns = 100 + (i * 37) % 400
+        sv = [
+            u if u < 32768 else u - 65536
+            for u in ((i * 7919 + t * 104729) % 65536 for t in range(ns))
+        ]
+        assert r["sample_rate"] == [8000, 16000, 22050, 44100][i % 4]
+        assert r["n_samples"] == ns and r["n_bytes"] == 44 + 2 * ns
+        assert (r["sum_abs"], r["sum_sq"]) == (
+            sum(abs(s) for s in sv),
+            sum(s * s for s in sv),
+        )
+        assert (r["max_s"], r["min_s"]) == (max(sv), min(sv))
+
+    bmp = make_bmp_media(spark, 9)
+    for r in bmp_decode_stats(bmp).collect():
+        i = r["media_id"]
+        w, h = 4 + i % 5, 3 + i % 4
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_bytes"] == 54 + ((3 * w + 3) // 4) * 4 * h
+        assert r["sum_r"] == sum(
+            (i * 3 + x * 7 + y * 11) % 256 for x in range(w) for y in range(h)
+        )
+        # orientation-sensitive: wrong bottom-up handling fails this
+        assert r["wsum_r"] == sum(
+            y * ((i * 3 + x * 7 + y * 11) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+
+    # the generic feature operators route real WAV/BMP through the same seam
+    assert len(audio_features(wav, deterministic_fake=False).collect()) == 9
+    assert len(image_features(bmp, deterministic_fake=False).collect()) == 9
+    # compressed codecs still require external libs
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        image_features(
+            make_fake_media(spark, 6), deterministic_fake=False
+        ).collect()
+
+
 def test_stream_sessionize_out_of_order(spark, tmp_path):
     """A late event (earlier than the open session's end) must be absorbed
     without regressing the session end — a following event inside the TRUE
