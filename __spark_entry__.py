@@ -921,35 +921,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never been driver-checked (plus everything changed this round) to the
     # front; the rest keep their original order. Rotation log: COVERAGE.md.
     rotate_front = [
-        "robots_rules",
-        "robots_filtered_fetch",
-        "history_suggest",
-        "function_chunks",
-        "fim_transform",
+        # r04 window: new or changed this round first …
+        "audio_decode_stats",
+        "image_decode_stats",
         "minhash_calibration",
-        "repo_license_rollup",
-        "bm25_topk_tiered",
-        "repo_dependency_edges",
-        "repo_rank",
-        "stopword_list",
-        "span_first_topk",
-        "phrase_freq_topk",
-        "docid_reorder_gain",
+        "minhash_lsh_pairs",
         "curriculum_order",
-        "gap_phrase_topk",
-        "symbol_rank",
-        "ppr_scores",
-        "hits_scores",
-        "graph_communities",
-        "compaction_plan",
-        "crossmodal_topk",
-        "federated_topk",
-        "boolean_query",
-        "more_like_this",
-        "semdedup",
-        "ann_ivf_kmeans_topk",
-        "exact_substring_spans",
-        "incremental_reindex",
+        "docid_reorder_gain",
+        # … then 44 entries never driver-checked in r01-r03 (similarity /
+        # sampling / dedup / serving / graph families) — 46 of the 50 are
+        # first-time driver checks
+        "significant_terms",
+        "term_vectors",
+        "facet_counts",
+        "search_diversified",
+        "collapse_topk",
+        "shard_routing",
+        "shard_rebalance_moves",
+        "epoch_shuffle",
+        "quality_tiers",
+        "compat_topk",
+        "highlight_fragments",
+        "search_results",
+        "graph_triangles",
+        "anchor_terms",
+        "link_prediction_aa",
+        "wildcard_search",
+        "substring_search",
+        "regex_search",
+        "substring_search_indexed",
+        "regex_search_indexed",
+        "symbol_definitions",
+        "symbol_references",
+        "symbol_xref_counts",
+        "ident_subtokens",
+        "fuzzy_suggest",
+        "corrected_search",
+        "compound_split",
+        "unigram_logprob",
+        "doc_keywords",
+        "simhash_hamming_pairs",
+        "dedup_clusters",
+        "dedup_survivors",
+        "dedup_cap_sample",
+        "line_dedup",
+        "dedup_containment",
+        "decontaminate",
+        "dsir_weights",
+        "stratified_sample",
+        "weighted_sample",
+        "crawl_schedule",
+        "temperature_mix",
+        "incremental_merge_postings",
+        "bitpacked_postings",
+        "knn_graph",
     ]
     return {
         **{k: out[k] for k in rotate_front},

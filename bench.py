@@ -437,6 +437,9 @@ def main() -> None:
     if "--scale-datum" in sys.argv:
         run_scale_datum()
         return
+    if "--reindex-datum" in sys.argv:
+        run_reindex_datum()
+        return
     if "--build-only" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1]) if "--cpus" in sys.argv else CPUS
         docs = int(sys.argv[sys.argv.index("--docs") + 1]) if "--docs" in sys.argv else BENCH_DOCS
@@ -553,6 +556,117 @@ def run_scale_datum() -> None:
     print(json.dumps(out))
 
 
+def run_reindex_datum() -> None:
+    """Delta-proportionality datum for incremental_reindex (VERDICT r03
+    ask #5): time incremental_reindex_postings at recrawl deltas of ~1%,
+    10% and 50% of the sf0.1 corpus, next to a FULL rebuild of snapshot B,
+    in ONE session. The claim the gate checks for correctness — rewrite
+    cost ∝ affected shards, i.e. tracks the delta, sub-linear in corpus —
+    becomes a measurement: cost(1%) ≪ cost(50%) ≈ cost(full).
+
+    Delta synthesis mirrors the gate's _snapshot_b classes, parameterized
+    by a modulus ``den``: doc_id%den==0 removed, ==1 text-appended
+    (changed), ==2 re-added under a shifted id (added) → delta fraction
+    3/den. Timing is best-of-2 per point (host stall storms, see
+    _best_of_2's rationale)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from searchengine_spark.operators.segments import (
+        _segments_from_docs,
+        incremental_reindex_postings,
+    )
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench_reindex_datum")
+    old = entrymod._docs(spark, SF_DIR).select("doc_id", "text")
+    n_docs = old.count()
+
+    def snap(den: int):
+        """SCATTERED delta (modulus classes): every 64-doc shard is hit
+        once the delta has ≳ n_shards rows — the adversarial locality."""
+        did = F.col("doc_id")
+        new = old.filter(did % den != 0).withColumn(
+            "text",
+            F.when(did % den == 1, F.concat(F.col("text"), F.lit(" updated"))).otherwise(
+                F.col("text")
+            ),
+        )
+        added = old.filter(did % den == 2).select(
+            (did + 1_000_000_000).alias("doc_id"), "text"
+        )
+        return new.unionByName(added)
+
+    def snap_clustered(frac: float):
+        """CLUSTERED delta (contiguous id window [0, w)): the recrawl
+        locality a real host/repo-partitioned crawl produces — touches
+        ceil(w/shard_span) shards, so rewrite ∝ delta."""
+        w = max(3, int(n_docs * frac))
+        did = F.col("doc_id")
+        new = old.filter(~((did >= 0) & (did < w // 3))).withColumn(
+            "text",
+            F.when(
+                (did >= w // 3) & (did < 2 * w // 3),
+                F.concat(F.col("text"), F.lit(" updated")),
+            ).otherwise(F.col("text")),
+        )
+        added = old.filter((did >= 2 * w // 3) & (did < w)).select(
+            (did + 1_000_000_000).alias("doc_id"), "text"
+        )
+        return new.unionByName(added)
+
+    # snapshot A's index is a persisted artifact in the real lifecycle —
+    # build it ONCE outside the timings; each timed point then pays only
+    # delta-encode + tombstone rewrite + merge (decode=False: the decode
+    # is the gate's full-corpus verification pass, not rewrite cost)
+    t0 = time.monotonic()
+    seg_a = _segments_from_docs(old, shard_span=64).localCheckpoint(eager=True)
+    seg_a_sec = round(time.monotonic() - t0, 3)
+    # warm codegen / python workers once outside the timings
+    incremental_reindex_postings(
+        old, snap(300), shard_span=64, seg_a=seg_a, decode=False
+    ).count()
+
+    out = {
+        "metric": "incremental reindex rewrite cost vs delta size",
+        "unit": "sec",
+        "cpus": CPUS,
+        "sf": _sf_of(SF_DIR),
+        "n_docs": n_docs,
+        "seg_a_build_sec": seg_a_sec,
+        "points": {},
+    }
+    cases = [
+        ("scattered_1pct", snap(300), 0.01),
+        ("scattered_10pct", snap(30), 0.1),
+        ("scattered_50pct", snap(6), 0.5),
+        ("clustered_1pct", snap_clustered(0.01), 0.01),
+        ("clustered_10pct", snap_clustered(0.1), 0.1),
+        ("clustered_50pct", snap_clustered(0.5), 0.5),
+    ]
+    for label, new, frac in cases:
+        best = float("inf")
+        rows = 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            rows = incremental_reindex_postings(
+                old, new, shard_span=64, seg_a=seg_a, decode=False
+            ).count()
+            best = min(best, time.monotonic() - t0)
+        out["points"][label] = {
+            "delta_frac": frac,
+            "sec": round(best, 3),
+            "segment_rows": rows,
+        }
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        full_rows = _segments_from_docs(snap(6), shard_span=64).count()
+        best = min(best, time.monotonic() - t0)
+    out["full_rebuild"] = {"sec": round(best, 3), "segment_rows": full_rows}
+    print(json.dumps(out))
+
+
 def _cpu_rate(procs: int) -> float:
     import time as _t
     from multiprocessing import Pool
@@ -591,7 +705,7 @@ def _machine_ceilings(levels: list[int], rounds: int = 5) -> tuple[dict, dict]:
         "rounds": {str(lv): [round(x, 1) for x in v] for lv, v in cpu.items()},
         "pair_speedup": {
             f"{a}->{b}": round(cpu_med[b] / cpu_med[a], 3)
-            for a, b in zip(levels, levels[1:])
+            for a, b in _ceiling_pairs(levels)
         },
     }
     mem_out = {
@@ -599,10 +713,19 @@ def _machine_ceilings(levels: list[int], rounds: int = 5) -> tuple[dict, dict]:
         "rounds": {str(lv): [round(x) for x in v] for lv, v in mem.items()},
         "pair_speedup": {
             f"{a}->{b}": round(mem_med[b] / mem_med[a], 3)
-            for a, b in zip(levels, levels[1:])
+            for a, b in _ceiling_pairs(levels)
         },
     }
     return cpu_out, mem_out
+
+
+def _ceiling_pairs(levels: list[int]) -> list[tuple[int, int]]:
+    """Every 4x pair present in levels (the north rule's N->4N shape),
+    then the remaining consecutive sorted pairs."""
+    out = [(a, a * 4) for a in levels if a * 4 in levels]
+    s = sorted(levels)
+    out += [(a, b) for a, b in zip(s, s[1:]) if (a, b) not in out]
+    return out
 
 
 def _burn(n: int) -> int:
@@ -644,7 +767,11 @@ def run_scaling() -> None:
     if "--levels" in sys.argv:
         levels = [int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(",")]
     else:
-        levels = [2, 8, 32]
+        # 1 and 4 are inside this host's linear envelope (the pure-CPU
+        # control still scales ~4× there — VERDICT r03 ask #6), so the
+        # 1→4 pair judges the 0.8 target without the overcommit excuse;
+        # 2→8 kept for round-over-round comparability, 32 for the ceiling
+        levels = [1, 4, 2, 8, 32]
     n_rounds = int(sys.argv[sys.argv.index("--rounds") + 1]) if "--rounds" in sys.argv else 3
     c_rounds = (
         int(sys.argv[sys.argv.index("--ceiling-rounds") + 1])
@@ -672,8 +799,17 @@ def run_scaling() -> None:
             rounds[cpus].append(res["sec"])
             if cpus not in results or res["sec"] < results[cpus]["sec"]:
                 results[cpus] = res
+    # pairs: every 4× pair present in the levels (the north rule's N→4N
+    # shape), then the remaining consecutive pairs for the ceiling picture
+    pair_keys: list[tuple[int, int]] = []
+    for a in levels:
+        if a * 4 in levels:
+            pair_keys.append((a, a * 4))
+    for a, b in zip(sorted(levels), sorted(levels)[1:]):
+        if (a, b) not in pair_keys:
+            pair_keys.append((a, b))
     pairs = []
-    for a, b in zip(levels, levels[1:]):
+    for a, b in pair_keys:
         speedup = results[a]["sec"] / results[b]["sec"]
         ratio = b / a
         pairs.append(

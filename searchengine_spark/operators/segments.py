@@ -109,13 +109,26 @@ def encode_segments(
 def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two partition-local segment sets into one global index.
 
-    Doc-range shards are disjoint between a build's partitions, so the merge
-    of same-shard same-term blocks is decode → concat → re-encode; blocks
-    from distinct shards pass through untouched. Associative — asserted by
+    Only (shard, term) groups present in BOTH inputs need the decode →
+    concat → re-encode; every other block passes through UNTOUCHED — no
+    decode, no Python crossing, original per-block max scores kept. This
+    is the property that makes incremental reindex cost ∝ the delta's
+    affected blocks instead of ∝ the index (the r04 --reindex-datum
+    measurement: the old re-encode-everything merge made a 1% delta cost
+    3× a full rebuild). The overlap key set is a distinct on the slim
+    (shard, term) pairs — in the incremental case one side is the delta,
+    so the semi/anti joins broadcast. Associative — asserted by
     tests/test_segments.py (union of partial merges == single-shot build).
     """
+    overlap = (
+        a.select("shard", "term")
+        .distinct()
+        .join(b.select("shard", "term").distinct(), ["shard", "term"])
+    )
     both = a.unionByName(b)
-    return _reencode(both)
+    hot = both.join(overlap, ["shard", "term"], "left_semi")
+    cold = both.join(overlap, ["shard", "term"], "left_anti")
+    return cold.unionByName(_reencode(hot))
 
 
 def _reencode(segments: DataFrame, drop_ids: frozenset | None = None) -> DataFrame:
@@ -241,7 +254,11 @@ def delete_docs(
 
 
 def incremental_reindex_postings(
-    old: DataFrame, new: DataFrame, shard_span: int = 64
+    old: DataFrame,
+    new: DataFrame,
+    shard_span: int = 64,
+    seg_a: DataFrame | None = None,
+    decode: bool = True,
 ) -> DataFrame:
     """Incremental reindex, gated at the postings level: diff two crawl
     snapshots (``ingest.crawl_delta``), tombstone-delete the removed and
@@ -251,7 +268,15 @@ def incremental_reindex_postings(
     snapshot B (the driver gate checks it against the DuckDB tokenization
     of the synthesized snapshot). This is the index half of F10
     (already-indexed skip) at corpus scale: re-tokenization cost is
-    proportional to the delta, index rewrite cost to the affected shards."""
+    proportional to the delta, index rewrite cost to the affected shards.
+
+    ``seg_a``: pass snapshot A's ALREADY-BUILT segment table to skip the
+    in-plan rebuild — in the real lifecycle the old index is a persisted
+    artifact, so the marginal reindex cost is delta-encode + tombstone
+    rewrite + merge only (what ``bench.py --reindex-datum`` times).
+    ``decode=False`` returns the merged SEGMENTS (the rewrite output)
+    instead of decoding back to postings — the decode is a full-corpus
+    verification pass for the gate, not part of the rewrite cost."""
     from searchengine_spark.operators.ingest import crawl_delta
 
     # the diff feeds two consumers (tombstone collect + fresh semi-join) —
@@ -260,10 +285,12 @@ def incremental_reindex_postings(
     delta = crawl_delta(old, new).persist()
     stale = delta.filter(F.col("status").isin("removed", "changed")).select("doc_id")
     fresh = delta.filter(F.col("status").isin("added", "changed")).select("doc_id")
-    seg_a = _segments_from_docs(old, shard_span)
+    if seg_a is None:
+        seg_a = _segments_from_docs(old, shard_span)
     seg_delta = _segments_from_docs(new.join(fresh, "doc_id", "left_semi"), shard_span)
     pruned = delete_docs(seg_a, stale, shard_span)
-    return decode_postings(merge_segments(pruned, seg_delta))
+    merged = merge_segments(pruned, seg_delta)
+    return decode_postings(merged) if decode else merged
 
 
 def incremental_build_postings(docs: DataFrame, shard_span: int = 64) -> DataFrame:
