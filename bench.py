@@ -553,6 +553,43 @@ def run_scale_datum() -> None:
             math.log10(max(res["sf1"], 1e-9) / max(res["sf0.1"], 1e-9)), 3
         )
         out["queries"][name] = res
+    # REST tier end-to-end (HTTP → DataFrame → JSON) at both corpus sizes
+    # (VERDICT r03 ask #7): same route, same query, p50/p95 over 7 calls,
+    # exponent next to the engine-level ones. Guarded like the main bench.
+    try:
+        import json as _json
+        import urllib.request
+
+        from searchengine_spark.jobs.serve_api import SearchAPI
+
+        out["rest"] = {}
+        for label, d in (("sf0.1", SF_DIR), ("sf1", sf1)):
+            api = SearchAPI(spark, d)
+            server = api.start(port=0)
+            port = server.server_address[1]
+            url = f"http://127.0.0.1:{port}/api/search?query=spark%20hash"
+            urllib.request.urlopen(url, timeout=120).read()  # warm the route
+            rlat = []
+            for _ in range(7):
+                t0 = time.monotonic()
+                body = _json.loads(urllib.request.urlopen(url, timeout=120).read())
+                assert body["total"] >= 0
+                rlat.append(time.monotonic() - t0)
+            rlat.sort()
+            out["rest"][label] = {
+                "p50_sec": round(rlat[len(rlat) // 2], 3),
+                "p95_sec": round(rlat[max(0, int(len(rlat) * 0.95) - 1)], 3),
+            }
+            server.shutdown()
+        out["rest"]["exponent_p50"] = round(
+            math.log10(
+                max(out["rest"]["sf1"]["p50_sec"], 1e-9)
+                / max(out["rest"]["sf0.1"]["p50_sec"], 1e-9)
+            ),
+            3,
+        )
+    except Exception as ex:  # a serving hiccup must not fail the datum
+        out["rest"] = {"err": str(ex)[:200]}
     print(json.dumps(out))
 
 

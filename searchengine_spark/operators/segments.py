@@ -102,6 +102,15 @@ def encode_segments(
         .withColumn("shard", (F.col("doc_id") / F.lit(shard_span)).cast("int"))
         .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
         .withColumn("avgdl", F.lit(avgdl))
+        # explicit partition count on the groupBy keys: the encode is
+        # PYTHON-heavy but byte-light, and AQE's size-based coalescing
+        # otherwise funnels every codec group through 1-4 tasks (measured:
+        # single-task encode stages dominating the build gates). The
+        # matching hash partitioning also lets the groupBy reuse this
+        # exchange instead of adding its own.
+        .repartition(
+            2 * postings.sparkSession.sparkContext.defaultParallelism, "shard", "term"
+        )
     )
     return enriched.groupBy("shard", "term").applyInPandas(_encode_group, SEGMENT_SCHEMA)
 
@@ -120,6 +129,11 @@ def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
     so the semi/anti joins broadcast. Associative — asserted by
     tests/test_segments.py (union of partial merges == single-shot build).
     """
+    # each input feeds THREE consumers (overlap keys, hot semi, cold anti);
+    # persist both so an in-plan segment encode runs once, not 3× (measured:
+    # the unpersisted split tripled the gate's full-corpus encode)
+    a = a.persist()
+    b = b.persist()
     overlap = (
         a.select("shard", "term")
         .distinct()
@@ -134,8 +148,10 @@ def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
 def _reencode(segments: DataFrame, drop_ids: frozenset | None = None) -> DataFrame:
     def regroup(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, tfs, dls, pos = [], [], [], []
-        for _, row in pdf.sort_values(["block_id", "skip_doc_id"]).iterrows():
-            block = row.to_dict()
+        # to_dict("records") converts the group once (iterrows paid a
+        # per-row Series construction — measured ~3× slower on the many
+        # small groups the gate-scale shard_span produces)
+        for block in pdf.sort_values(["block_id", "skip_doc_id"]).to_dict("records"):
             i, t, d = codec.decode_block(block)
             ids += i.tolist()
             tfs += t.tolist()
@@ -172,7 +188,15 @@ def _reencode(segments: DataFrame, drop_ids: frozenset | None = None) -> DataFra
             )
         return pd.DataFrame(rows, columns=[c.split()[0] for c in SEGMENT_SCHEMA.split(", ")])
 
-    return segments.groupBy("shard", "term").applyInPandas(regroup, SEGMENT_SCHEMA)
+    # same AQE-coalesce defusal as encode_segments: codec work is
+    # Python-heavy but byte-light — pin the partition count
+    return (
+        segments.repartition(
+            2 * segments.sparkSession.sparkContext.defaultParallelism, "shard", "term"
+        )
+        .groupBy("shard", "term")
+        .applyInPandas(regroup, SEGMENT_SCHEMA)
+    )
 
 
 def decode_postings(segments: DataFrame) -> DataFrame:
@@ -187,8 +211,8 @@ def decode_postings(segments: DataFrame) -> DataFrame:
             terms: list[str] = []
             ids: list[np.ndarray] = []
             tfs: list[np.ndarray] = []
-            for _, row in pdf.iterrows():
-                i, t, _ = codec.decode_block(row.to_dict())
+            for row in pdf.to_dict("records"):
+                i, t, _ = codec.decode_block(row)
                 terms += [row["term"]] * len(i)
                 ids.append(i)
                 tfs.append(t)
@@ -211,6 +235,12 @@ def _segments_from_docs(docs: DataFrame, shard_span: int = 64) -> DataFrame:
     from searchengine_spark.functions.tokenize import doc_len, exploded_tokens
     from searchengine_spark.operators.ir import idf_bm25_expr
 
+    # the doc batch feeds three evaluations (stats collect job, postings,
+    # doc-length side) and is often an expensive join/filter plan in the
+    # incremental paths — persist so it computes once (measured: the
+    # delta-segment encode of a 40% snapshot delta cost 2× the FULL
+    # corpus encode before this, purely from re-evaluating the semi-join)
+    docs = docs.persist()
     toks = exploded_tokens(docs, with_pos=True)
     dls = docs.select("doc_id", doc_len(F.col("text")).alias("doc_len"))
     post = (
@@ -685,8 +715,8 @@ def wand_topk(
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         term_blocks: dict[str, list[dict]] = {}
-        for _, row in pdf.iterrows():
-            term_blocks.setdefault(row["term"], []).append(row.to_dict())
+        for row in pdf.to_dict("records"):
+            term_blocks.setdefault(row["term"], []).append(row)
         if phrase and len(ordered_terms) >= 2:
             ptop = _phrase_topk_in_shard(term_blocks, ordered_terms, idfs, avgdl, k)
             return pd.DataFrame(
@@ -752,8 +782,8 @@ def _pruned_topk_micros(
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         term_blocks: dict[str, list[dict]] = {}
-        for _, row in pdf.iterrows():
-            term_blocks.setdefault(row["term"], []).append(row.to_dict())
+        for row in pdf.to_dict("records"):
+            term_blocks.setdefault(row["term"], []).append(row)
         top = shard_fn(term_blocks, idfs, avgdl, k, micros=True)
         return pd.DataFrame(
             [(int(d), int(s)) for s, d, _ in top], columns=["doc_id", "score_micros"]
@@ -977,7 +1007,7 @@ def bitpacked_postings_roundtrip(docs: DataFrame, shard_span: int = 64) -> DataF
             terms: list[str] = []
             ids_out: list[np.ndarray] = []
             tfs_out: list[np.ndarray] = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 n = int(row["n_postings"])
                 ids = np.cumsum(codec.bitpack_decode(bytes(row["ids_packed"]), n))
                 tfs = codec.bitpack_decode(bytes(row["tfs_packed"]), n)
@@ -1104,10 +1134,10 @@ def proximity_match_segments(
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term: dict[str, dict[int, np.ndarray]] = {t: {} for t in terms}
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             entry = per_term[row["term"]]
-            ids, _, _ = codec.decode_block(row.to_dict())
-            poss = codec.decode_positions(row.to_dict())
+            ids, _, _ = codec.decode_block(row)
+            poss = codec.decode_positions(row)
             for d, p in zip(ids.tolist(), poss):
                 entry[d] = p
         pa, pb = per_term[term_a], per_term[term_b]
@@ -1153,10 +1183,10 @@ def ordered_proximity_segments(
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term: dict[str, dict[int, np.ndarray]] = {t: {} for t in terms}
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             entry = per_term[row["term"]]
-            ids, _, _ = codec.decode_block(row.to_dict())
-            poss = codec.decode_positions(row.to_dict())
+            ids, _, _ = codec.decode_block(row)
+            poss = codec.decode_positions(row)
             for d, p in zip(ids.tolist(), poss):
                 entry[d] = p
         pa, pb = per_term[term_a], per_term[term_b]
