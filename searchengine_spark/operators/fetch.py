@@ -44,8 +44,11 @@ def _fake_response(url: str) -> tuple[int, str]:
 
 def _real_response(url: str, timeout_s: float, user_agent: str) -> tuple[int, str]:
     """Real transport (stdlib urllib, UA + timeout per Crawler.java:66-69).
-    Unreachable in this sandbox (no network) — kept import-light and tested
-    only via the fake path, like multimodal._decode_real."""
+    Exercised over genuine TCP against a loopback HTTP server
+    (tests/test_pipeline_ops.py::test_fetch_pages_real_transport_loopback:
+    real statuses/bodies/UA-on-the-wire, 404 → (code, ""), unreachable →
+    (0, "")); only EXTERNAL-network reachability remains environment-bound
+    in this sandbox."""
     import urllib.error
     import urllib.request
 

@@ -155,6 +155,74 @@ def test_fetch_pages_fake_transport(spark):
     assert again == sorted((r["url"], r["content_sha256"]) for r in got)
 
 
+def test_fetch_pages_real_transport_loopback(spark):
+    """The REAL urllib transport (Crawler.java:66-69 twin) exercised over
+    genuine TCP: a stdlib loopback HTTP server serves deterministic
+    bodies, a 404 route and robots.txt; `fetch_pages` with
+    deterministic_fake=False must carry real statuses, real bodies, the
+    configured User-Agent, and map an unreachable port to status 0 (the
+    retry-upstream contract). Only external-network reachability remains
+    environment-bound after this — the request/response path itself is
+    the real one, the same way test_rest_api drives serve_api."""
+    import hashlib
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from searchengine_spark.operators.fetch import fetch_pages
+
+    seen_agents = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen_agents.append(self.headers.get("User-Agent", ""))
+            if self.path == "/missing":
+                self.send_error(404)
+                return
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nDisallow: /private\n"
+            else:
+                body = f"<html><body>page:{self.path}</body></html>".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        urls = spark.createDataFrame(
+            [(f"{base}/p/{i}",) for i in range(12)]
+            + [(f"{base}/missing",), (f"{base}/robots.txt",),
+               ("http://127.0.0.1:1/unreachable",)],
+            "url string",
+        )
+        rows = {r["url"]: r for r in fetch_pages(
+            urls, deterministic_fake=False, user_agent="sespark-test-crawler"
+        ).collect()}
+        for i in range(12):
+            r = rows[f"{base}/p/{i}"]
+            assert r["status"] == 200
+            assert r["content"] == f"<html><body>page:/p/{i}</body></html>"
+            assert r["content_sha256"] == hashlib.sha256(
+                r["content"].encode()
+            ).hexdigest()
+        assert rows[f"{base}/missing"]["status"] == 404
+        assert rows[f"{base}/missing"]["content"] == ""
+        assert rows[f"{base}/robots.txt"]["content"].startswith("User-agent: *")
+        assert rows["http://127.0.0.1:1/unreachable"]["status"] == 0
+        # the configured UA reached the wire on every served request
+        assert seen_agents and all(a == "sespark-test-crawler" for a in seen_agents)
+    finally:
+        server.shutdown()
+
+
 def test_strip_html_roundtrip(spark):
     from searchengine_spark.operators.textstats import strip_html
 
