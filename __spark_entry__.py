@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle recomputes the decoded stats from the synthesis closed form
         "audio_decode_stats": lambda spark, sf: _decode_stats(spark, sf, "audio"),
         "image_decode_stats": lambda spark, sf: _decode_stats(spark, sf, "image"),
+        "video_decode_stats": lambda spark, sf: _decode_stats(spark, sf, "video"),
         "image_features": lambda spark, sf: _media_features(spark, sf, "image"),
         # CLIP-shape cross-modal retrieval: fake image tower -> joint space
         # -> cosine top-k against the text-embedding corpus
@@ -924,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04 window: new or changed this round first …
         "audio_decode_stats",
         "image_decode_stats",
+        "video_decode_stats",
         "minhash_calibration",
         "minhash_lsh_pairs",
         "curriculum_order",
@@ -1007,6 +1009,8 @@ def _decode_stats(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     n = _docs(spark, sf_dir).count()
     if kind == "audio":
         return multimodal.wav_decode_stats(multimodal.make_wav_media(spark, n))
+    if kind == "video":
+        return multimodal.avi_decode_stats(multimodal.make_avi_media(spark, n))
     return multimodal.bmp_decode_stats(multimodal.make_bmp_media(spark, n))
 
 
@@ -1643,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ann_bruteforce_sql(n_queries=8, k=5),
         "audio_decode_stats": oracles.audio_decode_stats_sql(),
         "image_decode_stats": oracles.image_decode_stats_sql(),
+        "video_decode_stats": oracles.video_decode_stats_sql(),
         "image_features": oracles.image_features_sql(),
         "crossmodal_topk": oracles.crossmodal_topk_sql(n_query_media=4, k=5),
         "audio_features": oracles.audio_features_sql(),

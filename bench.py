@@ -78,6 +78,7 @@ HEADLINE = [
     "crossmodal_topk",
     "audio_decode_stats",
     "image_decode_stats",
+    "video_decode_stats",
     "hybrid_combmnz_topk",
     "cluster_results",
     "front_coded_dictionary",

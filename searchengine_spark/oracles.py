@@ -2160,6 +2160,48 @@ GROUP BY media_id, w, h
 """
 
 
+def video_decode_stats_sql() -> str:
+    """Twin of multimodal.avi_decode_stats(make_avi_media(n_docs)): the
+    Spark side REALLY walks the RIFF/LIST chunk tree and decodes the
+    bottom-up padded 24-bit DIB frames; this side recomputes the stats
+    from the pixel closed form (R=(i·3+x·7+y·11+f·19)%256 etc.) and
+    n_bytes from the container layout (224 fixed header bytes + one
+    '00db' chunk per frame). fsum_r = Σ f·R pins frame ORDER; wsum_r =
+    Σ y·R pins row order."""
+    return """
+WITH ids AS (SELECT row_number() OVER () - 1 AS i FROM documents),
+m AS (
+  SELECT i::BIGINT AS media_id,
+         (4 + i % 3)::BIGINT AS w,
+         (3 + i % 2)::BIGINT AS h,
+         (2 + i % 3)::BIGINT AS nf
+  FROM ids
+),
+px AS (
+  SELECT m.media_id, m.w, m.h, m.nf, y.y, f.f,
+         (m.media_id * 3 + x.x * 7 + y.y * 11 + f.f * 19) % 256 AS r,
+         (m.media_id * 5 + x.x * 11 + y.y * 3 + f.f * 13) % 256 AS g,
+         (m.media_id * 7 + x.x * 3 + y.y * 5 + f.f * 17) % 256 AS b
+  FROM m
+  JOIN (SELECT unnest(range(0, 6))::BIGINT AS x) x ON x.x < m.w
+  JOIN (SELECT unnest(range(0, 4))::BIGINT AS y) y ON y.y < m.h
+  JOIN (SELECT unnest(range(0, 4))::BIGINT AS f) f ON f.f < m.nf
+)
+SELECT media_id,
+       w::INT AS width,
+       h::INT AS height,
+       nf::INT AS n_frames,
+       (224 + nf * (((3 * w + 3) // 4) * 4 * h + 8))::BIGINT AS n_bytes,
+       SUM(r)::BIGINT AS sum_r,
+       SUM(g)::BIGINT AS sum_g,
+       SUM(b)::BIGINT AS sum_b,
+       SUM(y * r)::BIGINT AS wsum_r,
+       SUM(f * r)::BIGINT AS fsum_r
+FROM px
+GROUP BY media_id, w, h, nf
+"""
+
+
 def compat_topk_sql(terms: list[str], query: str, k: int = 10) -> str:
     """DuckDB twin of serve.compat_topk / query.search_compat — the
     reference's Ranker.java:74-97 formula:

@@ -207,6 +207,24 @@ def test_real_wav_bmp_decode(spark):
             for y in range(h)
         )
 
+    # real RIFF/AVI chunk-tree parse: frame count/order + row order pinned
+    from searchengine_spark.operators.multimodal import (
+        avi_decode_stats,
+        make_avi_media,
+    )
+
+    avi = make_avi_media(spark, 9)
+    for r in avi_decode_stats(avi).collect():
+        i = r["media_id"]
+        w, h, nf = 4 + i % 3, 3 + i % 2, 2 + i % 3
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert r["n_bytes"] == 224 + nf * (((3 * w + 3) // 4) * 4 * h + 8)
+        pix = [(x, y, f) for x in range(w) for y in range(h) for f in range(nf)]
+        R = lambda x, y, f: (i * 3 + x * 7 + y * 11 + f * 19) % 256
+        assert r["sum_r"] == sum(R(*p) for p in pix)
+        assert r["fsum_r"] == sum(p[2] * R(*p) for p in pix)  # frame order
+        assert r["wsum_r"] == sum(p[1] * R(*p) for p in pix)  # row order
+
     # the generic feature operators route real WAV/BMP through the same seam
     assert len(audio_features(wav, deterministic_fake=False).collect()) == 9
     assert len(image_features(bmp, deterministic_fake=False).collect()) == 9
