@@ -261,7 +261,10 @@ def _segments_from_docs(docs: DataFrame, shard_span: int = 64) -> DataFrame:
 
 
 def delete_docs(
-    segments: DataFrame, deleted: DataFrame, shard_span: int = 64
+    segments: DataFrame,
+    deleted: DataFrame,
+    shard_span: int = 64,
+    deleted_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Delete documents from a compressed segment index — the tombstone
     merge of an LSM/Lucene-style index lifecycle.
@@ -273,13 +276,31 @@ def delete_docs(
     not the index. The delete set ships to executors as a broadcast
     tombstone set (bounded by the delta size, the standard live-docs
     design); a full-corpus-scale purge would instead anti-join decoded
-    postings against the delete table and re-encode."""
+    postings against the delete table and re-encode.
+
+    ``deleted_terms`` (optional, (shard, term) pairs — the terms the
+    deleted docs actually contain, computable delta-bounded by tokenizing
+    just the tombstoned docs) narrows the rewrite from whole shards to
+    exactly the groups whose blocks can hold a tombstoned posting: a
+    deleted doc d contributes postings only to (shard(d), t) for t ∈ d,
+    so any other group in the shard passes through untouched. On a real
+    vocabulary (~10⁶ terms) this shrinks the per-shard rewrite from |V|
+    groups to |terms(d)| — the key-set broadcasts (delta-bounded)."""
+    segments = segments.persist()  # two consumers (affected + untouched)
     ids = frozenset(r["doc_id"] for r in deleted.select("doc_id").distinct().collect())
     if not ids:
         return segments
     shards = sorted({i // shard_span for i in ids})
-    affected = segments.filter(F.col("shard").isin(shards))
+    in_shards = segments.filter(F.col("shard").isin(shards))
     untouched = segments.filter(~F.col("shard").isin(shards))
+    if deleted_terms is not None:
+        keys = F.broadcast(deleted_terms.select("shard", "term").distinct())
+        affected = in_shards.join(keys, ["shard", "term"], "left_semi")
+        untouched = untouched.unionByName(
+            in_shards.join(keys, ["shard", "term"], "left_anti")
+        )
+    else:
+        affected = in_shards
     return untouched.unionByName(_reencode(affected, drop_ids=ids))
 
 
@@ -318,7 +339,19 @@ def incremental_reindex_postings(
     if seg_a is None:
         seg_a = _segments_from_docs(old, shard_span)
     seg_delta = _segments_from_docs(new.join(fresh, "doc_id", "left_semi"), shard_span)
-    pruned = delete_docs(seg_a, stale, shard_span)
+    # tokenize ONLY the tombstoned docs (delta-bounded) to get the exact
+    # (shard, term) groups their postings live in — delete_docs then
+    # rewrites those groups instead of every term group of the shard
+    from searchengine_spark.functions.tokenize import exploded_tokens
+
+    stale_terms = (
+        exploded_tokens(old.join(stale, "doc_id", "left_semi"))
+        .select(
+            (F.col("doc_id") / F.lit(shard_span)).cast("int").alias("shard"), "term"
+        )
+        .distinct()
+    )
+    pruned = delete_docs(seg_a, stale, shard_span, deleted_terms=stale_terms)
     merged = merge_segments(pruned, seg_delta)
     return decode_postings(merged) if decode else merged
 
