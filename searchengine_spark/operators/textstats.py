@@ -692,17 +692,33 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.75) -> DataFrame:
         exploded_tokens,
     )
 
+    # the documents table often arrives as ONE parquet file — spread it
+    # before the explode-heavy pass or the whole pair stream aggregates on
+    # a single core (build_postings does the same, postings.py:44)
+    if len(docs.inputFiles()) < docs.sparkSession.sparkContext.defaultParallelism:
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = exploded_tokens(docs, with_pos=True)
     pairs = adjacent_token_pairs(toks)
     # aggregate to per-(doc, bigram) occurrence counts FIRST so the count
     # joins touch distinct triples, not every token position; the per-
     # position surprisal is identical within a triple, so multiplying the
-    # rounded micros by the occurrence count gives the same integer sum
-    dbi = pairs.groupBy("doc_id", "t0", "t1").agg(F.count(F.lit(1)).alias("dtf"))
+    # rounded micros by the occurrence count gives the same integer sum.
+    # dbi feeds THREE consumers (cb, cs, the scored join) and cf two (the
+    # join + the total) — materialize both slim frames once so the
+    # tokenize+explode chain runs twice total, not ~5x per consumer
+    dbi = (
+        pairs.groupBy("doc_id", "t0", "t1")
+        .agg(F.count(F.lit(1)).alias("dtf"))
+        .localCheckpoint(eager=True)
+    )
     cb = dbi.groupBy("t0", "t1").agg(F.sum("dtf").alias("cxy"))
     cs = dbi.groupBy("t0").agg(F.sum("dtf").alias("cx0"))
-    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    cf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cf.agg(F.sum("c").cast("double").alias("_total"))
     p = F.lit(lam) * (
         F.col("cxy").cast("double") / F.col("cx0").cast("double")
     ) + F.lit(1.0 - lam) * (F.col("c").cast("double") / F.col("_total"))
@@ -760,10 +776,23 @@ def kn_bigram_logprob(docs: DataFrame, discount: float = 0.75) -> DataFrame:
         exploded_tokens,
     )
 
+    if len(docs.inputFiles()) < docs.sparkSession.sparkContext.defaultParallelism:
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = exploded_tokens(docs, with_pos=True)
     pairs = adjacent_token_pairs(toks)
-    dbi = pairs.groupBy("doc_id", "t0", "t1").agg(F.count(F.lit(1)).alias("dtf"))
-    cb = dbi.groupBy("t0", "t1").agg(F.sum("dtf").alias("cxy"))
+    # dbi feeds cb + the scored join, cb feeds FOUR consumers (cs, cont,
+    # ntypes, join) — materialize both slim frames once so the
+    # tokenize+explode chain runs once, not once per consumer
+    dbi = (
+        pairs.groupBy("doc_id", "t0", "t1")
+        .agg(F.count(F.lit(1)).alias("dtf"))
+        .localCheckpoint(eager=True)
+    )
+    cb = (
+        dbi.groupBy("t0", "t1")
+        .agg(F.sum("dtf").alias("cxy"))
+        .localCheckpoint(eager=True)
+    )
     # everything below derives from the TYPE table cb (tiny vs positions)
     cs = cb.groupBy("t0").agg(
         F.sum("cxy").alias("cx0"), F.count(F.lit(1)).alias("n1f")
