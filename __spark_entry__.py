@@ -922,66 +922,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never been driver-checked (plus everything changed this round) to the
     # front; the rest keep their original order. Rotation log: COVERAGE.md.
     rotate_front = [
-        # r04 window: new or changed this round first …
-        "audio_decode_stats",
-        "image_decode_stats",
-        "video_decode_stats",
-        "minhash_calibration",
-        "minhash_lsh_pairs",
-        "curriculum_order",
-        "docid_reorder_gain",
-        # … then 44 entries never driver-checked in r01-r03 (similarity /
-        # sampling / dedup / serving / graph families) — 46 of the 50 are
-        # first-time driver checks
-        "significant_terms",
-        "term_vectors",
-        "facet_counts",
-        "search_diversified",
-        "collapse_topk",
-        "shard_routing",
-        "shard_rebalance_moves",
-        "epoch_shuffle",
-        "quality_tiers",
-        "compat_topk",
-        "highlight_fragments",
-        "search_results",
-        "graph_triangles",
-        "anchor_terms",
-        "link_prediction_aa",
-        "wildcard_search",
-        "substring_search",
-        "regex_search",
-        "substring_search_indexed",
-        "regex_search_indexed",
-        "symbol_definitions",
-        "symbol_references",
-        "symbol_xref_counts",
-        "ident_subtokens",
-        "fuzzy_suggest",
-        "corrected_search",
-        "compound_split",
-        "unigram_logprob",
-        "doc_keywords",
-        "simhash_hamming_pairs",
-        "dedup_clusters",
-        "dedup_survivors",
-        "dedup_cap_sample",
-        "line_dedup",
-        "dedup_containment",
-        "decontaminate",
-        "dsir_weights",
-        "stratified_sample",
-        "weighted_sample",
-        "crawl_schedule",
-        "temperature_mix",
-        "incremental_merge_postings",
-        "bitpacked_postings",
+        # r05 window (VERDICT r04 ask #1): the FINAL 50 gates never driver-
+        # checked in any of CORRECTNESS_r01-r04 — all 50 rows below are
+        # first-time driver checks; with them, every one of the 209 gates
+        # has appeared in a driver window across rounds. knn_graph leads
+        # (ADVICE r04: it was entry #51 last round and silently dropped).
         "knn_graph",
+        "kmeans_centroids",
+        "ann_lsh_multiprobe_topk",
+        "ann_filtered_topk",
+        "ann_pq_topk",
+        "embedding_rp_project",
+        "embedding_sq8",
+        "image_features",
+        "audio_features",
+        "video_frame_sample",
+        "fetch_pages",
+        "strip_html",
+        "ascii_fold",
+        "repetition_stats",
+        "pii_scrub",
+        "license_detect",
+        "code_metrics",
+        "training_keep_list",
+        "host_stats",
+        "crawl_delta",
+        "crawl_frontier_bfs",
+        "next_word_suggest",
+        "doc_chunks",
+        "contrastive_pairs",
+        "percolate_matches",
+        "mask_spans",
+        "pack_chunks",
+        "training_chunks",
+        "nb_lang_classify",
+        "bpe_merges",
+        "bpe_encode",
+        "bpe_fertility",
+        "hll_term_registers",
+        "cms_term_counters",
+        "bloom_visited",
+        "winnowing_fingerprints",
+        "events_funnel",
+        "retention_cohorts",
+        "events_json_stats",
+        "events_attribution",
+        "hist_quantiles",
+        "trending_topk",
+        "events_moving_avg",
+        "pmi_top_pairs",
+        "bigram_logprob",
+        "kn_bigram_logprob",
+        "domain_kl_drift",
+        "zipf_slope",
+        "heaps_law",
+        "zorder_layout",
     ]
-    return {
+    ordered = {
         **{k: out[k] for k in rotate_front},
         **{k: v for k, v in out.items() if k not in rotate_front},
     }
+    return {k: _release_scoped(v) for k, v in ordered.items()}
+
+
+def _release_scoped(fn):
+    """Unpersist the previous gate's tracked operator-internal persists
+    before this gate runs (ADVICE r04: a 50-gate driver session otherwise
+    accumulates executor storage without bound). Releasing is safe — any
+    still-lazy frame recomputes from source — and multi-consumer reuse
+    stays intact within the gate that persisted."""
+
+    def run(spark, sf_dir):
+        from searchengine_spark.plans.persist_registry import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def _substring_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

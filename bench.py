@@ -227,6 +227,15 @@ R01_BASKET = [
 ]
 
 
+def _p95(sorted_vals: list[float]) -> float:
+    """Nearest-rank p95: the smallest sample v such that >=95 % of samples
+    are <= v (index ceil(0.95*n)-1).  The previous int(n*0.95)-1 formula
+    picked the ~p79-86 order statistic on small n (ADVICE r04)."""
+    import math
+
+    return sorted_vals[max(0, math.ceil(len(sorted_vals) * 0.95) - 1)]
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     if base.startswith("sf"):
@@ -336,9 +345,9 @@ def build_index_bench(cpus: int, n_docs: int) -> dict:
         "stages": stages,
         "stages_ms": stages_ms,
         "wand_p50_sec": round(lats[len(lats) // 2], 3),
-        "wand_p95_sec": round(lats[max(0, int(len(lats) * 0.95) - 1)], 3),
+        "wand_p95_sec": round(_p95(lats), 3),
         "compat_p50_sec": round(clats[len(clats) // 2], 3),
-        "compat_p95_sec": round(clats[max(0, int(len(clats) * 0.95) - 1)], 3),
+        "compat_p95_sec": round(_p95(clats), 3),
     }
 
 
@@ -396,7 +405,7 @@ def run_queries() -> tuple[dict, dict, float, float, float]:
     lat.sort()
     latency = {
         "p50_sec": round(lat[len(lat) // 2], 3),
-        "p95_sec": round(lat[max(0, int(len(lat) * 0.95) - 1)], 3),
+        "p95_sec": round(_p95(lat), 3),
     }
     # REST twin end-to-end (S10): HTTP round-trip over the same session —
     # wire parse + search_results assembly + JSON encode. Guarded: a
@@ -420,7 +429,7 @@ def run_queries() -> tuple[dict, dict, float, float, float]:
             assert body["total"] >= 0
         rlat.sort()
         latency["rest_p50_sec"] = round(rlat[len(rlat) // 2], 3)
-        latency["rest_p95_sec"] = round(rlat[max(0, int(len(rlat) * 0.95) - 1)], 3)
+        latency["rest_p95_sec"] = round(_p95(rlat), 3)
         server.shutdown()
     except Exception:
         pass
@@ -470,7 +479,7 @@ def main() -> None:
         # serving-suite distribution (build-class ops excluded — they are
         # timed under build_ops)
         "suite_p50_sec": round(srt[len(srt) // 2], 3),
-        "suite_p95_sec": round(srt[max(0, int(len(srt) * 0.95) - 1)], 3),
+        "suite_p95_sec": round(_p95(srt), 3),
         "queries": timings,
         "build_ops": build_timings,
         "build_ops_sec": round(sum(build_timings.values()), 3),
@@ -579,7 +588,7 @@ def run_scale_datum() -> None:
             rlat.sort()
             out["rest"][label] = {
                 "p50_sec": round(rlat[len(rlat) // 2], 3),
-                "p95_sec": round(rlat[max(0, int(len(rlat) * 0.95) - 1)], 3),
+                "p95_sec": round(_p95(rlat), 3),
             }
             server.shutdown()
         out["rest"]["exponent_p50"] = round(
@@ -839,13 +848,7 @@ def run_scaling() -> None:
                 results[cpus] = res
     # pairs: every 4× pair present in the levels (the north rule's N→4N
     # shape), then the remaining consecutive pairs for the ceiling picture
-    pair_keys: list[tuple[int, int]] = []
-    for a in levels:
-        if a * 4 in levels:
-            pair_keys.append((a, a * 4))
-    for a, b in zip(sorted(levels), sorted(levels)[1:]):
-        if (a, b) not in pair_keys:
-            pair_keys.append((a, b))
+    pair_keys = _ceiling_pairs(levels)
     pairs = []
     for a, b in pair_keys:
         speedup = results[a]["sec"] / results[b]["sec"]

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searchengine_spark.operators import codec
+from searchengine_spark.plans.persist_registry import track as _track
 
 DEFAULT_N_BUCKETS = 64
 
@@ -132,8 +133,8 @@ def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
     # each input feeds THREE consumers (overlap keys, hot semi, cold anti);
     # persist both so an in-plan segment encode runs once, not 3× (measured:
     # the unpersisted split tripled the gate's full-corpus encode)
-    a = a.persist()
-    b = b.persist()
+    a = _track(a.persist())
+    b = _track(b.persist())
     overlap = (
         a.select("shard", "term")
         .distinct()
@@ -240,7 +241,7 @@ def _segments_from_docs(docs: DataFrame, shard_span: int = 64) -> DataFrame:
     # incremental paths — persist so it computes once (measured: the
     # delta-segment encode of a 40% snapshot delta cost 2× the FULL
     # corpus encode before this, purely from re-evaluating the semi-join)
-    docs = docs.persist()
+    docs = _track(docs.persist())
     toks = exploded_tokens(docs, with_pos=True)
     dls = docs.select("doc_id", doc_len(F.col("text")).alias("doc_len"))
     post = (
@@ -286,7 +287,7 @@ def delete_docs(
     so any other group in the shard passes through untouched. On a real
     vocabulary (~10⁶ terms) this shrinks the per-shard rewrite from |V|
     groups to |terms(d)| — the key-set broadcasts (delta-bounded)."""
-    segments = segments.persist()  # two consumers (affected + untouched)
+    segments = _track(segments.persist())  # two consumers (affected + untouched)
     ids = frozenset(r["doc_id"] for r in deleted.select("doc_id").distinct().collect())
     if not ids:
         return segments
@@ -333,7 +334,7 @@ def incremental_reindex_postings(
     # the diff feeds two consumers (tombstone collect + fresh semi-join) —
     # persist the slim (doc_id, status) frame so the full-outer md5 diff
     # evaluates once, not once per consumer (~12 B/row, freed with the app)
-    delta = crawl_delta(old, new).persist()
+    delta = _track(crawl_delta(old, new).persist())
     stale = delta.filter(F.col("status").isin("removed", "changed")).select("doc_id")
     fresh = delta.filter(F.col("status").isin("added", "changed")).select("doc_id")
     if seg_a is None:
