@@ -635,6 +635,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the index lifecycle end-to-end: crawl delta -> tombstone-delete ->
         # delta encode -> merge == full rebuild of the new snapshot
         "incremental_reindex": lambda spark, sf: _incremental_reindex(spark, sf),
+        # same lifecycle driven by the crawler's changed-doc LIST (the
+        # realistic 10^12-file input) — no full-snapshot md5 diff; every
+        # stage delta-bounded, result == full rebuild of snapshot B
+        "incremental_reindex_delta_list": lambda spark, sf: _incremental_reindex_delta_list(
+            spark, sf
+        ),
         # tiered merge policy (Lucene TieredMergePolicy shape): which
         # same-size-tier segments merge next, full groups only
         "compaction_plan": lambda spark, sf: _compaction_plan(spark, sf),
@@ -1295,6 +1301,38 @@ def _incremental_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_reindex_postings(old, _snapshot_b(old), shard_span=64)
 
 
+def _incremental_reindex_delta_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-list entry point (VERDICT r04 ask #2): the (doc_id, status)
+    delta is synthesized closed-form from the same modulus classes
+    _snapshot_b uses — exactly the list a recrawl scheduler hands the
+    indexer — so NO snapshot diff runs anywhere in the plan. Oracle: the
+    full-rebuild tokenization of snapshot B (same twin as
+    incremental_reindex — the two paths must agree bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.segments import incremental_reindex_from_list
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    delta = (
+        old.filter(did % 10 == 3).select("doc_id", F.lit("removed").alias("status"))
+        .unionByName(
+            old.filter(did % 10 == 5).select(
+                "doc_id", F.lit("changed").alias("status")
+            )
+        )
+        .unionByName(
+            old.filter(did % 10 == 7).select(
+                (did + 1_000_000_000).alias("doc_id"),
+                F.lit("added").alias("status"),
+            )
+        )
+    )
+    return incremental_reindex_from_list(
+        old, _snapshot_b(old), delta, shard_span=64
+    )
+
+
 def _frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1658,6 +1696,8 @@ def oracle_sql() -> dict[str, str]:
         # the merged-and-decoded segments must equal the corpus tokenization
         "incremental_merge_postings": oracles.postings_sql(),
         "incremental_reindex": oracles.incremental_reindex_sql(),
+        # same twin: the delta-list path must also equal the full rebuild
+        "incremental_reindex_delta_list": oracles.incremental_reindex_sql(),
         "compaction_plan": oracles.compaction_plan_sql(shard_span=16, merge_factor=4),
         # bit-packed encode->decode must reproduce the corpus tokenization
         "bitpacked_postings": oracles.postings_sql(),

@@ -335,6 +335,37 @@ def incremental_reindex_postings(
     # persist the slim (doc_id, status) frame so the full-outer md5 diff
     # evaluates once, not once per consumer (~12 B/row, freed with the app)
     delta = _track(crawl_delta(old, new).persist())
+    return incremental_reindex_from_list(
+        old, new, delta, shard_span=shard_span, seg_a=seg_a, decode=decode
+    )
+
+
+def incremental_reindex_from_list(
+    old: DataFrame,
+    new: DataFrame,
+    delta: DataFrame,
+    shard_span: int = 64,
+    seg_a: DataFrame | None = None,
+    decode: bool = True,
+) -> DataFrame:
+    """Incremental reindex driven by the crawler's CHANGED-DOC LIST — the
+    (doc_id, status∈{added,removed,changed}) frame a recrawl scheduler
+    already has — instead of a full-snapshot md5 diff (VERDICT r04 ask #2).
+
+    The snapshot-diff path (``incremental_reindex_postings``) carries one
+    O(corpus) term: ``crawl_delta``'s full-outer join over 10^12 (doc_id,
+    md5) rows — map-only and slim, but still a pass over both snapshots
+    that at sf0.1 costs a fixed ~5 s regardless of delta size, making a 1%
+    delta LOSE to a full rebuild at small scale. Here every input is
+    delta-bounded: tombstone set = the list's removed/changed rows,
+    delta-encode = tokenize only the list's added/changed docs (semi-join
+    pushes the doc_id filter to the parquet scan), stale-terms narrowing =
+    tokenize only the tombstoned docs. The one remaining corpus-
+    proportional term is the tombstone REWRITE of affected (shard, term)
+    groups — proportional to the delta's shard footprint, the F10
+    (already-indexed skip, ``Indexer.java:203-206``) cost model at corpus
+    scale. Result is hash-equal to a full rebuild of snapshot B (gated:
+    ``incremental_reindex_delta_list``)."""
     stale = delta.filter(F.col("status").isin("removed", "changed")).select("doc_id")
     fresh = delta.filter(F.col("status").isin("added", "changed")).select("doc_id")
     if seg_a is None:

@@ -148,3 +148,44 @@ def generate_corpus_fast(n_docs: int, seed: int = 42) -> pd.DataFrame:
         commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
         rows.append((repo, path, commit, src[3], src[4]))
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def generate_zipf_docs_pdf(
+    n_docs: int, vocab_size: int = 100_000, seed: int = 7, s: float = 1.05
+) -> pd.DataFrame:
+    """Documents-table-shaped corpus with a REALISTIC vocabulary: ~10^5
+    distinct terms drawn Zipf(s) — the input the serving tiers are designed
+    for (VERDICT r04 ask #3: the driver corpus has ~31 distinct terms, so
+    term-level machinery — block-max WAND skipping, champion lists, trigram
+    pruning, front-coded dictionaries — is otherwise measured on degenerate
+    input and Heaps' law pins β=0).
+
+    Terms are ``t<rank:05d>`` (6 chars: alphanumeric, above the short-token
+    skip length, fixed width so a term is never a substring of another term
+    mid-token — clean trigram-pruning semantics). Vectorized numpy; seeded;
+    same rows at any parallelism. Columns match /root/testdata documents:
+    (doc_id, text, lang, source, n_chars)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = ranks**-s
+    probs /= probs.sum()
+    lens = 80 + rng.integers(0, 80, size=n_docs)
+    total = int(lens.sum())
+    draw = rng.choice(vocab_size, size=total, p=probs)
+    words = np.char.add("t", np.char.zfill(draw.astype("U5"), 5))
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    texts = [
+        " ".join(words[offsets[i] : offsets[i + 1]]) for i in range(n_docs)
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * n_docs,
+            "source": ["zipf"] * n_docs,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
