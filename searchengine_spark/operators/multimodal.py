@@ -73,6 +73,8 @@ def _decode_bmp(blob: bytes) -> tuple[int, int, int, int, int, int, int]:
 
     if blob[:2] != b"BM":
         raise ValueError("not a BMP stream")
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
     (offset,) = struct.unpack_from("<I", blob, 10)
     w, hgt = struct.unpack_from("<ii", blob, 18)
     (bpp,) = struct.unpack_from("<H", blob, 28)
@@ -82,6 +84,11 @@ def _decode_bmp(blob: bytes) -> tuple[int, int, int, int, int, int, int]:
     flipped = hgt > 0  # positive height = bottom-up row order
     hgt = abs(hgt)
     row_size = ((3 * w + 3) // 4) * 4
+    # a short pixel array must RAISE, not silently sum short rows — a
+    # truncated blob otherwise mis-parses into wrong-but-plausible stats
+    # (the negative-path class VERDICT r04 ask #7 pins)
+    if len(blob) < offset + hgt * row_size:
+        raise ValueError("truncated BMP pixel array")
     sum_r = sum_g = sum_b = wsum_r = 0
     for ry in range(hgt):
         y = hgt - 1 - ry if flipped else ry
@@ -106,7 +113,13 @@ def _decode_wav(blob: bytes) -> tuple[int, list[int]]:
         if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
             raise NotImplementedError("only PCM16 mono WAV is stdlib-decodable")
         sr = wf.getframerate()
-        raw = wf.readframes(wf.getnframes())
+        declared = wf.getnframes()
+        raw = wf.readframes(declared)
+    # ``wave`` silently returns fewer frames than the header declares when
+    # the data chunk is truncated — that must RAISE, not yield a short
+    # sample list that decodes into wrong-but-plausible stats
+    if len(raw) != declared * 2:
+        raise ValueError("truncated WAV data chunk")
     return sr, list(struct.unpack("<%dh" % (len(raw) // 2), raw))
 
 
@@ -468,8 +481,12 @@ def _decode_avi(blob: bytes) -> tuple[int, int, int, int, int, int, int, int, in
             yield cid, off + 8, sz
             off += 8 + sz + (sz & 1)
 
+    (riff_sz,) = struct.unpack_from("<I", blob, 4)
+    if 8 + riff_sz > len(blob):
+        raise ValueError("truncated RIFF: declared size exceeds buffer")
     w = hgt = n_frames = None
     frames: list[bytes] = []
+    compressed = False
     for cid, data_off, sz in chunks(blob, 12, len(blob)):
         if cid == b"LIST":
             ltype = blob[data_off : data_off + 4]
@@ -481,10 +498,22 @@ def _decode_avi(blob: bytes) -> tuple[int, int, int, int, int, int, int, int, in
             elif ltype == b"movi":
                 for c2, o2, s2 in chunks(blob, data_off + 4, data_off + sz):
                     if c2 == b"00db":
-                        frames.append(blob[o2 : o2 + s2])
+                        frame = blob[o2 : o2 + s2]
+                        if len(frame) != s2:
+                            raise ValueError("truncated AVI frame chunk")
+                        frames.append(frame)
+                    elif c2 == b"00dc":
+                        compressed = True
+    if compressed and not frames:
+        raise NotImplementedError(
+            "compressed AVI frames (00dc) require a codec library — only "
+            "uncompressed DIB (00db) is stdlib-decodable"
+        )
     if w is None or n_frames is None or len(frames) != n_frames:
         raise ValueError("malformed AVI: header/frame mismatch")
     row_size = ((3 * w + 3) // 4) * 4
+    if any(len(f) != hgt * row_size for f in frames):
+        raise ValueError("truncated AVI frame")
     sum_r = sum_g = sum_b = wsum_r = fsum_r = 0
     for f, frame in enumerate(frames):
         for ry in range(hgt):
@@ -499,7 +528,7 @@ def _decode_avi(blob: bytes) -> tuple[int, int, int, int, int, int, int, int, in
     return w, hgt, n_frames, len(blob), sum_r, sum_g, sum_b, wsum_r, fsum_r
 
 
-def make_avi_media(spark, n: int = 64) -> DataFrame:
+def make_avi_media(spark, n: int = 64, frame_fourcc_hex: str = "30306462") -> DataFrame:
     """Deterministic synthetic table of REAL, spec-valid uncompressed
     RIFF/AVI blobs ('vids'/'DIB ' stream, 24-bit '00db' frames, rows
     bottom-up + 4-byte padded), assembled JVM-side. Row i:
@@ -534,7 +563,8 @@ def make_avi_media(spark, n: int = 64) -> DataFrame:
 
     def frame_hex(f):
         return F.concat(
-            F.lit("30306462"),            # '00db'
+            F.lit(frame_fourcc_hex),      # '00db' (or '00dc' for the
+                                          # unsupported-codec negative path)
             _le32_hex(frame_size),
             F.array_join(
                 F.transform(
@@ -865,3 +895,119 @@ def crossmodal_topk(
         .filter(F.col("rank") <= k)
         .select("query_media_id", "rank", "neighbor_id", "cosine_micros")
     )
+
+
+# ---------------------------------------------------------- negative paths
+
+VALIDATE_SCHEMA = "media_id long, kind string, status string"
+
+
+def make_corrupt_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic valid+corrupt media table for the decode negative-path
+    gate (VERDICT r04 ask #7): for each kind (audio WAV / image BMP / video
+    AVI), row i carries corruption class i % 4 —
+
+        0: spec-valid blob                         → decodes ok
+        1: last 7 bytes truncated                  → malformed (short data
+           chunk / pixel array / frame — every decoder must RAISE, not
+           silently sum short rows)
+        2: first byte patched to 'X'               → malformed (not a
+           container)
+        3: unsupported codec — WAV bits=8, BMP bpp=8, AVI '00dc'
+           (compressed) frame chunks               → unsupported
+
+    All corruption is applied JVM-side on the synthesized blobs (binary
+    substring/concat; the AVI codec variant re-synthesizes with the '00dc'
+    fourcc), so the table scales with the corpus like the decode gates."""
+    i = F.col("media_id")
+    trunc = F.expr("substring(blob, 1, int(length(blob)) - 7)")
+    badmagic = F.concat(
+        F.unhex(F.lit("58")), F.expr("substring(blob, 2, int(length(blob)) - 1)")
+    )
+
+    def corrupted(base: DataFrame, unsup: "F.Column") -> DataFrame:
+        return base.withColumn(
+            "blob",
+            F.when(i % 4 == 1, trunc)
+            .when(i % 4 == 2, badmagic)
+            .when(i % 4 == 3, unsup)
+            .otherwise(F.col("blob")),
+        )
+
+    # WAV: bits-per-sample field at byte offset 34 (1-based 35..36) → 8
+    wav_unsup = F.concat(
+        F.expr("substring(blob, 1, 34)"),
+        F.unhex(F.lit("0800")),
+        F.expr("substring(blob, 37, int(length(blob)) - 36)"),
+    )
+    # BMP: bpp field at byte offset 28 (1-based 29..30) → 8
+    bmp_unsup = F.concat(
+        F.expr("substring(blob, 1, 28)"),
+        F.unhex(F.lit("0800")),
+        F.expr("substring(blob, 31, int(length(blob)) - 30)"),
+    )
+    wav = corrupted(make_wav_media(spark, n), wav_unsup)
+    bmp = corrupted(make_bmp_media(spark, n), bmp_unsup)
+    # AVI codec variant: same container, frames tagged '00dc' (compressed)
+    avi_dc_blob = make_avi_media(spark, n, frame_fourcc_hex="30306463").select(
+        "media_id", F.col("blob").alias("_dc")
+    )
+    avi = (
+        corrupted(make_avi_media(spark, n), F.col("blob"))
+        .join(avi_dc_blob, "media_id")
+        .withColumn("blob", F.when(i % 4 == 3, F.col("_dc")).otherwise(F.col("blob")))
+        .drop("_dc")
+    )
+    return wav.unionByName(bmp).unionByName(avi)
+
+
+def media_decode_validate(
+    media: DataFrame, media_repartition_bytes: int = 256 << 20
+) -> DataFrame:
+    """(media_id, kind, status) per media row, status ∈ {ok, malformed,
+    unsupported} — the crawl-scale decode triage: a 100 TB media column is
+    mostly malformed bytes, so decodes must FLAG deterministically per row
+    instead of killing the job (or worse, mis-parsing truncated containers
+    into plausible stats — the hardened decoders raise on short data
+    chunks, short pixel arrays and short frames).
+
+        ok          — the real stdlib decode succeeded
+        unsupported — valid container, codec outside the stdlib seam
+                      (compressed codecs; NotImplementedError)
+        malformed   — anything else (bad magic, truncation, chunk-walk
+                      failure)
+    """
+
+    def classify(kind: str, blob: bytes) -> str:
+        try:
+            if kind == "audio":
+                _decode_wav(blob)
+            elif kind == "image":
+                _decode_bmp(blob)
+            elif kind == "video":
+                _decode_avi(blob)
+            else:
+                return "malformed"
+            return "ok"
+        except NotImplementedError:
+            return "unsupported"
+        except Exception:  # wave.Error / struct.error / ValueError / EOFError
+            return "malformed"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "status": [
+                        classify(k, bytes(b))
+                        for k, b in zip(pdf["kind"], pdf["blob"])
+                    ],
+                }
+            )
+
+    rows = _byte_capped(
+        media.select("media_id", "kind", "blob"), media_repartition_bytes
+    )
+    return rows.mapInPandas(fn, VALIDATE_SCHEMA)

@@ -143,7 +143,9 @@ def _encode_batch_pdf(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     )
 
 
-def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
+def merge_segments(
+    a: DataFrame, b: DataFrame, small_b: bool = False
+) -> DataFrame:
     """Merge two partition-local segment sets into one global index.
 
     Only (shard, term) groups present in BOTH inputs need the decode →
@@ -152,21 +154,35 @@ def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
     is the property that makes incremental reindex cost ∝ the delta's
     affected blocks instead of ∝ the index (the r04 --reindex-datum
     measurement: the old re-encode-everything merge made a 1% delta cost
-    3× a full rebuild). The overlap key set is a distinct on the slim
-    (shard, term) pairs — in the incremental case one side is the delta,
-    so the semi/anti joins broadcast. Associative — asserted by
-    tests/test_segments.py (union of partial merges == single-shot build).
-    """
+    3× a full rebuild). Associative — asserted by tests/test_segments.py
+    (union of partial merges == single-shot build).
+
+    ``small_b=True`` (the incremental case: ``b`` is a delta-bounded
+    segment set) removes every index-wide shuffle: b's distinct key set
+    broadcasts into a map-side semi over ``a`` — the surviving keys are
+    delta-bounded, so the overlap set itself broadcasts into the hot/cold
+    splits and the whole merge is ONE in-memory pass over ``a`` plus the
+    reencode of the delta-bounded hot groups. Default mode keeps the
+    symmetric distinct-join (both sides can be half the index; AQE picks
+    the join strategy from runtime sizes)."""
     # each input feeds THREE consumers (overlap keys, hot semi, cold anti);
     # persist both so an in-plan segment encode runs once, not 3× (measured:
     # the unpersisted split tripled the gate's full-corpus encode)
     a = _track(a.persist())
     b = _track(b.persist())
-    overlap = (
-        a.select("shard", "term")
-        .distinct()
-        .join(b.select("shard", "term").distinct(), ["shard", "term"])
-    )
+    if small_b:
+        kb = F.broadcast(b.select("shard", "term").distinct())
+        overlap = F.broadcast(
+            a.select("shard", "term")
+            .join(kb, ["shard", "term"], "left_semi")
+            .distinct()
+        )
+    else:
+        overlap = (
+            a.select("shard", "term")
+            .distinct()
+            .join(b.select("shard", "term").distinct(), ["shard", "term"])
+        )
     both = a.unionByName(b)
     hot = both.join(overlap, ["shard", "term"], "left_semi")
     cold = both.join(overlap, ["shard", "term"], "left_anti")
@@ -174,47 +190,112 @@ def merge_segments(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def _reencode(segments: DataFrame, drop_ids: frozenset | None = None) -> DataFrame:
-    def regroup(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, tfs, dls, pos = [], [], [], []
-        # to_dict("records") converts the group once (iterrows paid a
-        # per-row Series construction — measured ~3× slower on the many
-        # small groups the gate-scale shard_span produces)
-        for block in pdf.sort_values(["block_id", "skip_doc_id"]).to_dict("records"):
-            i, t, d = codec.decode_block(block)
-            ids += i.tolist()
-            tfs += t.tolist()
-            dls += d.tolist()
-            pos += [p.tolist() for p in codec.decode_positions(block)]
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        if drop_ids:
-            kept = [j for j, i in enumerate(ids) if int(i) not in drop_ids]
-            if not kept:
-                return pd.DataFrame(
-                    columns=[c.split()[0] for c in SEGMENT_SCHEMA.split(", ")]
-                )
-            ids = [ids[j] for j in kept]
-            tfs = [tfs[j] for j in kept]
-            dls = [dls[j] for j in kept]
-            pos = [pos[j] for j in kept]
-        order = np.argsort(np.asarray(ids))
-        ids_a = np.asarray(ids, dtype=np.uint64)[order]
-        tfs_a = np.asarray(tfs, dtype=np.uint64)[order]
-        dls_a = np.asarray(dls, dtype=np.uint64)[order]
-        pos_a = [pos[i] for i in order]
-        # idf/avgdl aren't stored in blocks; the max of the input block maxima
-        # is still a valid (if conservative) per-block upper bound for WAND
-        ub = float(pdf["block_max_score"].max())
-        blocks = codec.encode_blocks(ids_a, tfs_a, dls_a, pos_a, idf=1.0, avgdl=1.0)
-        rows = []
-        for b in blocks:
-            rows.append(
-                (bucket, shard, term, b["block_id"], b["n_postings"],
-                 b["doc_ids_delta_varint"], b["tfs_varint"], b["doc_lens_varint"],
-                 b["positions_blob"], b["skip_doc_id"], ub)
+    """Decode → (optionally drop tombstoned docs) → re-encode every
+    (shard, term) group — the rewrite kernel of merge_segments/delete_docs.
+
+    Same batch-vectorized shape as ``encode_segments``: sorted partitions +
+    ``mapInPandas`` instead of a per-group ``applyInPandas`` (on realistic
+    vocabularies most groups are a single tiny block, so the per-group
+    pandas crossing dominated the merge/delete rewrite). Blocks still
+    decode individually (they are independent varint blobs) but all groups
+    of a batch re-encode in ONE ``encode_blocks_batch`` call. idf/avgdl
+    aren't stored in blocks; the max of a group's input block maxima is a
+    valid (conservative) per-block WAND upper bound and is applied to all
+    of the group's output blocks, exactly as the per-group path did."""
+    cols = [c.split()[0] for c in SEGMENT_SCHEMA.split(", ")]
+    drop_arr = (
+        np.fromiter(drop_ids, dtype=np.int64, count=len(drop_ids))
+        if drop_ids
+        else None
+    )
+
+    def regroup_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_b = pdf["shard"].to_numpy()
+        term_b = pdf["term"].to_numpy()
+        bucket_b = pdf["bucket"].to_numpy()
+        bms_b = pdf["block_max_score"].to_numpy()
+        # group id per BLOCK row (input sorted by shard, term, block_id)
+        gchg_b = np.ones(len(pdf), dtype=bool)
+        gchg_b[1:] = (shard_b[1:] != shard_b[:-1]) | (term_b[1:] != term_b[:-1])
+        gid_b = np.cumsum(gchg_b) - 1
+        g_starts = np.flatnonzero(gchg_b)
+        ub_per_group = np.maximum.reduceat(bms_b, g_starts)
+        # decode every block (independent varint blobs)
+        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+        for row in pdf.to_dict("records"):
+            i, t, d = codec.decode_block(row)
+            ids_l.append(i)
+            tfs_l.append(t)
+            dls_l.append(d)
+            pos_l.extend(codec.decode_positions(row))
+        counts = np.fromiter((len(x) for x in ids_l), dtype=np.int64, count=len(ids_l))
+        ids = np.concatenate(ids_l).astype(np.int64)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        gid = np.repeat(gid_b, counts)
+        blk_row = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
+        if drop_arr is not None:
+            keep = ~np.isin(ids, drop_arr)
+            ids, tfs, dls, gid, blk_row = (
+                ids[keep], tfs[keep], dls[keep], gid[keep], blk_row[keep]
             )
-        return pd.DataFrame(rows, columns=[c.split()[0] for c in SEGMENT_SCHEMA.split(", ")])
+            kept_idx = np.flatnonzero(keep)
+            pos_l = [pos_l[j] for j in kept_idx]
+            if not len(ids):
+                return pd.DataFrame({c: [] for c in cols}, columns=cols)
+        # postings of a group come from multiple blocks (both merge inputs)
+        # — order by (group, doc_id); lexsort is stable → deterministic
+        order = np.lexsort((ids, gid))
+        ids, tfs, dls, gid, blk_row = (
+            ids[order], tfs[order], dls[order], gid[order], blk_row[order]
+        )
+        pos_s = [pos_l[j] for j in order]
+        gchg = np.ones(len(ids), dtype=bool)
+        gchg[1:] = gid[1:] != gid[:-1]
+        out = codec.encode_blocks_batch(
+            ids, tfs, dls, pos_s, np.ones(len(ids)), 1.0, gchg
+        )
+        rs = out["row_start"]
+        src = blk_row[rs]  # a source block row of each output block's group
+        return pd.DataFrame(
+            {
+                "bucket": bucket_b[src],
+                "shard": shard_b[src],
+                "term": term_b[src],
+                "block_id": out["block_id"],
+                "n_postings": out["n_postings"],
+                "doc_ids_delta_varint": out["doc_ids_delta_varint"],
+                "tfs_varint": out["tfs_varint"],
+                "doc_lens_varint": out["doc_lens_varint"],
+                "positions_blob": out["positions_blob"],
+                "skip_doc_id": out["skip_doc_id"],
+                "block_max_score": ub_per_group[gid[rs]],
+            },
+            columns=cols,
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last_shard = pdf["shard"].iloc[-1]
+            last_term = pdf["term"].iloc[-1]
+            tail_n = int(
+                (
+                    (pdf["shard"].values == last_shard)
+                    & (pdf["term"].values == last_term)
+                ).sum()
+            )
+            head = pdf.iloc[: len(pdf) - tail_n]
+            carry = pdf.iloc[len(pdf) - tail_n :]
+            if len(head):
+                yield regroup_batch(head)
+        if carry is not None and len(carry):
+            yield regroup_batch(carry)
 
     # same AQE-coalesce defusal as encode_segments: codec work is
     # Python-heavy but byte-light — pin the partition count
@@ -222,8 +303,8 @@ def _reencode(segments: DataFrame, drop_ids: frozenset | None = None) -> DataFra
         segments.repartition(
             2 * segments.sparkSession.sparkContext.defaultParallelism, "shard", "term"
         )
-        .groupBy("shard", "term")
-        .applyInPandas(regroup, SEGMENT_SCHEMA)
+        .sortWithinPartitions("shard", "term", "block_id", "skip_doc_id")
+        .mapInPandas(fn, SEGMENT_SCHEMA)
     )
 
 
@@ -410,8 +491,25 @@ def incremental_reindex_from_list(
         )
         .distinct()
     )
-    pruned = delete_docs(seg_a, stale, shard_span, deleted_terms=stale_terms)
-    merged = merge_segments(pruned, seg_delta)
+    # shard-prune the index BEFORE delete+merge: shards containing no
+    # stale and no fresh doc can't change — they bypass the whole rewrite
+    # path (no join, no persist, no reencode; at 10^12 files with a
+    # shard-partitioned disk layout this filter is partition pruning, so
+    # the untouched majority of the index is never even read). The shard
+    # list is delta-bounded: one tiny collect over the delta's doc ids.
+    shard_of = lambda c: (c / F.lit(shard_span)).cast("int")  # noqa: E731
+    affected = sorted(
+        r["shard"]
+        for r in stale.select(shard_of(F.col("doc_id")).alias("shard"))
+        .union(fresh.select(shard_of(F.col("doc_id")).alias("shard")))
+        .distinct()
+        .collect()
+    )
+    seg_in = seg_a.filter(F.col("shard").isin(affected))
+    seg_out = seg_a.filter(~F.col("shard").isin(affected))
+    pruned = delete_docs(seg_in, stale, shard_span, deleted_terms=stale_terms)
+    # b (the delta segments) is delta-bounded → map-only merge over seg_in
+    merged = seg_out.unionByName(merge_segments(pruned, seg_delta, small_b=True))
     return decode_postings(merged) if decode else merged
 
 
