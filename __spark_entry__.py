@@ -718,6 +718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": lambda spark, sf: _decode_stats(spark, sf, "audio"),
         "image_decode_stats": lambda spark, sf: _decode_stats(spark, sf, "image"),
         "video_decode_stats": lambda spark, sf: _decode_stats(spark, sf, "video"),
+        # decode NEGATIVE paths (VERDICT r04 ask #7): valid + truncated +
+        # bad-magic + unsupported-codec blobs per kind, each flagged
+        # ok/malformed/unsupported deterministically — a 100 TB crawl's
+        # media column is mostly malformed bytes, and a truncated container
+        # must flag, not silently mis-parse into plausible stats
+        "media_decode_validate": lambda spark, sf: _media_decode_validate(spark, sf),
         "image_features": lambda spark, sf: _media_features(spark, sf, "image"),
         # CLIP-shape cross-modal retrieval: fake image tower -> joint space
         # -> cosine top-k against the text-embedding corpus
@@ -1035,6 +1041,18 @@ def _decode_stats(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     if kind == "video":
         return multimodal.avi_decode_stats(multimodal.make_avi_media(spark, n))
     return multimodal.bmp_decode_stats(multimodal.make_bmp_media(spark, n))
+
+
+def _media_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-path decode gate: one (valid|truncated|bad-magic|
+    unsupported-codec) blob per documents row per kind (corruption class =
+    media_id % 4, synthesized/corrupted JVM-side), classified by the REAL
+    hardened stdlib decoders; the oracle recomputes the expected flag
+    closed-form from the id arithmetic."""
+    from searchengine_spark.operators import multimodal
+
+    n = _docs(spark, sf_dir).count()
+    return multimodal.media_decode_validate(multimodal.make_corrupt_media(spark, n))
 
 
 def _media_features(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
@@ -1705,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode_stats": oracles.audio_decode_stats_sql(),
         "image_decode_stats": oracles.image_decode_stats_sql(),
         "video_decode_stats": oracles.video_decode_stats_sql(),
+        "media_decode_validate": oracles.media_decode_validate_sql(),
         "image_features": oracles.image_features_sql(),
         "crossmodal_topk": oracles.crossmodal_topk_sql(n_query_media=4, k=5),
         "audio_features": oracles.audio_features_sql(),

@@ -2160,6 +2160,23 @@ GROUP BY media_id, w, h
 """
 
 
+def media_decode_validate_sql() -> str:
+    """Twin of multimodal.media_decode_validate(make_corrupt_media(n_docs)):
+    the Spark side genuinely decodes valid/truncated/bad-magic/unsupported
+    container bytes with the hardened stdlib decoders; this side recomputes
+    the expected flag from the corruption-class arithmetic (class = i % 4:
+    0 valid → ok, 1 truncated / 2 bad magic → malformed, 3 unsupported
+    codec → unsupported), per kind."""
+    return """
+WITH ids AS (SELECT row_number() OVER () - 1 AS i FROM documents),
+kinds AS (SELECT * FROM (VALUES ('audio'), ('image'), ('video')) AS t(kind))
+SELECT i::BIGINT AS media_id, kind,
+       CASE (i % 4) WHEN 0 THEN 'ok' WHEN 3 THEN 'unsupported'
+            ELSE 'malformed' END AS status
+FROM ids CROSS JOIN kinds
+"""
+
+
 def video_decode_stats_sql() -> str:
     """Twin of multimodal.avi_decode_stats(make_avi_media(n_docs)): the
     Spark side REALLY walks the RIFF/LIST chunk tree and decodes the

@@ -357,3 +357,58 @@ def test_stream_attribution_equals_batch_gate(spark, tmp_path):
     assert streamed
     batch = events_attribution(spark, events_dir, window_min=360).collect()
     assert {tuple(r) for r in streamed} == {tuple(r) for r in batch}
+
+
+def test_media_decode_negative_paths(spark):
+    """Corrupt-container behavior is pinned for all three kinds (VERDICT
+    r04 ask #7): truncation, bad magic and unsupported codecs must raise
+    (or flag) deterministically — never mis-parse short rows into
+    plausible stats."""
+    import pytest
+
+    from searchengine_spark.operators.multimodal import (
+        _decode_avi,
+        _decode_bmp,
+        _decode_wav,
+        make_avi_media,
+        make_bmp_media,
+        make_corrupt_media,
+        make_wav_media,
+        media_decode_validate,
+    )
+
+    wav = bytes(make_wav_media(spark, 1).collect()[0]["blob"])
+    bmp = bytes(make_bmp_media(spark, 1).collect()[0]["blob"])
+    avi = bytes(make_avi_media(spark, 1).collect()[0]["blob"])
+    # happy paths decode
+    assert _decode_wav(wav)[0] == 8000
+    assert _decode_bmp(bmp)[0] == 4
+    assert _decode_avi(avi)[2] == 2
+    # truncated data chunk / pixel array / frame: deterministic raise
+    with pytest.raises(ValueError, match="truncated WAV"):
+        _decode_wav(wav[:-7])
+    with pytest.raises(ValueError, match="truncated BMP"):
+        _decode_bmp(bmp[:-7])
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_avi(avi[:-7])
+    # wrong magic
+    with pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"XM" + bmp[2:])
+    with pytest.raises(ValueError, match="not an AVI"):
+        _decode_avi(b"X" + avi[1:])
+    # unsupported codec fields
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(bmp[:28] + b"\x08\x00" + bmp[30:])
+    avi_dc = bytes(
+        make_avi_media(spark, 1, frame_fourcc_hex="30306463").collect()[0]["blob"]
+    )
+    with pytest.raises(NotImplementedError, match="00dc"):
+        _decode_avi(avi_dc)
+    # the flagging operator classifies every (kind, class) combination
+    out = media_decode_validate(make_corrupt_media(spark, 8)).collect()
+    expected = {0: "ok", 1: "malformed", 2: "malformed", 3: "unsupported"}
+    assert len(out) == 24
+    for r in out:
+        assert r["status"] == expected[r["media_id"] % 4], (
+            r["kind"], r["media_id"], r["status"]
+        )
