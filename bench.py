@@ -351,7 +351,7 @@ def build_index_bench(cpus: int, n_docs: int) -> dict:
     }
 
 
-def run_queries() -> tuple[dict, dict, float, float, float]:
+def run_queries() -> tuple[dict, dict, dict, dict, float, float, float]:
     import __spark_entry__ as entrymod
     from searchengine_spark.session import get_spark
     from searchengine_spark.plans.gate_index import gate_index
@@ -390,6 +390,16 @@ def run_queries() -> tuple[dict, dict, float, float, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = _best_of_2(qs[name])
+    # the cross-round comparison basket gets a THIRD sample (VERDICT r04
+    # ask #4: per-query best-of-3 so round-over-round regressions are
+    # attributable without the host-window caveat) — the two _best_of_2
+    # samples above count, one more refines the minimum
+    basket: dict[str, float] = {}
+    for name in R01_BASKET:
+        if name in timings:
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            basket[name] = round(min(timings[name], time.monotonic() - t0), 3)
     # build-class round-trips timed OUTSIDE the serving suite
     build_timings: dict[str, float] = {}
     for name in BUILD_OPS:
@@ -433,7 +443,7 @@ def run_queries() -> tuple[dict, dict, float, float, float]:
         server.shutdown()
     except Exception:
         pass
-    return timings, build_timings, latency, gate_index_sec, compat_fixture_sec, warmup_sec
+    return timings, basket, build_timings, latency, gate_index_sec, compat_fixture_sec, warmup_sec
 
 
 def main() -> None:
@@ -462,7 +472,7 @@ def main() -> None:
         print(json.dumps(build_index_bench(cpus, docs)))
         return
 
-    timings, build_timings, latency, gate_index_sec, compat_fixture_sec, warmup_sec = run_queries()
+    timings, basket, build_timings, latency, gate_index_sec, compat_fixture_sec, warmup_sec = run_queries()
     # best-of-2: this VM's throughput swings by >3× between adjacent
     # minutes (BENCH.md machine-ceiling controls), so a single build
     # sample routinely lands in a host stall; two samples, keep the
@@ -482,6 +492,10 @@ def main() -> None:
         # sf0.1); compare THIS field across rounds, not "value", which now
         # covers the full grown query set
         "r01_basket_sec": r01_subset,
+        # the same basket, per-query best-of-3 (third sample taken after
+        # the suite pass) — the attributable cross-round comparison
+        "basket": basket,
+        "basket_best3_sec": round(sum(basket.values()), 3),
         # serving-suite distribution (build-class ops excluded — they are
         # timed under build_ops)
         "suite_p50_sec": round(srt[len(srt) // 2], 3),
