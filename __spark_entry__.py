@@ -194,6 +194,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_maxscore": lambda spark, sf: serve.bm25_topk_maxscore(
             spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
         ),
+        # VECTORIZED block-max pruning (interval sweep — block-granular
+        # skipping + numpy scoring, the executor shape that actually beats
+        # exhaustive in a Python worker), same segments, same oracle
+        "bm25_topk_blockmax": lambda spark, sf: serve.bm25_topk_blockmax(
+            spark, gate_index(spark, sf), BM25_TERMS, k=TOPK
+        ),
         # common-terms query (ES cutoff_frequency): rare terms drive
         # candidates, stopword-frequency terms only contribute scores
         "common_terms_topk": lambda spark, sf: serve.common_terms_topk(
@@ -1538,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         # WAND path answers the SAME oracle as the columnar path — the
         # compressed index is hash-gated, not just property-tested
         "bm25_topk_wand": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
+        "bm25_topk_blockmax": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_topk_maxscore": oracles.bm25_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_impact_topk": oracles.bm25_impact_topk_sql(BM25_TERMS, k=TOPK),
         "bm25_boosted_topk": oracles.bm25_boosted_topk_sql(BOOSTS, k=TOPK),

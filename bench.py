@@ -976,6 +976,7 @@ def run_vocab_datum() -> None:
         "exhaustive": lambda q: serve.bm25_topk(spark, idx, q, k=10),
         "wand": lambda q: serve.bm25_topk_wand(spark, idx, q, k=10),
         "maxscore": lambda q: serve.bm25_topk_maxscore(spark, idx, q, k=10),
+        "blockmax": lambda q: serve.bm25_topk_blockmax(spark, idx, q, k=10),
         "pruned": lambda q: serve.bm25_topk_pruned(spark, idx, q, k=10, max_postings=64),
         "tiered": lambda q: serve.bm25_topk_tiered(spark, idx, q, k=10, max_postings=64),
         "impact": lambda q: serve.bm25_impact_topk(spark, idx, q, k=10),
@@ -993,6 +994,48 @@ def run_vocab_datum() -> None:
     out["wand_vs_exhaustive"] = round(
         out["bm25_tiers_5q_sec"]["exhaustive"] / out["bm25_tiers_5q_sec"]["wand"], 3
     )
+
+    # does block-granular skipping actually pay? Same engine (Python
+    # worker, numpy scoring), same segments, so the timing gap IS the
+    # pruning — measured at the serving span (n/64 shards: short per-shard
+    # posting lists) AND at a 100 TB-shaped span (few long lists per
+    # shard: 2^20-doc shards mean thousands of blocks per hot term — the
+    # regime skipping is designed for)
+    from searchengine_spark.operators.segments import (
+        blockmax_topk_micros,
+        encode_segments,
+        seg_exhaustive_topk_micros,
+    )
+
+    out["blockmax_vs_exhaustive"] = {}
+    for label, seg in [
+        (f"span_{max(512, n_docs // 64)}", idx["segments"]),
+        (
+            f"span_{n_docs // 4}",
+            encode_segments(
+                idx["postings"].select(
+                    "term", "doc_id", "tf", F.col("dl").alias("doc_len"), "positions"
+                ),
+                idx["lexicon"],
+                idx["avgdl"],
+                shard_span=n_docs // 4,
+            ).localCheckpoint(eager=True),
+        ),
+    ]:
+        row = {}
+        for name, fn in [
+            ("seg_exhaustive", seg_exhaustive_topk_micros),
+            ("blockmax", blockmax_topk_micros),
+        ]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                for q in queries:
+                    fn(spark, seg, idx["lexicon"], q, idx["avgdl"], k=10).collect()
+                best = min(best, time.monotonic() - t0)
+            row[name] = round(best, 3)
+        row["speedup"] = round(row["seg_exhaustive"] / row["blockmax"], 3)
+        out["blockmax_vs_exhaustive"][label] = row
 
     # dictionary ops on a 1e5-term dictionary
     dict_ops = {

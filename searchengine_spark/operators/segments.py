@@ -940,6 +940,158 @@ def wand_topk(
     )
 
 
+def _exhaustive_seg_shard(
+    term_blocks: dict[str, list[dict]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    threshold: float = float("-inf"),
+    micros: bool = False,
+) -> list[tuple[float, int, None]]:
+    """Exhaustive segment-served scorer: decode EVERY block of every query
+    term, score all postings vectorized (numpy), one bincount aggregate,
+    top-k. The no-skipping baseline the block-max executors are measured
+    against — same decode path, same vectorized style, so the timing
+    difference is the pruning, not the execution engine."""
+    doc_list: list[np.ndarray] = []
+    con_list: list[np.ndarray] = []
+    for t, bl in term_blocks.items():
+        idf = idfs[t]
+        for b in bl:
+            ids, tfs, dls = codec.decode_block(b)
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            c = (idf * (tf * (codec.BM25_K1 + 1.0))) / (
+                tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl)
+            )
+            con_list.append(
+                np.floor(c * 1e6 + 0.5).astype(np.int64) if micros else c
+            )
+            doc_list.append(ids.astype(np.int64))
+    if not doc_list:
+        return []
+    docs = np.concatenate(doc_list)
+    cons = np.concatenate(con_list)
+    u, inv = np.unique(docs, return_inverse=True)
+    # float64 weights are exact here: micro contributions are < 2^27 each
+    # and a query sums a handful of terms — far below 2^53
+    sc = np.bincount(inv, weights=cons.astype(np.float64)).astype(
+        np.int64 if micros else np.float64
+    )
+    sel = np.lexsort((u, -sc))[:k]
+    return [(sc[i].item(), int(u[i]), None) for i in sel]
+
+
+def _blockmax_seg_shard(
+    term_blocks: dict[str, list[dict]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    threshold: float = float("-inf"),
+    micros: bool = False,
+) -> list[tuple[float, int, None]]:
+    """Vectorized block-max pruning (interval sweep): doc-at-a-time WAND
+    is exact but pays an interpreted-Python loop per posting — at bench
+    scale that costs more than it skips. Here pruning happens at BLOCK
+    granularity and scoring stays vectorized:
+
+    1. block boundaries of all query terms partition doc-id space into
+       elementary intervals; each interval's upper bound is the sum of the
+       covering blocks' block-max scores;
+    2. intervals process in descending-UB order — the top-k threshold θ
+       rises fastest, and once the next UB < θ NO remaining interval can
+       contain a top-k doc (exact early exit, same bound argument as WAND);
+    3. surviving intervals decode only their covering blocks (cached) and
+       score all their postings vectorized (bincount per interval — each
+       doc lives in exactly one interval, so scores never split).
+
+    Bit-identical to the exhaustive scorer / columnar BM25 under
+    ``micros=True`` (UB comparisons use ``>= θ`` so equal-score smaller
+    doc-id ties are never pruned)."""
+    import heapq
+
+    terms = [t for t, bl in term_blocks.items() if bl]
+    if not terms:
+        return []
+    binfo = {}
+    for t in terms:
+        bl = sorted(term_blocks[t], key=lambda b: b["block_id"])
+        his = np.array([b["skip_doc_id"] for b in bl], dtype=np.int64)
+        los = np.empty_like(his)
+        los[0] = -1
+        los[1:] = his[:-1]  # block j owns doc range (los[j], his[j]]
+        bm = np.array(
+            [
+                _micros(b["block_max_score"]) if micros else b["block_max_score"]
+                for b in bl
+            ]
+        )
+        binfo[t] = (los, his, bm, bl)
+    bounds = np.unique(np.concatenate([v[1] for v in binfo.values()]))
+    prev = np.empty_like(bounds)
+    prev[0] = -1
+    prev[1:] = bounds[:-1]
+    ub = np.zeros(len(bounds), dtype=np.int64 if micros else np.float64)
+    cover = {}
+    for t, (los, his, bm, bl) in binfo.items():
+        idx = np.searchsorted(his, bounds)  # block whose hi >= interval end
+        valid = idx < len(his)
+        safe = np.minimum(idx, len(his) - 1)
+        c = valid & (los[safe] < bounds)  # boundaries never straddle blocks
+        ub[c] += bm[idx[c]]
+        cover[t] = (idx, c)
+    order = np.argsort(-ub, kind="stable")
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
+    decoded: dict[tuple[str, int], tuple] = {}
+    for ii in order:
+        # UB-descending: once the heap is full and this interval's UB is
+        # strictly below θ, no remaining interval can contain a top-k doc.
+        # UB == θ still processes — an equal-score doc with a smaller id
+        # must be allowed to displace the current kth.
+        if len(heap) >= k and ub[ii] < heap[0][0]:
+            break
+        lo, hi = int(prev[ii]), int(bounds[ii])
+        doc_list, con_list = [], []
+        for t, (los, his, bm, bl) in binfo.items():
+            idx_t, c_t = cover[t]
+            if not c_t[ii]:
+                continue
+            bj = int(idx_t[ii])
+            key = (t, bj)
+            got = decoded.get(key)
+            if got is None:
+                got = codec.decode_block(bl[bj])
+                decoded[key] = got
+            ids, tfs, dls = got
+            s = int(np.searchsorted(ids, lo, side="right"))
+            e = int(np.searchsorted(ids, hi, side="right"))
+            if s == e:
+                continue
+            tf = tfs[s:e].astype(np.float64)
+            dl = dls[s:e].astype(np.float64)
+            c = (idfs[t] * (tf * (codec.BM25_K1 + 1.0))) / (
+                tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl)
+            )
+            con_list.append(
+                np.floor(c * 1e6 + 0.5).astype(np.int64) if micros else c
+            )
+            doc_list.append(ids[s:e].astype(np.int64))
+        if not doc_list:
+            continue
+        docs = np.concatenate(doc_list)
+        cons = np.concatenate(con_list)
+        u, inv = np.unique(docs, return_inverse=True)
+        sc = np.bincount(inv, weights=cons.astype(np.float64))
+        sc = sc.astype(np.int64) if micros else sc
+        for d, s_ in zip(u.tolist(), sc.tolist()):
+            item = (s_, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heappushpop(heap, item)
+    return [(s_, -nd, None) for s_, nd in sorted(heap, reverse=True)]
+
+
 def _pruned_topk_micros(
     spark: SparkSession,
     segments: DataFrame,
@@ -1003,6 +1155,42 @@ def wand_topk_micros(
     )
 
 
+
+
+def blockmax_topk_micros(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    query_terms: list[str],
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Vectorized block-max pruning (interval sweep, ``_blockmax_seg_shard``)
+    returning exact bigint-micros scores — the third dynamic-pruning
+    executor beside WAND/MaxScore, same shared plan and DuckDB oracle."""
+    return _pruned_topk_micros(
+        spark, segments, lexicon, query_terms, avgdl, k, n_buckets,
+        _blockmax_seg_shard,
+    )
+
+
+def seg_exhaustive_topk_micros(
+    spark: SparkSession,
+    segments: DataFrame,
+    lexicon: DataFrame,
+    query_terms: list[str],
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Exhaustive segment-served BM25 (``_exhaustive_seg_shard``): decode
+    and score every block, no pruning — the same-engine baseline the
+    block-max executors are benched against (bench.py --vocab-datum)."""
+    return _pruned_topk_micros(
+        spark, segments, lexicon, query_terms, avgdl, k, n_buckets,
+        _exhaustive_seg_shard,
+    )
 
 
 def maxscore_topk_micros(

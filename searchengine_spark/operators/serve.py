@@ -1892,6 +1892,21 @@ def bm25_topk_maxscore(
     )
 
 
+def bm25_topk_blockmax(
+    spark: SparkSession, idx: dict, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 top-k via VECTORIZED block-max pruning (interval sweep) over
+    the compressed segments — doc-at-a-time WAND pays an interpreted loop
+    per posting, so in a Python executor pruning must happen at block
+    granularity with numpy scoring to actually pay off. Hash-identical to
+    ``bm25_topk`` (same oracle, same integer-micros contract)."""
+    from searchengine_spark.operators.segments import blockmax_topk_micros
+
+    return blockmax_topk_micros(
+        spark, idx["segments"], idx["lexicon"], query_terms, idx["avgdl"], k=k
+    )
+
+
 def shard_selection(
     spark: SparkSession, idx: dict, query_terms: list[str], n_shards: int = 8
 ) -> DataFrame:

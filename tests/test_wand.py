@@ -185,3 +185,59 @@ def test_span_first_topk_bounds(spark):
         .count()
     )
     assert len(out) == brute
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3000),
+                st.integers(min_value=1, max_value=30),
+                st.integers(min_value=5, max_value=500),
+            ),
+            min_size=1,
+            max_size=300,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=80, deadline=None)
+def test_blockmax_and_seg_exhaustive_equal_wand(term_postings, k):
+    """The two vectorized executors (interval-sweep block-max, decode-all
+    exhaustive) return exactly what doc-at-a-time WAND returns, in micros
+    mode — all four segment-served scorers are interchangeable."""
+    from searchengine_spark.operators.segments import (
+        _blockmax_seg_shard,
+        _exhaustive_seg_shard,
+    )
+
+    idfs = {"alpha": 2.3, "beta": 0.7, "gamma": 4.1, "delta": 1.0}
+    avgdl = 80.0
+
+    def fresh():
+        term_blocks = {}
+        for term, posts in term_postings.items():
+            posts = sorted(posts)
+            ids = np.array([p[0] for p in posts], dtype=np.uint64)
+            tfs = np.array([p[1] for p in posts], dtype=np.uint64)
+            dls = np.array([p[2] for p in posts], dtype=np.uint64)
+            blocks = codec.encode_blocks(
+                ids, tfs, dls, [[] for _ in posts], idf=idfs[term], avgdl=avgdl,
+                block_size=16,
+            )
+            for b in blocks:
+                b["bucket"] = 0
+                b["shard"] = 0
+                b["term"] = term
+            term_blocks[term] = blocks
+        return term_blocks
+
+    wd = _wand_shard(fresh(), idfs, avgdl, k, micros=True)
+    bm = _blockmax_seg_shard(fresh(), idfs, avgdl, k, micros=True)
+    ex = _exhaustive_seg_shard(fresh(), idfs, avgdl, k, micros=True)
+    assert [(s, d) for s, d, _ in bm] == [(s, d) for s, d, _ in wd]
+    assert [(s, d) for s, d, _ in ex] == [(s, d) for s, d, _ in wd]
