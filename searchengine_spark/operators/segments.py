@@ -1005,6 +1005,16 @@ def _blockmax_seg_shard(
        score all their postings vectorized (bincount per interval — each
        doc lives in exactly one interval, so scores never split).
 
+    Terms with few blocks (≤ ``_EAGER_BLOCKS`` — the rare/mid tail, decode
+    cost bounded by df) are decoded EAGERLY and contribute their EXACT
+    per-interval max to the bound instead of a whole-block max. This is
+    what makes the bound bite: a rare term's single block spans the whole
+    shard, so its block max would inflate every interval's UB and nothing
+    would ever prune; with the exact per-interval maxes, hot-only
+    intervals bound at bmax(hot)+0 and fall below θ as soon as the top-k
+    fills with rare-term docs — the standard head/tail split of block-max
+    pruning, done at decode granularity.
+
     Bit-identical to the exhaustive scorer / columnar BM25 under
     ``micros=True`` (UB comparisons use ``>= θ`` so equal-score smaller
     doc-id ties are never pruned)."""
@@ -1013,9 +1023,27 @@ def _blockmax_seg_shard(
     terms = [t for t, bl in term_blocks.items() if bl]
     if not terms:
         return []
+
+    def contrib(t: str, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        c = (idfs[t] * (tf * (codec.BM25_K1 + 1.0))) / (
+            tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl)
+        )
+        return np.floor(c * 1e6 + 0.5).astype(np.int64) if micros else c
+
+    _EAGER_BLOCKS = 32
+    eager: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     binfo = {}
     for t in terms:
         bl = sorted(term_blocks[t], key=lambda b: b["block_id"])
+        if len(bl) <= _EAGER_BLOCKS:
+            parts = [codec.decode_block(b) for b in bl]
+            ids = np.concatenate([p[0] for p in parts]).astype(np.int64)
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            eager[t] = (ids, contrib(t, tfs, dls))
+            continue
         his = np.array([b["skip_doc_id"] for b in bl], dtype=np.int64)
         los = np.empty_like(his)
         los[0] = -1
@@ -1027,7 +1055,22 @@ def _blockmax_seg_shard(
             ]
         )
         binfo[t] = (los, his, bm, bl)
+
+    if not binfo:
+        # every term eager (small shard / rare-only query): plain
+        # vectorized exhaustive over the already-decoded arrays
+        docs = np.concatenate([v[0] for v in eager.values()])
+        cons = np.concatenate([v[1] for v in eager.values()])
+        u, inv = np.unique(docs, return_inverse=True)
+        sc = np.bincount(inv, weights=cons.astype(np.float64))
+        sc = sc.astype(np.int64) if micros else sc
+        sel = np.lexsort((u, -sc))[:k]
+        return [(sc[i].item(), int(u[i]), None) for i in sel]
+
     bounds = np.unique(np.concatenate([v[1] for v in binfo.values()]))
+    max_eager = max((int(v[0][-1]) for v in eager.values() if len(v[0])), default=-1)
+    if max_eager > bounds[-1]:  # eager postings past the last block range
+        bounds = np.append(bounds, max_eager)
     prev = np.empty_like(bounds)
     prev[0] = -1
     prev[1:] = bounds[:-1]
@@ -1040,6 +1083,15 @@ def _blockmax_seg_shard(
         c = valid & (los[safe] < bounds)  # boundaries never straddle blocks
         ub[c] += bm[idx[c]]
         cover[t] = (idx, c)
+    for t, (ids, con) in eager.items():
+        if not len(ids):
+            continue
+        # exact per-interval max contribution (interval of doc d: the
+        # first bound >= d, since intervals are (prev, bound])
+        iv = np.searchsorted(bounds, ids, side="left")
+        starts = np.flatnonzero(np.r_[True, iv[1:] != iv[:-1]])
+        ub[iv[starts]] += np.maximum.reduceat(con, starts)
+
     order = np.argsort(-ub, kind="stable")
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
     decoded: dict[tuple[str, int], tuple] = {}
@@ -1052,6 +1104,12 @@ def _blockmax_seg_shard(
             break
         lo, hi = int(prev[ii]), int(bounds[ii])
         doc_list, con_list = [], []
+        for t, (ids, con) in eager.items():
+            s = int(np.searchsorted(ids, lo, side="right"))
+            e = int(np.searchsorted(ids, hi, side="right"))
+            if s < e:
+                doc_list.append(ids[s:e])
+                con_list.append(con[s:e])
         for t, (los, his, bm, bl) in binfo.items():
             idx_t, c_t = cover[t]
             if not c_t[ii]:
@@ -1067,14 +1125,7 @@ def _blockmax_seg_shard(
             e = int(np.searchsorted(ids, hi, side="right"))
             if s == e:
                 continue
-            tf = tfs[s:e].astype(np.float64)
-            dl = dls[s:e].astype(np.float64)
-            c = (idfs[t] * (tf * (codec.BM25_K1 + 1.0))) / (
-                tf + codec.BM25_K1 * (1.0 - codec.BM25_B + codec.BM25_B * dl / avgdl)
-            )
-            con_list.append(
-                np.floor(c * 1e6 + 0.5).astype(np.int64) if micros else c
-            )
+            con_list.append(contrib(t, tfs[s:e], dls[s:e]))
             doc_list.append(ids[s:e].astype(np.int64))
         if not doc_list:
             continue

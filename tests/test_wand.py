@@ -218,7 +218,7 @@ def test_blockmax_and_seg_exhaustive_equal_wand(term_postings, k):
     idfs = {"alpha": 2.3, "beta": 0.7, "gamma": 4.1, "delta": 1.0}
     avgdl = 80.0
 
-    def fresh():
+    def fresh(block_size):
         term_blocks = {}
         for term, posts in term_postings.items():
             posts = sorted(posts)
@@ -227,7 +227,7 @@ def test_blockmax_and_seg_exhaustive_equal_wand(term_postings, k):
             dls = np.array([p[2] for p in posts], dtype=np.uint64)
             blocks = codec.encode_blocks(
                 ids, tfs, dls, [[] for _ in posts], idf=idfs[term], avgdl=avgdl,
-                block_size=16,
+                block_size=block_size,
             )
             for b in blocks:
                 b["bucket"] = 0
@@ -236,8 +236,11 @@ def test_blockmax_and_seg_exhaustive_equal_wand(term_postings, k):
             term_blocks[term] = blocks
         return term_blocks
 
-    wd = _wand_shard(fresh(), idfs, avgdl, k, micros=True)
-    bm = _blockmax_seg_shard(fresh(), idfs, avgdl, k, micros=True)
-    ex = _exhaustive_seg_shard(fresh(), idfs, avgdl, k, micros=True)
-    assert [(s, d) for s, d, _ in bm] == [(s, d) for s, d, _ in wd]
-    assert [(s, d) for s, d, _ in ex] == [(s, d) for s, d, _ in wd]
+    # block_size=16 → ≤19 blocks/term (all-eager path); block_size=2 →
+    # up to 150 blocks (block-level coverage + mixed eager/block path)
+    for bs in (16, 2):
+        wd = _wand_shard(fresh(bs), idfs, avgdl, k, micros=True)
+        bm = _blockmax_seg_shard(fresh(bs), idfs, avgdl, k, micros=True)
+        ex = _exhaustive_seg_shard(fresh(bs), idfs, avgdl, k, micros=True)
+        assert [(s, d) for s, d, _ in bm] == [(s, d) for s, d, _ in wd], bs
+        assert [(s, d) for s, d, _ in ex] == [(s, d) for s, d, _ in wd], bs
