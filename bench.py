@@ -37,6 +37,7 @@ HEADLINE = [
     "bm25_topk",
     "bm25_topk_wand",
     "bm25_topk_maxscore",
+    "bm25_topk_blockmax",
     "bm25_topk_pruned",
     "bm25_topk_tiered",
     "bm25_batch_topk",
@@ -79,6 +80,7 @@ HEADLINE = [
     "audio_decode_stats",
     "image_decode_stats",
     "video_decode_stats",
+    "media_decode_validate",
     "hybrid_combmnz_topk",
     "cluster_results",
     "front_coded_dictionary",
@@ -203,6 +205,7 @@ BUILD_OPS = [
     "bitpacked_postings",
     "incremental_merge_postings",
     "incremental_reindex",
+    "incremental_reindex_delta_list",
 ]
 
 # the exact 15-query basket BENCH_r01.json timed — summed separately each
