@@ -505,11 +505,26 @@ def incremental_reindex_from_list(
         .distinct()
         .collect()
     )
-    seg_in = seg_a.filter(F.col("shard").isin(affected))
-    seg_out = seg_a.filter(~F.col("shard").isin(affected))
+    # the split only pays when a real majority of shards is untouched — a
+    # scattered delta at this shard_span can touch nearly every shard, and
+    # then the two isin filters just add a second pass over the index.
+    # Shard-count estimate from the corpus doc-id range (column-pruned
+    # stats scan — at a real deployment this is a manifest scalar);
+    # added-doc shards (new ids beyond the old range) don't exist in
+    # seg_a, so they are excluded from the affected fraction.
+    max_id = old.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or 0
+    n_shards = int(max_id) // shard_span + 1
+    affected_existing = [s for s in affected if s < n_shards]
+    if affected and len(affected_existing) <= 0.5 * n_shards:
+        seg_in = seg_a.filter(F.col("shard").isin(affected))
+        seg_out = seg_a.filter(~F.col("shard").isin(affected))
+    else:
+        seg_in, seg_out = seg_a, None
     pruned = delete_docs(seg_in, stale, shard_span, deleted_terms=stale_terms)
     # b (the delta segments) is delta-bounded → map-only merge over seg_in
-    merged = seg_out.unionByName(merge_segments(pruned, seg_delta, small_b=True))
+    merged = merge_segments(pruned, seg_delta, small_b=True)
+    if seg_out is not None:
+        merged = seg_out.unionByName(merged)
     return decode_postings(merged) if decode else merged
 
 
